@@ -1,0 +1,345 @@
+"""Stereo DIBR compositing: parallax warp, hole handling, display modes.
+
+Two quality tiers, both pure-jnp reference implementations (the fused Pallas
+kernel in ops/pallas/stereo_warp.py accelerates the hot path):
+
+1. `make_sbs` — parity with the reference's torch compositor
+   (reference depth.py:2122-2184): disparity shift from destination depth,
+   horizontal grid_sample with reflection padding (align_corners=True),
+   SBS/TAB arrangement, area-downsample for Half modes, 16:9 padding.
+
+2. `dibr_render` — parity with the reference's GLSL DIBR fragment shader
+   (reference viewer.py:386-631): 3-tap asymmetric depth pre-smooth
+   (Fehn 2004), nonlinear near-boost, edge falloff, soft disocclusion
+   confidence, directional push-pull background inpaint with opposite-sweep
+   fallback and vertical blur.
+
+Conventions: rgb is [H,W,3] float in [0,255]; depth is [H,W] float in [0,1]
+with near≈1 / far≈0 (post-processed).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from desktop2stereo_tpu.ops.resize import resize
+
+DEPTH_STRENGTH_SBS = 0.05  # reference depth.py:2141
+
+
+# --------------------------------------------------------------------------
+# Shared sampling helpers
+# --------------------------------------------------------------------------
+
+def _reflect_coords(px: jax.Array, size: int) -> jax.Array:
+    """Reflect continuous pixel coords into [0, size-1] (grid_sample
+    padding_mode='reflection' with align_corners=True semantics)."""
+    if size == 1:
+        return jnp.zeros_like(px)
+    period = 2.0 * (size - 1)
+    p = jnp.abs(px) % period
+    return jnp.where(p > (size - 1), period - p, p)
+
+
+def _sample_rows_bilinear(img: jax.Array, px: jax.Array) -> jax.Array:
+    """Bilinear sample along the W axis at continuous coords `px` [H,W];
+    img [H,W,C].  Row structure is preserved (horizontal-only warp)."""
+    x0 = jnp.floor(px)
+    frac = (px - x0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, img.shape[1] - 1)
+    x1i = jnp.clip(x0i + 1, 0, img.shape[1] - 1)
+    g0 = jnp.take_along_axis(img, x0i[..., None], axis=1)
+    g1 = jnp.take_along_axis(img, x1i[..., None], axis=1)
+    return g0 * (1.0 - frac) + g1 * frac
+
+
+# --------------------------------------------------------------------------
+# 1. Legacy torch-compositor parity path
+# --------------------------------------------------------------------------
+
+def warp_eye_grid_sample(
+    rgb: jax.Array, shifts: jax.Array, sign: float
+) -> jax.Array:
+    """One eye of make_sbs_core's grid_sample path (reference
+    depth.py:2149-2160): sample rgb at x + sign*shifts with reflection."""
+    H, W = shifts.shape
+    base = jnp.arange(W, dtype=shifts.dtype)[None, :]
+    px = _reflect_coords(base + sign * shifts, W)
+    return _sample_rows_bilinear(rgb, px)
+
+
+def pad_to_aspect(img: jax.Array, target_ratio: Tuple[int, int] = (16, 9)) -> jax.Array:
+    """Zero-pad to the target aspect (reference depth.py:2106-2120)."""
+    H, W = img.shape[0], img.shape[1]
+    t_w, t_h = target_ratio
+    r_img, r_t = W / H, t_w / t_h
+    if abs(r_img - r_t) < 1e-3:
+        return img
+    if r_img > r_t:
+        new_h = int(round(W / r_t))
+        pad_top = (new_h - H) // 2
+        return jnp.pad(img, ((pad_top, new_h - H - pad_top), (0, 0), (0, 0)))
+    new_w = int(round(H * r_t))
+    pad_left = (new_w - W) // 2
+    return jnp.pad(img, ((0, 0), (pad_left, new_w - W - pad_left), (0, 0)))
+
+
+def make_sbs(
+    rgb: jax.Array,
+    depth: jax.Array,
+    ipd_uv: float = 0.064,
+    depth_ratio: float = 2.0,
+    convergence: float = 0.0,
+    display_mode: str = "Half-SBS",
+    fill_16_9: bool = False,
+) -> jax.Array:
+    """Reference-parity stereo compositor (reference depth.py:2122-2184).
+
+    rgb [H,W,3] in [0,255]; depth [H,W] in [0,1].  Returns the composed
+    frame [H',W',3] float in [0,255].
+    """
+    H, W = depth.shape
+    img = jnp.clip(rgb, 0.0, 255.0)
+    shifts = -(depth - convergence) * depth_ratio * (ipd_uv * W) * DEPTH_STRENGTH_SBS
+
+    left = warp_eye_grid_sample(img, shifts, +1.0)
+    right = warp_eye_grid_sample(img, shifts, -1.0)
+
+    if fill_16_9:
+        left = pad_to_aspect(left)
+        right = pad_to_aspect(right)
+
+    if display_mode in ("Half-TAB", "Full-TAB"):
+        out = jnp.concatenate([left, right], axis=0)
+    else:
+        out = jnp.concatenate([left, right], axis=1)
+    if display_mode not in ("Full-SBS", "Full-TAB"):
+        out = resize(out, (left.shape[0], left.shape[1]), mode="area")
+    return jnp.clip(out, 0.0, 255.0)
+
+
+# --------------------------------------------------------------------------
+# 2. Viewer-quality DIBR path (GLSL shader parity)
+# --------------------------------------------------------------------------
+
+def _shift_cols(x: jax.Array, offset: int) -> jax.Array:
+    """x[:, j+offset] with edge-clamp, static offset (texture clamp-to-edge)."""
+    if offset == 0:
+        return x
+    W = x.shape[1]
+    if abs(offset) >= W:  # fully saturated: every column reads the edge
+        edge = x[:, -1:] if offset > 0 else x[:, :1]
+        return jnp.broadcast_to(edge, x.shape)
+    if offset > 0:
+        pad = jnp.repeat(x[:, -1:], offset, axis=1)
+        return jnp.concatenate([x[:, offset:], pad], axis=1)
+    pad = jnp.repeat(x[:, :1], -offset, axis=1)
+    return jnp.concatenate([pad, x[:, :offset]], axis=1)
+
+
+def _shift_rows(x: jax.Array, offset: int) -> jax.Array:
+    if offset == 0:
+        return x
+    H = x.shape[0]
+    if abs(offset) >= H:
+        edge = x[-1:] if offset > 0 else x[:1]
+        return jnp.broadcast_to(edge, x.shape)
+    if offset > 0:
+        pad = jnp.repeat(x[-1:], offset, axis=0)
+        return jnp.concatenate([x[offset:], pad], axis=0)
+    pad = jnp.repeat(x[:1], -offset, axis=0)
+    return jnp.concatenate([pad, x[:offset]], axis=0)
+
+
+def _sample_uv_bilinear(img: jax.Array, px: jax.Array) -> jax.Array:
+    """Clamp-to-edge bilinear sample along W at continuous coords (GLSL
+    texture() with CLAMP_TO_EDGE)."""
+    pxc = jnp.clip(px, 0.0, img.shape[1] - 1.0)
+    return _sample_rows_bilinear(img, pxc)
+
+
+def push_pull_inpaint(
+    rgb: jax.Array,
+    depth: jax.Array,
+    center_depth_inv: jax.Array,
+    sweep_sign: float,
+    search_radius: int = 12,
+    depth_tolerance: float = 0.012,
+    blur_radius: float = 2.5,
+) -> jax.Array:
+    """Directional background inpaint (reference viewer.py:437-506),
+    vectorized over all pixels; the GLSL early-exit (weight>5) and the
+    opposite-sweep fallback (weight<2) are reproduced with cumulative-weight
+    masks instead of control flow."""
+    H, W, _ = rgb.shape
+
+    def sweep(direction: float, decay: float, use_depth_weight: bool):
+        colors = jnp.zeros_like(rgb)
+        weights = jnp.zeros_like(depth)
+        cum = jnp.zeros_like(depth)
+        # static unroll: search_radius taps of pure shifts — XLA fuses these
+        for i in range(1, search_radius + 1):
+            off = int(direction * i)
+            s_depth_inv = 1.0 - _shift_cols(depth[..., None], off)[..., 0]
+            s_color = _shift_cols(rgb, off)
+            is_bg = s_depth_inv > center_depth_inv + depth_tolerance
+            dist_w = jnp.exp(-float(i) * decay)
+            if use_depth_weight:
+                w = dist_w * (1.0 + (s_depth_inv - center_depth_inv) * 10.0)
+            else:
+                w = jnp.full_like(depth, dist_w)
+            # GLSL adds the tap then breaks when weight exceeds 5: a tap
+            # participates iff the running weight before it was <= 5.
+            active = is_bg & (cum <= 5.0)
+            w = jnp.where(active, w, 0.0)
+            colors = colors + s_color * w[..., None]
+            weights = weights + w
+            cum = cum + w
+        return colors, weights
+
+    fwd_c, fwd_w = sweep(sweep_sign, 0.15, True)
+    # Phase 2: opposite sweep only where phase 1 found weight < 2.
+    bwd_c, bwd_w = sweep(-sweep_sign, 0.2, False)
+    need_bwd = fwd_w < 2.0
+    best_c = fwd_c + jnp.where(need_bwd, 1.0, 0.0)[..., None] * bwd_c
+    best_w = fwd_w + jnp.where(need_bwd, bwd_w, 0.0)
+
+    # Phase 3: small vertical blur (3 taps at ±blur_radius px).
+    found = best_w > 0.01
+    blurred = best_c / jnp.maximum(best_w, 1e-12)[..., None]
+    vert_c = blurred * 0.5
+    vert_w = jnp.full_like(depth, 0.5)
+    dy_px = blur_radius
+    for dy in (-1, 1):
+        off = int(round(dy * dy_px))
+        # GLSL samples at uv + dy*pixel*blur_radius with bilinear; at 2.5 px
+        # offset, approximate with nearest integer shift (2 or -2 px visual
+        # difference is below the seam-blend threshold).
+        v_depth_inv = 1.0 - _shift_rows(depth, off)
+        ok = v_depth_inv > center_depth_inv + depth_tolerance * 0.5
+        w = jnp.where(ok, 0.25, 0.0)
+        vert_c = vert_c + _shift_rows(rgb, off) * w[..., None]
+        vert_w = vert_w + w
+    filled = vert_c / vert_w[..., None]
+    return jnp.where(found[..., None], filled, rgb)
+
+
+def dibr_render(
+    rgb: jax.Array,
+    depth: jax.Array,
+    eye_offset: float,
+    depth_strength: float = 1.0,
+    convergence: float = 0.0,
+    search_radius: int = 12,
+    depth_tolerance: float = 0.012,
+    edge_margin: float = 0.05,
+) -> jax.Array:
+    """Render one eye via the viewer's DIBR shader math (reference
+    viewer.py:528-631, roll=0).  `eye_offset` is ±ipd/2 in UV units
+    (reference viewer.py:2701-2746)."""
+    H, W, _ = rgb.shape
+    dt = rgb.dtype
+    depth = depth.astype(dt)
+
+    # 3-tap asymmetric Gaussian pre-smooth along the parallax direction at
+    # ±1.5px (bilinear at half-texel → average of 1- and 2-px neighbours).
+    par_sign = 1.0 if eye_offset > 0 else -1.0
+
+    def sample_depth_at(offset_px: float) -> jax.Array:
+        base = jnp.arange(W, dtype=dt)[None, :] + offset_px
+        return _sample_uv_bilinear(depth[..., None], base)[..., 0]
+
+    d0 = depth
+    dm = sample_depth_at(-par_sign * 1.5)
+    dp = sample_depth_at(+par_sign * 1.5)
+    d = d0 * 0.7 + dm * 0.15 + dp * 0.15
+
+    depth_inv = -d
+    depth_shaped = depth_inv * (1.0 + 0.35 * (1.0 - d))
+
+    # Parallax shift in UV with border falloff.
+    u = (jnp.arange(W, dtype=dt) + 0.5)[None, :] / W
+    edge_falloff = jnp.clip(u / edge_margin, 0.0, 1.0)
+    edge_falloff = edge_falloff * edge_falloff * (3.0 - 2.0 * edge_falloff)
+    ef2 = jnp.clip((1.0 - u) / edge_margin, 0.0, 1.0)
+    ef2 = ef2 * ef2 * (3.0 - 2.0 * ef2)
+    edge_falloff = edge_falloff * ef2
+
+    shift_uv = eye_offset * (depth_shaped + convergence) * depth_strength * edge_falloff
+    px = jnp.arange(W, dtype=dt)[None, :] - shift_uv * W
+
+    color = _sample_uv_bilinear(rgb, px)
+
+    # Soft disocclusion confidence: 2-tap depth jump along parallax dir.
+    d_l = sample_depth_at(-par_sign * 2.0)
+    d_r = sample_depth_at(+par_sign * 2.0)
+    jump = jnp.abs(d_l - d_r)
+    t = jnp.clip((jump - 0.04) / (0.10 - 0.04), 0.0, 1.0)
+    conf = t * t * (3.0 - 2.0 * t)
+    oob = (px < 0.0) | (px > W - 1.0)
+    conf = jnp.where(oob, 1.0, conf)
+
+    sweep_sign = -1.0 if eye_offset > 0 else 1.0
+    filled = push_pull_inpaint(
+        rgb, d, depth_inv, sweep_sign, search_radius, depth_tolerance
+    )
+    return color + conf[..., None] * (filled - color)
+
+
+# --------------------------------------------------------------------------
+# Display-mode composition (viewer aux shaders: reference viewer.py:633-1197)
+# --------------------------------------------------------------------------
+
+def compose_display(
+    left: jax.Array,
+    right: jax.Array,
+    display_mode: str = "Half-SBS",
+) -> jax.Array:
+    """Arrange per-eye images into the final output frame."""
+    H, W = left.shape[0], left.shape[1]
+    if display_mode == "Mono":
+        return left
+    if display_mode in ("Half-SBS", "Full-SBS"):
+        out = jnp.concatenate([left, right], axis=1)
+        if display_mode == "Half-SBS":
+            out = resize(out, (H, W), mode="area")
+        return out
+    if display_mode in ("Half-TAB", "Full-TAB"):
+        out = jnp.concatenate([left, right], axis=0)
+        if display_mode == "Half-TAB":
+            out = resize(out, (H, W), mode="area")
+        return out
+    if display_mode == "Anaglyph":
+        # red-cyan (reference viewer.py:678-833)
+        return jnp.stack([left[..., 0], right[..., 1], right[..., 2]], axis=-1)
+    if display_mode == "Row-Interleaved":
+        rows = (jnp.arange(H) % 2 == 0)[:, None, None]
+        return jnp.where(rows, left, right)
+    if display_mode == "Column-Interleaved":
+        cols = (jnp.arange(W) % 2 == 0)[None, :, None]
+        return jnp.where(cols, left, right)
+    raise ValueError(f"unknown display mode {display_mode!r}")
+
+
+def stereo_compose(
+    rgb: jax.Array,
+    depth: jax.Array,
+    ipd: float = 0.064,
+    depth_strength: float = 1.0,
+    convergence: float = 0.0,
+    display_mode: str = "Half-SBS",
+    quality: str = "high",
+) -> jax.Array:
+    """Full stereo stage: per-eye DIBR (or fast warp) + display arrangement."""
+    if display_mode == "Depth":
+        d = jnp.clip(depth, 0.0, 1.0) * 255.0
+        return jnp.stack([d, d, d], axis=-1)
+    if quality == "high":
+        left = dibr_render(rgb, depth, -ipd / 2.0, depth_strength, convergence)
+        right = dibr_render(rgb, depth, +ipd / 2.0, depth_strength, convergence)
+        return jnp.clip(compose_display(left, right, display_mode), 0.0, 255.0)
+    # fast path = legacy compositor semantics
+    return make_sbs(rgb, depth, ipd, depth_strength, convergence, display_mode)

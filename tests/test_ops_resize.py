@@ -1,0 +1,69 @@
+"""Resize parity vs torch F.interpolate (the reference's resize engine)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from desktop2stereo_tpu.ops.resize import resize, patch_aligned_size, resize_patch_aligned
+
+
+def _torch_resize(x_nhwc, size, mode, ac=False, aa=False):
+    t = torch.from_numpy(x_nhwc).permute(0, 3, 1, 2)
+    kw = {"mode": mode}
+    if mode in ("bilinear", "bicubic"):
+        kw["align_corners"] = ac
+        kw["antialias"] = aa
+    return F.interpolate(t, size=size, **kw).permute(0, 2, 3, 1).numpy()
+
+
+CASES = [
+    ("bilinear", (48, 61), False, False),
+    ("bilinear", (200, 300), False, False),
+    ("bilinear", (48, 61), True, False),
+    ("bilinear", (200, 300), True, False),
+    ("bilinear", (48, 61), False, True),
+    ("bicubic", (48, 61), False, False),
+    ("bicubic", (200, 300), False, False),
+    ("bicubic", (48, 61), False, True),
+    ("bicubic", (37, 37), False, True),
+    ("area", (48, 61), False, False),
+    ("nearest", (48, 61), False, False),
+]
+
+
+@pytest.mark.parametrize("mode,size,ac,aa", CASES)
+def test_resize_matches_torch(rng, mode, size, ac, aa):
+    x = rng.standard_normal((1, 97, 131, 3)).astype(np.float32)
+    ref = _torch_resize(x, size, mode, ac, aa)
+    out = np.asarray(resize(jnp.asarray(x), size, mode=mode, align_corners=ac, antialias=aa))
+    assert np.abs(ref - out).max() < 5e-4
+
+
+def test_resize_2d_and_3d_layouts(rng):
+    x = rng.standard_normal((64, 80)).astype(np.float32)
+    out2 = np.asarray(resize(jnp.asarray(x), (32, 40)))
+    out3 = np.asarray(resize(jnp.asarray(x[..., None]), (32, 40)))[..., 0]
+    assert np.allclose(out2, out3, atol=1e-6)
+
+
+def test_patch_aligned_size_matches_reference_geometry():
+    # 1080p → target 384, patch 14 (reference depth.py:676-695 math):
+    # scale 0.2 → (216, 384) → nearest 14-multiples (210, 378)
+    assert patch_aligned_size(1080, 1920, 384, 14) == (210, 378)
+    # 4K → 518, patch 14
+    h, w = patch_aligned_size(2160, 3840, 518, 14)
+    assert h % 14 == 0 and w % 14 == 0
+    assert abs(w - 518) <= 7
+    # square already aligned
+    assert patch_aligned_size(518, 518, 518, 14) == (518, 518)
+
+
+def test_resize_patch_aligned_vs_torch(rng):
+    x = rng.random((1, 120, 214, 3)).astype(np.float32)
+    out = np.asarray(resize_patch_aligned(jnp.asarray(x), 98, 14))
+    nh, nw = patch_aligned_size(120, 214, 98, 14)
+    ref = _torch_resize(x, (nh, nw), "bicubic", False, True)
+    assert out.shape[1:3] == (nh, nw)
+    assert np.abs(ref - out).max() < 5e-4

@@ -1,0 +1,116 @@
+"""Stereo compositor parity vs torch grid_sample oracle + DIBR sanity."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import torch
+import torch.nn.functional as F
+
+from desktop2stereo_tpu.ops.stereo import (
+    make_sbs,
+    dibr_render,
+    compose_display,
+    stereo_compose,
+)
+
+
+def torch_make_sbs(rgb_hwc, depth, ipd=0.064, ratio=2.0, conv=0.0, mode="Half-SBS"):
+    """Oracle for reference depth.py:2122-2184 (CUDA grid_sample path)."""
+    rgb = torch.from_numpy(rgb_hwc).permute(2, 0, 1)
+    d = torch.from_numpy(depth)
+    C, H, W = rgb.shape
+    img = rgb.unsqueeze(0).clamp(0, 255)
+    shifts = -(d - conv) * ratio * (ipd * W) * 0.05
+    xs = torch.linspace(-1, 1, W).view(1, 1, W).expand(1, H, W)
+    ys = torch.linspace(-1, 1, H).view(1, H, 1).expand(1, H, W)
+    sn = shifts * (2.0 / (W - 1))
+    gl = torch.stack([xs + sn, ys], dim=-1)
+    gr = torch.stack([xs - sn, ys], dim=-1)
+    left = F.grid_sample(img, gl, mode="bilinear", padding_mode="reflection", align_corners=True)[0]
+    right = F.grid_sample(img, gr, mode="bilinear", padding_mode="reflection", align_corners=True)[0]
+    if mode in ("Half-TAB", "Full-TAB"):
+        out = torch.cat([left, right], dim=1)
+    else:
+        out = torch.cat([left, right], dim=2)
+    if mode not in ("Full-SBS", "Full-TAB"):
+        out = F.interpolate(out.unsqueeze(0), size=left.shape[1:], mode="area")[0]
+    return out.clamp(0, 255).permute(1, 2, 0).numpy()
+
+
+@pytest.mark.parametrize("mode", ["Half-SBS", "Full-SBS", "Half-TAB", "Full-TAB"])
+def test_make_sbs_matches_torch(rng, mode):
+    rgb = (rng.random((60, 90, 3)) * 255).astype(np.float32)
+    depth = rng.random((60, 90)).astype(np.float32)
+    ref = torch_make_sbs(rgb, depth, mode=mode)
+    out = np.asarray(make_sbs(jnp.asarray(rgb), jnp.asarray(depth), display_mode=mode))
+    assert out.shape == ref.shape
+    assert np.abs(ref - out).max() < 1e-2
+
+
+def test_make_sbs_strong_parallax_reflection(rng):
+    # large shifts to exercise reflection padding
+    rgb = (rng.random((40, 50, 3)) * 255).astype(np.float32)
+    depth = np.ones((40, 50), dtype=np.float32)
+    ref = torch_make_sbs(rgb, depth, ratio=8.0, mode="Full-SBS")
+    out = np.asarray(make_sbs(jnp.asarray(rgb), jnp.asarray(depth), depth_ratio=8.0, display_mode="Full-SBS"))
+    assert np.abs(ref - out).max() < 1e-2
+
+
+def test_dibr_zero_depth_zero_offset_is_identity(rng):
+    rgb = (rng.random((32, 48, 3)) * 255).astype(np.float32)
+    depth = np.zeros((32, 48), dtype=np.float32)
+    out = np.asarray(dibr_render(jnp.asarray(rgb), jnp.asarray(depth), eye_offset=-0.032, depth_strength=0.0))
+    assert np.abs(out - rgb).max() < 1e-3
+
+
+def test_dibr_parallax_shifts_content(rng):
+    # Constant near-plane depth: the backward warp becomes a uniform
+    # horizontal translation (GLSL: px = eye·(-1·1.0)·strength away from
+    # edges), opposite per eye.  depth=1 → depth_shaped = -1.
+    W, H = 128, 32
+    rgb = (rng.random((H, W, 3)) * 255).astype(np.float32)
+    depth = np.ones((H, W), dtype=np.float32)
+    eye, strength = 0.05, 2.0
+    shift_px = eye * 1.0 * strength * W  # 12.8 px
+    left = np.asarray(dibr_render(jnp.asarray(rgb), jnp.asarray(depth), -eye, strength))
+    right = np.asarray(dibr_render(jnp.asarray(rgb), jnp.asarray(depth), +eye, strength))
+
+    xs = np.arange(W, dtype=np.float64)
+    mid = slice(30, 98)  # away from the edge-falloff band
+    for out, sign in ((left, -1.0), (right, +1.0)):
+        src = xs + sign * shift_px
+        expected = np.stack(
+            [np.interp(src[mid], xs, rgb[16, :, c]) for c in range(3)], axis=-1
+        )
+        assert np.abs(out[16, mid] - expected).max() < 1e-2, sign
+
+
+@pytest.mark.parametrize("mode", [
+    "Half-SBS", "Full-SBS", "Half-TAB", "Full-TAB",
+    "Anaglyph", "Row-Interleaved", "Column-Interleaved", "Mono",
+])
+def test_compose_display_shapes(rng, mode):
+    left = (rng.random((24, 30, 3)) * 255).astype(np.float32)
+    right = (rng.random((24, 30, 3)) * 255).astype(np.float32)
+    out = np.asarray(compose_display(jnp.asarray(left), jnp.asarray(right), mode))
+    if mode == "Full-SBS":
+        assert out.shape == (24, 60, 3)
+    elif mode == "Full-TAB":
+        assert out.shape == (48, 30, 3)
+    else:
+        assert out.shape == (24, 30, 3)
+    if mode == "Row-Interleaved":
+        assert np.allclose(out[0], left[0]) and np.allclose(out[1], right[1])
+    if mode == "Anaglyph":
+        assert np.allclose(out[..., 0], left[..., 0])
+        assert np.allclose(out[..., 1:], right[..., 1:])
+
+
+def test_stereo_compose_end_to_end(rng):
+    rgb = (rng.random((48, 64, 3)) * 255).astype(np.float32)
+    depth = rng.random((48, 64)).astype(np.float32)
+    out = np.asarray(stereo_compose(jnp.asarray(rgb), jnp.asarray(depth)))
+    assert out.shape == (48, 64, 3)
+    assert out.min() >= 0 and out.max() <= 255
+    d = np.asarray(stereo_compose(jnp.asarray(rgb), jnp.asarray(depth), display_mode="Depth"))
+    assert d.shape == (48, 64, 3)
