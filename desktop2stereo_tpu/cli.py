@@ -1,0 +1,211 @@
+"""Command-line runner: the reference's `main.py` orchestrator as a CLI.
+
+`python -m desktop2stereo_tpu.cli --source synthetic --sink mjpeg ...`
+
+Lifecycle mirrors the reference (reference main.py:264-387, 1390-1402):
+SIGINT/SIGTERM → shutdown event → drain stages → cleanup, a `stop.request`
+file watcher for GUI-style control, and a hard-exit watchdog so a wedged
+runtime cannot orphan the process.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import sys
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="d2s-tpu", description="TPU-native 2D→3D stereo pipeline"
+    )
+    p.add_argument("--settings", help="settings.yaml (reference-compatible)")
+    p.add_argument("--model", help="model name from the registry")
+    p.add_argument("--source", default="synthetic",
+                   choices=["synthetic", "image", "video", "screen"])
+    p.add_argument("--input", help="path for image/video sources")
+    p.add_argument("--sink", default="mjpeg",
+                   choices=["mjpeg", "png", "video", "null", "rtmp"])
+    p.add_argument("--out", help="output path/dir for png/video/rtmp sinks")
+    p.add_argument("--frames", type=int, help="stop after N frames")
+    p.add_argument("--duration", type=float, help="stop after N seconds")
+    p.add_argument("--fps", type=float, help="capture pacing FPS")
+    p.add_argument("--size", default="1080x1920", help="synthetic source HxW")
+    p.add_argument("--depth-res", type=int, help="model input resolution")
+    p.add_argument("--display-mode", help="Half-SBS/Full-SBS/.../Depth")
+    p.add_argument("--port", type=int, help="MJPEG port")
+    p.add_argument("--quality", default="high", choices=["high", "fast"],
+                   help="stereo path: DIBR+inpaint vs grid-shift")
+    p.add_argument("--checkpoint", help="safetensors path (else cache/random)")
+    p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--stop-file", default="logs/stop.request",
+                   help="touch this file to request shutdown")
+    p.add_argument("--stats-every", type=float, default=2.0,
+                   help="seconds between stats lines (0 = quiet)")
+    return p
+
+
+def make_components(args, settings):
+    from desktop2stereo_tpu.core.runtime import detect_policy, setup_compilation_cache
+    from desktop2stereo_tpu.models.factory import build_model
+    from desktop2stereo_tpu.pipeline.programs import ProgramCache, ProgramConfig
+    from desktop2stereo_tpu.sinks import make_sink
+    from desktop2stereo_tpu.sources import make_source
+
+    setup_compilation_cache()
+    policy = detect_policy(prefer_fp32=args.fp32)
+    print(f"[d2s] device: {policy.description}, compute dtype: {policy.compute_dtype.__name__}")
+
+    apply_fn, params, spec = build_model(settings.model, checkpoint=args.checkpoint)
+
+    cfg = ProgramConfig.from_settings(settings, quality=args.quality)
+    program = ProgramCache(
+        cfg, lambda x: apply_fn(params, x), spec, compute_dtype=policy.compute_dtype
+    )
+
+    src_kw = {}
+    if args.source == "synthetic":
+        h, w = (int(v) for v in args.size.split("x"))
+        src_kw = {"size": (h, w)}
+        if args.frames:
+            src_kw["max_frames"] = args.frames
+    elif args.source in ("image", "video"):
+        if not args.input:
+            raise SystemExit(f"--source {args.source} requires --input")
+        src_kw = {"path": args.input}
+        if args.frames:
+            src_kw["max_frames"] = args.frames
+        if args.source == "video":
+            src_kw["loop"] = args.frames is not None
+    source = make_source(args.source, **src_kw)
+
+    sink_kw = {}
+    if args.sink == "png":
+        sink_kw = {"out_dir": args.out or "out", "save_depth": True}
+    elif args.sink == "video":
+        sink_kw = {"path": args.out or "out.mp4", "fps": settings.fps}
+    elif args.sink == "mjpeg":
+        sink_kw = {"port": args.port or settings.streamer_port,
+                   "fps": settings.fps, "quality": settings.stream_quality}
+    elif args.sink == "rtmp":
+        sink_kw = {"url": args.out or "rtmp://127.0.0.1/live", "fps": settings.fps}
+    sink = make_sink(args.sink, **sink_kw)
+    return source, program, sink, settings
+
+
+def run(args=None) -> int:
+    args = build_parser().parse_args(args)
+
+    from desktop2stereo_tpu.core.config import Settings, load_settings
+    from desktop2stereo_tpu.pipeline.engine import FrameEngine
+
+    settings = load_settings(args.settings) if args.settings else Settings()
+    overrides = {}
+    if args.model:
+        overrides["model"] = args.model
+    if args.depth_res:
+        overrides["depth_resolution"] = args.depth_res
+    if args.display_mode:
+        overrides["display_mode"] = args.display_mode
+    if args.fps:
+        overrides["fps"] = args.fps
+    if overrides:
+        settings = settings.replace(**overrides)
+
+    source, program, sink, settings = make_components(args, settings)
+
+    shutdown = threading.Event()
+
+    def handle(sig, frame):
+        print(f"[d2s] signal {sig}; shutting down")
+        shutdown.set()
+
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(sig, handle)
+        except (ValueError, OSError):
+            pass  # non-main thread (tests)
+
+    # stop.request file channel (reference main.py:343-357)
+    def stop_file_watcher():
+        while not shutdown.is_set():
+            if args.stop_file and os.path.exists(args.stop_file):
+                try:
+                    os.remove(args.stop_file)
+                except OSError:
+                    pass
+                print("[d2s] stop.request received")
+                shutdown.set()
+                return
+            time.sleep(0.5)
+
+    threading.Thread(target=stop_file_watcher, daemon=True).start()
+
+    engine = FrameEngine(
+        source, program, sink, target_fps=settings.fps, shutdown=shutdown
+    )
+
+    if getattr(sink, "url", None):
+        print(f"[d2s] streaming at {sink.url}")
+
+    # Pre-compile for the source's frame shape (reference warmup_model x3).
+    probe = source.grab()
+    if probe is not None and hasattr(program, "warmup"):
+        t0 = time.perf_counter()
+        print(f"[d2s] compiling for frame shape {probe.shape} ...")
+        program.warmup(probe.shape)
+        print(f"[d2s] compiled in {time.perf_counter() - t0:.1f}s")
+
+    try:
+        engine.start()
+        t_end = None if args.duration is None else time.monotonic() + args.duration
+        last_stats = time.monotonic()
+        while not shutdown.is_set():
+            now = time.monotonic()
+            if t_end is not None and now >= t_end:
+                break
+            if args.frames is not None and engine.frames >= args.frames:
+                break
+            if args.stats_every and now - last_stats >= args.stats_every:
+                s = engine.stats()
+                lat = ", ".join(f"{k}={v*1000:.1f}ms" for k, v in s["latency"].items())
+                print(f"[d2s] fps={s['fps']:.1f} (1%low={s['fps_1pct_low']:.1f}) {lat}")
+                last_stats = now
+            time.sleep(0.05)
+    finally:
+        shutdown.set()
+        # watchdog: hard-exit if native threads refuse to unwind
+        # (reference main.py:325-339)
+        watchdog = threading.Timer(8.0, lambda: os._exit(1))
+        watchdog.daemon = True
+        watchdog.start()
+        try:
+            engine.stop()
+        finally:
+            for obj in (sink, source):
+                try:
+                    obj.close()
+                except Exception:
+                    pass
+            watchdog.cancel()
+
+    final = engine.stats_final()
+    print(
+        f"[d2s] done: {final.frames} frames, avg {final.fps:.1f} FPS, "
+        f"1% low {final.fps_1pct_low:.1f}"
+    )
+    return 0
+
+
+def main() -> None:
+    sys.exit(run())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,89 @@
+"""Model factory: registry name → (apply_fn, params).
+
+Plays the role of the reference's DepthModelWrapper loader
+(reference depth.py:1539-1662): resolve the family, find weights
+(local safetensors / HF cache dir / random init for benchmarking), and
+return a pure apply function ready to be closed over by the jitted frame
+program.  No torch import on this path — conversion reads safetensors
+directly.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from desktop2stereo_tpu.core.registry import ModelSpec, get_spec
+
+ApplyFn = Callable[[jax.Array], jax.Array]
+
+# Reference keeps converted checkpoints in ./models (reference utils.py:836)
+DEFAULT_WEIGHTS_DIRS = ("./models", os.path.expanduser("~/.cache/desktop2stereo_tpu/models"))
+
+
+def find_checkpoint(spec: ModelSpec) -> Optional[str]:
+    """Locate a local safetensors file for the spec (cache-first, like the
+    reference's HF local-cache lookup, reference depth.py:498-526)."""
+    repo_flat = spec.hf_repo.replace("/", "--")
+    candidates = []
+    for d in DEFAULT_WEIGHTS_DIRS:
+        candidates += [
+            os.path.join(d, repo_flat, "model.safetensors"),
+            os.path.join(d, spec.name, "model.safetensors"),
+            os.path.join(d, f"{spec.name}.safetensors"),
+        ]
+    hf_cache = os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface"))
+    hub_dir = os.path.join(hf_cache, "hub", f"models--{repo_flat}", "snapshots")
+    if os.path.isdir(hub_dir):
+        for snap in sorted(os.listdir(hub_dir)):
+            candidates.append(os.path.join(hub_dir, snap, "model.safetensors"))
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    return None
+
+
+def build_model(
+    name: str,
+    checkpoint: Optional[str] = None,
+    param_dtype=jnp.float32,
+    rng_seed: int = 0,
+    init_size: Optional[int] = None,
+) -> Tuple[ApplyFn, Any, ModelSpec]:
+    """Returns (apply_fn, params, spec).  apply_fn(pixels_nhwc) -> depth[B,h,w].
+
+    Weights resolution order: explicit `checkpoint` → local caches → random
+    init (benchmark/CI mode, prints a warning).
+    """
+    spec = get_spec(name)
+
+    if spec.family in ("depth_anything", "dpt_dinov2"):
+        from desktop2stereo_tpu.models.depth_anything import DepthAnything
+        from desktop2stereo_tpu.models.convert_hf import convert_depth_anything
+
+        model = DepthAnything.from_spec(spec)
+        ckpt = checkpoint or find_checkpoint(spec)
+        if ckpt is not None:
+            params = {"params": convert_depth_anything(ckpt, spec)}
+        else:
+            size = init_size or (spec.patch_size * 10)
+            params = model.init(
+                jax.random.PRNGKey(rng_seed), jnp.zeros((1, size, size, 3), jnp.float32)
+            )
+            print(f"[models] no checkpoint found for {name}; using random init")
+        params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
+        return model.apply, params, spec
+
+    if spec.family == "vda":
+        from desktop2stereo_tpu.models.vda import build_vda
+
+        return build_vda(spec, checkpoint, param_dtype, rng_seed)
+
+    raise NotImplementedError(
+        f"model family {spec.family!r} ({name}) is not implemented yet; "
+        f"available: depth_anything, dpt_dinov2, vda"
+    )

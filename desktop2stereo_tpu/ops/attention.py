@@ -1,0 +1,55 @@
+"""Attention dispatch: Pallas flash kernel on TPU, XLA softmax elsewhere.
+
+Replaces the reference's xformers memory-efficient attention
+(reference models/.../dinov2_layers/attention.py:20-82) and SDP-backend
+selection (reference depth.py:184-190) with a single entry point.  Layout is
+[B, N, H, hd] (BNHD) throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _platform() -> str:
+    try:
+        return jax.devices()[0].platform
+    except Exception:
+        return "cpu"
+
+
+def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Plain softmax attention; f32 accumulation for the logits/softmax."""
+    B, N, H, D = q.shape
+    scale = 1.0 / math.sqrt(D)
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v, preferred_element_type=q.dtype)
+
+
+def multi_head_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, use_flash: Optional[bool] = None
+) -> jax.Array:
+    """[B,N,H,hd] q/k/v → [B,N,H,hd] attention output.
+
+    On TPU with flash-compatible shapes, uses the Pallas kernel
+    (ops/pallas/flash_attention.py); otherwise the XLA path.  Both paths are
+    numerically equivalent within bf16 tolerance.
+    """
+    if use_flash is None:
+        use_flash = _platform() == "tpu"
+    if use_flash:
+        try:
+            from desktop2stereo_tpu.ops.pallas.flash_attention import flash_attention
+
+            return flash_attention(q, k, v)
+        except Exception:
+            pass  # pallas unavailable / unsupported shape → XLA fallback
+    return xla_attention(q, k, v)

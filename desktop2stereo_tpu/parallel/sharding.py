@@ -1,0 +1,83 @@
+"""Multi-chip execution: data-parallel frame batching + tensor-parallel ViT.
+
+The reference is single-GPU; its only "parallelism" is a 3-thread pipeline
+(reference main.py:67-68).  The TPU build treats scale as first-class
+(SURVEY §2.4 translation): a ("data", "model") mesh where
+
+- the *data* axis shards a batch of concurrent streams (dual-display capture,
+  multi-client serving) — batch dim of every activation;
+- the *model* axis tensor-parallels the ViT (Megatron-style): qkv/fc1 split
+  on the output feature dim, proj/fc2 on the input dim, so each block does
+  one all-reduce pair, inserted automatically by GSPMD from these
+  NamedShardings — no hand-written collectives on the XLA path.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from desktop2stereo_tpu.core.runtime import DATA_AXIS, MODEL_AXIS
+
+
+def _tp_spec_for(path: str, shape: Tuple[int, ...]) -> P:
+    """Megatron TP rule for a DepthAnything param leaf."""
+    if "attention" in path:
+        if "qkv" in path:
+            # fused qkv: kernel (D, 3D) → shard heads (columns); bias (3D,)
+            return P(None, MODEL_AXIS) if len(shape) == 2 else P(MODEL_AXIS)
+        if "proj" in path:
+            # row-parallel: kernel (D, D) shard input rows; bias replicated
+            return P(MODEL_AXIS, None) if len(shape) == 2 else P()
+    if "mlp" in path:
+        if "fc1" in path or "weights_in" in path:
+            return P(None, MODEL_AXIS) if len(shape) == 2 else P(MODEL_AXIS)
+        if "fc2" in path or "weights_out" in path:
+            return P(MODEL_AXIS, None) if len(shape) == 2 else P()
+    # neck/head convs, norms, embeddings: replicated
+    return P()
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param tree on the mesh with TP shardings (replicated if the
+    mesh has no model axis extent)."""
+    tp = mesh.shape[MODEL_AXIS] > 1
+
+    def place(path, leaf):
+        pathstr = jax.tree_util.keystr(path)
+        spec = _tp_spec_for(pathstr, leaf.shape) if tp else P()
+        # divisibility guard: fall back to replication if the dim doesn't split
+        if tp and any(
+            ax is not None and leaf.shape[i] % mesh.shape[ax] != 0
+            for i, ax in enumerate(spec)
+        ):
+            spec = P()
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def parallel_frame_apply(
+    model_apply: Callable,
+    mesh: Mesh,
+) -> Callable:
+    """Wraps `model_apply(params, pixels)` for a data-sharded frame batch.
+
+    pixels [B,H,W,3] is sharded on B over the data axis; params carry their
+    own (TP or replicated) shardings; the output depth [B,h,w] stays
+    data-sharded.  GSPMD inserts the TP all-reduces over ICI.
+    """
+    data_in = NamedSharding(mesh, P(DATA_AXIS))
+    out_sharding = NamedSharding(mesh, P(DATA_AXIS))
+
+    @jax.jit
+    def run(params, pixels):
+        pixels = jax.lax.with_sharding_constraint(pixels, data_in)
+        depth = model_apply(params, pixels)
+        return jax.lax.with_sharding_constraint(depth, out_sharding)
+
+    return run

@@ -1,0 +1,232 @@
+"""The frame engine: 3-stage latest-frame-wins pipeline.
+
+Reimplements the reference's thread topology (reference main.py:67-68,
+232-262): capture → depth/compose → sink, connected by depth-1 mailboxes so
+each stage always works on the newest frame and stale frames are dropped.
+
+TPU specifics:
+- Stage 2 is ONE device program (pipeline/programs.py) instead of the
+  reference's eager stage chain; the host thread's only jobs are the
+  async host→HBM upload (the PBO-ring analog, reference frame.py:62-161)
+  and the device→host fetch of the composed frame.
+- Upload of frame N+1 overlaps compute of frame N because `device_put` and
+  dispatch are async; the blocking point is the single `np.asarray` fetch.
+- Graceful shutdown mirrors the reference's event-driven unwind
+  (reference main.py:264-387): a shared Event, drained mailboxes, joined
+  threads, and a watchdog in the CLI layer.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import numpy as np
+
+from desktop2stereo_tpu.pipeline.metrics import FpsCounter, StageLatency
+
+
+class Mailbox:
+    """Depth-1 latest-wins channel (the reference's maxsize=1 queue with
+    drop-stale semantics, reference main.py:66-68)."""
+
+    def __init__(self) -> None:
+        self._cond = threading.Condition()
+        self._item: Any = None
+        self._seq = 0
+
+    def put(self, item: Any) -> None:
+        with self._cond:
+            self._item = item
+            self._seq += 1
+            self._cond.notify_all()
+
+    def get(self, timeout: Optional[float] = None, last_seq: int = -1) -> Tuple[Any, int]:
+        """Blocks until a newer item than `last_seq` arrives (or timeout).
+        Returns (item, seq); (None, last_seq) on timeout."""
+        deadline = None if timeout is None else time.monotonic() + timeout
+        with self._cond:
+            while self._seq <= last_seq or self._item is None:
+                remaining = None if deadline is None else deadline - time.monotonic()
+                if remaining is not None and remaining <= 0:
+                    return None, last_seq
+                self._cond.wait(remaining)
+            return self._item, self._seq
+
+
+@dataclass
+class EngineStats:
+    fps: float
+    fps_1pct_low: float
+    frame_ms: float
+    latency: dict
+    frames: int
+    dropped: int
+
+
+class FrameEngine:
+    """source.grab() → program(frame) → sink(sbs, depth, meta)."""
+
+    def __init__(
+        self,
+        source,                      # .grab() -> np.ndarray | None (BGRA/BGR u8)
+        program,                     # callable(frame_u8_device) -> (sbs, depth)
+        sink,                        # .push(sbs_u8 np, depth np|None, stats) -> None
+        target_fps: float = 60.0,
+        shutdown: Optional[threading.Event] = None,
+    ) -> None:
+        self.source = source
+        self.program = program
+        self.sink = sink
+        self.target_fps = target_fps
+        self.shutdown = shutdown or threading.Event()
+        self.raw_box = Mailbox()
+        self.out_box = Mailbox()
+        self.latency = StageLatency()
+        self.fps = FpsCounter()
+        self.frames = 0
+        self.dropped = 0
+        self._threads: list[threading.Thread] = []
+        self._error: Optional[BaseException] = None
+        self.capture_done = threading.Event()  # source exhausted (drain, don't kill)
+        self._consumed_seq = 0
+        self._has_pending = False
+
+    # ---- stages ----------------------------------------------------------
+
+    def _capture_loop(self) -> None:
+        interval = 1.0 / self.target_fps if self.target_fps > 0 else 0.0
+        try:
+            while not self.shutdown.is_set():
+                t0 = time.perf_counter()
+                frame = self.source.grab()
+                if frame is None:
+                    # Source exhausted: let in-flight frames drain; run()
+                    # decides when everything is consumed.
+                    self.capture_done.set()
+                    break
+                self.raw_box.put((frame, t0))
+                self.latency.record("capture", time.perf_counter() - t0)
+                if interval:
+                    sleep = interval - (time.perf_counter() - t0)
+                    if sleep > 0:
+                        time.sleep(sleep)
+        except BaseException as e:  # propagate to run()
+            self._error = e
+            self.shutdown.set()
+
+    def _compute_loop(self) -> None:
+        seq = -1
+        pending: Optional[Tuple[Any, Any, float, float]] = None  # (sbs, depth, t0, t_submit)
+        try:
+            while not self.shutdown.is_set():
+                item, seq = self.raw_box.get(timeout=0.1, last_seq=seq)
+                if item is None:
+                    # No new frame; flush any pending result.
+                    if pending is not None:
+                        self._finish(pending)
+                        pending = None
+                        self._has_pending = False
+                    self._consumed_seq = seq
+                    continue
+                frame, t0 = item
+                t1 = time.perf_counter()
+                dev_frame = jax.device_put(frame)          # async host→HBM
+                sbs, depth = self.program(dev_frame)        # async dispatch
+                # One-frame software pipeline: finish frame N-1 while N runs.
+                if pending is not None:
+                    self._finish(pending)
+                pending = (sbs, depth, t0, t1)
+                self._has_pending = True
+                self._consumed_seq = seq
+            if pending is not None:
+                self._finish(pending)
+                self._has_pending = False
+        except BaseException as e:
+            self._error = e
+            self.shutdown.set()
+
+    def _finish(self, pending) -> None:
+        sbs, depth, t0, t1 = pending
+        sbs_np = np.asarray(sbs)                            # blocks on device
+        self.latency.record("depth+compose", time.perf_counter() - t1)
+        self.out_box.put((sbs_np, depth, t0))
+        self.frames += 1
+        self.fps.tick()
+
+    def _sink_loop(self) -> None:
+        seq = -1
+        try:
+            while not self.shutdown.is_set():
+                item, seq = self.out_box.get(timeout=0.1, last_seq=seq)
+                if item is None:
+                    continue
+                sbs_np, depth, t0 = item
+                t1 = time.perf_counter()
+                self.sink.push(sbs_np, depth, self.stats())
+                self.latency.record("sink", time.perf_counter() - t1)
+        except BaseException as e:
+            self._error = e
+            self.shutdown.set()
+
+    # ---- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        for name, fn in (
+            ("capture", self._capture_loop),
+            ("compute", self._compute_loop),
+            ("sink", self._sink_loop),
+        ):
+            t = threading.Thread(target=fn, name=f"d2s-{name}", daemon=True)
+            t.start()
+            self._threads.append(t)
+
+    def join(self, timeout: Optional[float] = None) -> None:
+        deadline = None if timeout is None else time.monotonic() + timeout
+        for t in self._threads:
+            remaining = None if deadline is None else max(0.0, deadline - time.monotonic())
+            t.join(remaining)
+        if self._error is not None:
+            raise self._error
+
+    def run(self, duration: Optional[float] = None, max_frames: Optional[int] = None) -> EngineStats:
+        """Blocking convenience: start, wait, stop."""
+        self.start()
+        t_end = None if duration is None else time.monotonic() + duration
+        while not self.shutdown.is_set():
+            if t_end is not None and time.monotonic() >= t_end:
+                break
+            if max_frames is not None and self.frames >= max_frames:
+                break
+            if (
+                self.capture_done.is_set()
+                and not self._has_pending
+                and self._consumed_seq >= self.raw_box._seq
+            ):
+                break  # everything the source produced has been processed
+            time.sleep(0.01)
+        self.stop()
+        return self.stats_final()
+
+    def stop(self) -> None:
+        self.shutdown.set()
+        self.join(timeout=5.0)
+
+    def stats(self) -> dict:
+        s = self.fps.stats()
+        s["latency"] = self.latency.snapshot()
+        return s
+
+    def stats_final(self) -> EngineStats:
+        s = self.fps.stats()
+        return EngineStats(
+            fps=s["fps"],
+            fps_1pct_low=s["fps_1pct_low"],
+            frame_ms=s["frame_ms"],
+            latency=self.latency.snapshot(),
+            frames=self.frames,
+            dropped=self.dropped,
+        )

@@ -1,0 +1,66 @@
+"""Per-stage latency + FPS statistics.
+
+Mirrors the reference's observability (reference main.py:70-77 thread_latencies,
+1081-1094 rolling FPS with running-sum average and sorted-window 1%-low) as a
+small lock-free-ish module usable from any stage thread.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from collections import deque
+from dataclasses import dataclass, field
+from typing import Deque, Dict, Optional
+
+
+class StageLatency:
+    """Last-value + EMA latency per named stage."""
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._last: Dict[str, float] = {}
+        self._ema: Dict[str, float] = {}
+
+    def record(self, stage: str, seconds: float, ema_alpha: float = 0.9) -> None:
+        with self._lock:
+            self._last[stage] = seconds
+            prev = self._ema.get(stage)
+            self._ema[stage] = seconds if prev is None else prev * ema_alpha + seconds * (1 - ema_alpha)
+
+    def snapshot(self) -> Dict[str, float]:
+        with self._lock:
+            return dict(self._ema)
+
+    def total(self) -> float:
+        with self._lock:
+            return sum(self._ema.values())
+
+
+class FpsCounter:
+    """Rolling-window FPS: average + 1%-low (reference main.py:1081-1094)."""
+
+    def __init__(self, window: int = 240) -> None:
+        self.window = window
+        self._times: Deque[float] = deque(maxlen=window + 1)
+        self._lock = threading.Lock()
+
+    def tick(self, now: Optional[float] = None) -> None:
+        with self._lock:
+            self._times.append(now if now is not None else time.perf_counter())
+
+    def stats(self) -> Dict[str, float]:
+        with self._lock:
+            ts = list(self._times)
+        if len(ts) < 2:
+            return {"fps": 0.0, "fps_1pct_low": 0.0, "frame_ms": 0.0}
+        deltas = [b - a for a, b in zip(ts, ts[1:]) if b > a]
+        if not deltas:
+            return {"fps": 0.0, "fps_1pct_low": 0.0, "frame_ms": 0.0}
+        avg = sum(deltas) / len(deltas)
+        worst = sorted(deltas)[max(0, int(len(deltas) * 0.99) - 1)]
+        return {
+            "fps": 1.0 / avg,
+            "fps_1pct_low": 1.0 / worst if worst > 0 else 0.0,
+            "frame_ms": avg * 1000.0,
+        }

@@ -1,0 +1,94 @@
+"""Sources and sinks: interfaces, MJPEG HTTP stream served end-to-end."""
+
+import http.client
+import os
+import time
+
+import numpy as np
+import pytest
+
+from desktop2stereo_tpu.sinks.mjpeg import MjpegSink
+from desktop2stereo_tpu.sinks.null import NullSink
+from desktop2stereo_tpu.sinks.png import PngSink
+from desktop2stereo_tpu.sources.image import ImageSource
+from desktop2stereo_tpu.sources.synthetic import SyntheticSource
+
+
+def test_synthetic_source_frames_and_exhaustion():
+    src = SyntheticSource(size=(72, 96), max_frames=3)
+    shapes = []
+    while (f := src.grab()) is not None:
+        shapes.append(f.shape)
+        assert f.dtype == np.uint8
+    assert shapes == [(72, 96, 4)] * 3
+
+
+def test_synthetic_source_animates():
+    src = SyntheticSource(size=(72, 96))
+    a = src.grab().copy()
+    for _ in range(20):
+        b = src.grab()
+    assert not np.array_equal(a, b)
+
+
+def test_image_source_bgra(tmp_path):
+    from PIL import Image
+
+    p = tmp_path / "x.png"
+    arr = np.zeros((10, 12, 3), dtype=np.uint8)
+    arr[..., 0] = 200  # red image
+    Image.fromarray(arr).save(p)
+    src = ImageSource(str(p), max_frames=2)
+    f = src.grab()
+    assert f.shape == (10, 12, 4)
+    assert f[0, 0, 2] == 200 and f[0, 0, 0] == 0  # R landed in BGRA slot 2
+    assert src.grab() is not None and src.grab() is None
+
+
+def test_png_sink(tmp_path):
+    sink = PngSink(str(tmp_path), every=2, save_depth=True)
+    frame = np.zeros((8, 8, 3), dtype=np.uint8)
+    depth = np.full((8, 8), 0.5, dtype=np.float32)
+    for _ in range(4):
+        sink.push(frame, depth, {})
+    files = sorted(os.listdir(tmp_path))
+    assert files == ["depth_000000.png", "depth_000002.png", "sbs_000000.png", "sbs_000002.png"]
+
+
+def test_mjpeg_sink_serves_stream():
+    sink = MjpegSink(port=0, fps=30.0, quality=80, host="127.0.0.1")
+    try:
+        frame = np.zeros((32, 48, 3), dtype=np.uint8)
+        frame[:, :24] = (255, 0, 0)
+        sink.push(frame, None, {})
+
+        conn = http.client.HTTPConnection("127.0.0.1", sink.port, timeout=5)
+        conn.request("GET", "/")
+        page = conn.getresponse()
+        assert page.status == 200
+        assert b"/stream" in page.read()
+
+        conn2 = http.client.HTTPConnection("127.0.0.1", sink.port, timeout=5)
+        conn2.request("GET", "/stream")
+        r = conn2.getresponse()
+        assert r.status == 200
+        assert "multipart/x-mixed-replace" in r.getheader("Content-Type")
+        deadline = time.time() + 5
+        data = b""
+        while time.time() < deadline and b"\xff\xd8" not in data:  # JPEG SOI
+            chunk = r.read(256)
+            if not chunk:
+                break
+            data += chunk
+            sink.push(frame, None, {})
+        assert b"--frame" in data and b"\xff\xd8" in data
+        conn2.close()
+        conn.close()
+    finally:
+        sink.close()
+
+
+def test_null_sink():
+    s = NullSink()
+    s.push(np.zeros((4, 4, 3), np.uint8), None, {})
+    assert s.frames == 1 and s.last_shape == (4, 4, 3)
