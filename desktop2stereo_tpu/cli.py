@@ -53,7 +53,7 @@ def build_parser() -> argparse.ArgumentParser:
 
 def make_components(args, settings):
     from desktop2stereo_tpu.core.runtime import detect_policy, setup_compilation_cache
-    from desktop2stereo_tpu.models.factory import build_model
+    from desktop2stereo_tpu.models.factory import build_bound
     from desktop2stereo_tpu.pipeline.programs import ProgramCache, ProgramConfig
     from desktop2stereo_tpu.sinks import make_sink
     from desktop2stereo_tpu.sources import make_source
@@ -62,12 +62,10 @@ def make_components(args, settings):
     policy = detect_policy(prefer_fp32=args.fp32)
     print(f"[d2s] device: {policy.description}, compute dtype: {policy.compute_dtype.__name__}")
 
-    apply_fn, params, spec = build_model(settings.model, checkpoint=args.checkpoint)
+    bound, spec = build_bound(settings.model, checkpoint=args.checkpoint)
 
     cfg = ProgramConfig.from_settings(settings, quality=args.quality)
-    program = ProgramCache(
-        cfg, lambda x: apply_fn(params, x), spec, compute_dtype=policy.compute_dtype
-    )
+    program = ProgramCache(cfg, bound, spec, compute_dtype=policy.compute_dtype)
 
     src_kw = {}
     if args.source == "synthetic":
@@ -172,6 +170,8 @@ def run(args=None) -> int:
                 break
             if args.frames is not None and engine.frames >= args.frames:
                 break
+            if engine.drained():
+                break  # finite source exhausted and all frames processed
             if args.stats_every and now - last_stats >= args.stats_every:
                 s = engine.stats()
                 lat = ", ".join(f"{k}={v*1000:.1f}ms" for k, v in s["latency"].items())

@@ -175,6 +175,259 @@ def convert_depth_anything(state_dict: Any, spec: ModelSpec) -> Params:
     }
 
 
+def convert_dinov2_original(
+    sd: Mapping[str, np.ndarray],
+    num_layers: int,
+    prefix: str = "pretrained.",
+) -> Params:
+    """Original (non-HF) DINOv2 naming → Dinov2Encoder params.
+
+    This is the naming the VDA checkpoints use (reference
+    models/video_depth_anything/dinov2.py): blocks.{i}.attn.qkv (already
+    fused), ls1/ls2.gamma LayerScale, final `norm`.
+    """
+    D = sd[prefix + "cls_token"].shape[-1]
+    pw = sd[prefix + "patch_embed.proj.weight"]  # (D,3,p,p)
+    params: Params = {
+        "embeddings": {
+            "cls_token": sd[prefix + "cls_token"],
+            "position_embeddings": sd[prefix + "pos_embed"],
+            "patch_embeddings": {
+                "kernel": np.ascontiguousarray(pw.transpose(2, 3, 1, 0).reshape(-1, D)),
+                "bias": sd[prefix + "patch_embed.proj.bias"],
+            },
+        },
+        "layernorm": _layernorm(sd, prefix + "norm"),
+    }
+    for i in range(num_layers):
+        lp = f"{prefix}blocks.{i}."
+        if lp + "norm1.weight" not in sd:
+            break
+        params[f"layer_{i}"] = {
+            "norm1": _layernorm(sd, lp + "norm1"),
+            "norm2": _layernorm(sd, lp + "norm2"),
+            "attention": {
+                "qkv": _linear(sd, lp + "attn.qkv"),
+                "proj": _linear(sd, lp + "attn.proj"),
+            },
+            "layer_scale1": sd[lp + "ls1.gamma"],
+            "layer_scale2": sd[lp + "ls2.gamma"],
+            "mlp": {
+                "fc1": _linear(sd, lp + "mlp.fc1"),
+                "fc2": _linear(sd, lp + "mlp.fc2"),
+            },
+        }
+    return params
+
+
+def _convert_temporal_module(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
+    """head.motion_modules.{m}.temporal_transformer.* → TemporalTransformer
+    params (reference motion_module.py:68-190)."""
+    tt = prefix + "temporal_transformer."
+    params: Params = {
+        "norm": _layernorm(sd, tt + "norm"),  # GroupNorm: weight/bias → scale/bias
+        "proj_in": _linear(sd, tt + "proj_in"),
+        "proj_out": _linear(sd, tt + "proj_out"),
+    }
+    bp = tt + "transformer_blocks.0."
+    for a in range(2):
+        ap = f"{bp}attention_blocks.{a}."
+        params[f"attn_{a}"] = {
+            "to_q": {"kernel": np.ascontiguousarray(sd[ap + "to_q.weight"].T)},
+            "to_k": {"kernel": np.ascontiguousarray(sd[ap + "to_k.weight"].T)},
+            "to_v": {"kernel": np.ascontiguousarray(sd[ap + "to_v.weight"].T)},
+            "to_out": _linear(sd, ap + "to_out.0"),
+        }
+        params[f"norm_{a}"] = _layernorm(sd, f"{bp}norms.{a}")
+    params["ff_norm"] = _layernorm(sd, bp + "ff_norm")
+    params["ff_proj"] = _linear(sd, bp + "ff.net.0.proj")
+    params["ff_out"] = _linear(sd, bp + "ff.net.2")
+    return params
+
+
+def convert_vda(state_dict: Any, spec: ModelSpec) -> Params:
+    """Video-Depth-Anything checkpoint (original naming: pretrained.* +
+    head.*) → VideoDepthAnything param tree."""
+    sd = to_numpy_state_dict(state_dict)
+    # some releases nest everything under "model."
+    if not any(k.startswith("pretrained.") for k in sd) and any(
+        k.startswith("model.pretrained.") for k in sd
+    ):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    _, num_layers, _, _ = spec.dims
+
+    head: Params = {}
+    for i in range(4):
+        layer: Params = {"projection": _conv(sd, f"head.projects.{i}")}
+        if i != 2:
+            rp = f"head.resize_layers.{i}"
+            if i == 3:
+                layer["resize"] = _conv(sd, rp)
+            else:
+                layer["resize"] = {
+                    "kernel": sd[rp + ".weight"],  # ConvT (in,out,f,f) as-is
+                    "bias": sd[rp + ".bias"],
+                }
+        head[f"reassemble_{i}"] = layer
+        head[f"conv_{i}"] = _conv(sd, f"head.scratch.layer{i + 1}_rn", bias=False)
+
+    # fusion_{0..3} ↔ refinenet{4..1} (coarsest first, like the HF neck)
+    for j, rn in enumerate((4, 3, 2, 1)):
+        fp = f"head.scratch.refinenet{rn}."
+        layer = {
+            "projection": _conv(sd, fp + "out_conv"),
+            "res2": {
+                "conv1": _conv(sd, fp + "resConfUnit2.conv1"),
+                "conv2": _conv(sd, fp + "resConfUnit2.conv2"),
+            },
+        }
+        if j > 0:  # refinenet4 never receives a residual; its unit1 is dead
+            layer["res1"] = {
+                "conv1": _conv(sd, fp + "resConfUnit1.conv1"),
+                "conv2": _conv(sd, fp + "resConfUnit1.conv2"),
+            }
+        head[f"fusion_{j}"] = layer
+
+    for m in range(4):
+        head[f"temporal_{m}"] = _convert_temporal_module(
+            sd, f"head.motion_modules.{m}."
+        )
+
+    head["head_conv1"] = _conv(sd, "head.scratch.output_conv1")
+    head["head_conv2"] = _conv(sd, "head.scratch.output_conv2.0")
+    head["head_conv3"] = _conv(sd, "head.scratch.output_conv2.2")
+
+    return {
+        "backbone": convert_dinov2_original(sd, num_layers),
+        "head": head,
+    }
+
+
+def _convert_da3_backbone(sd: Mapping[str, np.ndarray], spec: ModelSpec,
+                          anyview: bool, prefix: str) -> Params:
+    """DA3 DinoVisionTransformer naming → DA3Backbone params (reference
+    model/dinov2/vision_transformer.py; blocks.{i}.attn.{qkv,proj,q_norm,
+    k_norm}, ls1/ls2.gamma, mlp.{fc1,fc2}|{w12,w3})."""
+    hidden, num_layers, _, _ = spec.dims
+    pw = sd[prefix + "patch_embed.proj.weight"]  # (D,3,p,p)
+    params: Params = {
+        "cls_token": sd[prefix + "cls_token"],
+        "pos_embed": sd[prefix + "pos_embed"],
+        "patch_kernel": np.ascontiguousarray(
+            pw.transpose(2, 3, 1, 0).reshape(-1, hidden)
+        ),
+        "patch_bias": sd[prefix + "patch_embed.proj.bias"],
+        "norm": _layernorm(sd, prefix + "norm"),
+    }
+    if anyview:
+        params["camera_token"] = sd[prefix + "camera_token"]
+    for i in range(num_layers):
+        lp = f"{prefix}blocks.{i}."
+        attn: Params = {
+            "qkv": _linear(sd, lp + "attn.qkv"),
+            "proj": _linear(sd, lp + "attn.proj"),
+        }
+        if lp + "attn.q_norm.weight" in sd:  # qk_norm blocks only
+            attn["q_norm"] = _layernorm(sd, lp + "attn.q_norm")
+            attn["k_norm"] = _layernorm(sd, lp + "attn.k_norm")
+        if lp + "mlp.w12.weight" in sd:  # vitg SwiGLU
+            mlp = {"w12": _linear(sd, lp + "mlp.w12"), "w3": _linear(sd, lp + "mlp.w3")}
+        else:
+            mlp = {"fc1": _linear(sd, lp + "mlp.fc1"), "fc2": _linear(sd, lp + "mlp.fc2")}
+        params[f"layer_{i}"] = {
+            "norm1": _layernorm(sd, lp + "norm1"),
+            "norm2": _layernorm(sd, lp + "norm2"),
+            "attention": attn,
+            "layer_scale1": sd[lp + "ls1.gamma"],
+            "layer_scale2": sd[lp + "ls2.gamma"],
+            "mlp": mlp,
+        }
+    return params
+
+
+def _convert_da3_fusion_chain(sd: Mapping[str, np.ndarray], prefix: str,
+                              aux: bool) -> Params:
+    """refinenet{4..1}(_aux) → fusion(_aux)_{0..3}; refinenet4 has no
+    resConfUnit1 (DA3 builds it with has_residual=False)."""
+    tag = "_aux" if aux else ""
+    chain: Params = {}
+    for j, rnum in enumerate((4, 3, 2, 1)):
+        fp = f"{prefix}refinenet{rnum}{tag}."
+        layer: Params = {
+            "projection": _conv(sd, fp + "out_conv"),
+            "res2": {
+                "conv1": _conv(sd, fp + "resConfUnit2.conv1"),
+                "conv2": _conv(sd, fp + "resConfUnit2.conv2"),
+            },
+        }
+        if j > 0:
+            layer["res1"] = {
+                "conv1": _conv(sd, fp + "resConfUnit1.conv1"),
+                "conv2": _conv(sd, fp + "resConfUnit1.conv2"),
+            }
+        chain[f"fusion{tag}_{j}"] = layer
+    return chain
+
+
+def convert_da3(state_dict: Any, spec: ModelSpec) -> Params:
+    """DepthAnything3 checkpoint (PyTorchModelHubMixin: model.backbone.
+    pretrained.* / model.head.* / model.cam_dec.*) → our param tree."""
+    sd = to_numpy_state_dict(state_dict)
+    for p in ("model.", ""):
+        if any(k.startswith(p + "backbone.") for k in sd):
+            sd = {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+            break
+    anyview = "MONO" not in spec.name.upper() and not (
+        "METRIC" in spec.name.upper() and "NESTED" not in spec.name.upper()
+    )
+
+    head: Params = {"reassemble": {}}
+    hp = "head."
+    if anyview:
+        head["reassemble"]["norm"] = _layernorm(sd, hp + "norm")
+    for i in range(4):
+        head["reassemble"][f"project_{i}"] = _conv(sd, f"{hp}projects.{i}")
+        if i in (0, 1):
+            head["reassemble"][f"resize_{i}"] = {
+                "kernel": sd[f"{hp}resize_layers.{i}.weight"],
+                "bias": sd[f"{hp}resize_layers.{i}.bias"],
+            }
+        elif i == 3:
+            head["reassemble"]["resize_3"] = _conv(sd, f"{hp}resize_layers.3")
+        head[f"conv_{i}"] = _conv(sd, f"{hp}scratch.layer{i + 1}_rn", bias=False)
+
+    sp = hp + "scratch."
+    head["main"] = _convert_da3_fusion_chain(sd, sp, aux=False)
+    head["head_conv1"] = _conv(sd, sp + "output_conv1")
+    head["head_conv2"] = _conv(sd, sp + "output_conv2.0")
+    head["head_conv3"] = _conv(sd, sp + "output_conv2.2")
+
+    if anyview:
+        head["aux"] = _convert_da3_fusion_chain(sd, sp, aux=True)
+        for k in range(5):
+            head[f"aux_conv1_{k}"] = _conv(sd, f"{sp}output_conv1_aux.3.{k}")
+        head["aux_conv2"] = _conv(sd, sp + "output_conv2_aux.3.0")
+        head["aux_ln"] = _layernorm(sd, sp + "output_conv2_aux.3.2")
+        head["aux_conv3"] = _conv(sd, sp + "output_conv2_aux.3.5")
+    else:
+        head["sky_conv2"] = _conv(sd, sp + "sky_output_conv2.0")
+        head["sky_conv3"] = _conv(sd, sp + "sky_output_conv2.2")
+
+    params: Params = {
+        "backbone": _convert_da3_backbone(sd, spec, anyview, "backbone.pretrained."),
+        "head": head,
+    }
+    if anyview and "cam_dec.fc_t.weight" in sd:
+        params["cam_dec"] = {
+            "fc0": _linear(sd, "cam_dec.backbone.0"),
+            "fc1": _linear(sd, "cam_dec.backbone.2"),
+            "fc_t": _linear(sd, "cam_dec.fc_t"),
+            "fc_qvec": _linear(sd, "cam_dec.fc_qvec"),
+            "fc_fov": _linear(sd, "cam_dec.fc_fov.0"),
+        }
+    return params
+
+
 def param_count(params: Params) -> int:
     import jax
 

@@ -58,6 +58,9 @@ class Dinov2Embeddings(nn.Module):
     hidden_size: int
     patch_size: int = 14
     pretrain_grid: int = 37  # 518/14; position table is pretrain_grid²+1
+    # Original (non-HF) dinov2 interpolates pos embeddings with a 0.1
+    # scale-factor offset (VDA checkpoints); HF uses plain size-based.
+    interpolate_offset: float = 0.0
 
     @nn.compact
     def __call__(self, pixels: jax.Array) -> jax.Array:
@@ -77,7 +80,13 @@ class Dinov2Embeddings(nn.Module):
             # HF interpolates in f32 bicubic align_corners=False
             # (modeling_dinov2.py interpolate_pos_encoding).
             grid = patch_pos.reshape(self.pretrain_grid, self.pretrain_grid, self.hidden_size)
-            grid = resize(grid.astype(jnp.float32), (gh, gw), mode="bicubic")
+            M = self.pretrain_grid
+            scale = (
+                ((gh + self.interpolate_offset) / M, (gw + self.interpolate_offset) / M)
+                if self.interpolate_offset else None
+            )
+            grid = resize(grid.astype(jnp.float32), (gh, gw), mode="bicubic",
+                          scale_override=scale)
             patch_pos = grid.reshape(1, gh * gw, self.hidden_size)
         pos_full = jnp.concatenate([cls_pos, patch_pos.astype(pos.dtype)], axis=1)
 
@@ -168,10 +177,14 @@ class Dinov2Encoder(nn.Module):
     use_swiglu: bool = False
     layer_norm_eps: float = 1e-6
     apply_final_layernorm: bool = True
+    interpolate_offset: float = 0.0
 
     @nn.compact
     def __call__(self, pixels: jax.Array) -> Tuple[jax.Array, ...]:
-        x = Dinov2Embeddings(self.hidden_size, self.patch_size, name="embeddings")(pixels)
+        x = Dinov2Embeddings(
+            self.hidden_size, self.patch_size,
+            interpolate_offset=self.interpolate_offset, name="embeddings",
+        )(pixels)
         outputs = []
         want = set(self.out_layers)
         last = max(want)

@@ -81,9 +81,52 @@ def build_model(
     if spec.family == "vda":
         from desktop2stereo_tpu.models.vda import build_vda
 
-        return build_vda(spec, checkpoint, param_dtype, rng_seed)
+        return build_vda(spec, checkpoint, param_dtype, rng_seed, init_size=init_size)
+
+    if spec.family == "da3":
+        from desktop2stereo_tpu.models.da3 import build_da3, build_da3_nested
+
+        if "NESTED" in spec.name.upper():
+            return build_da3_nested(spec, checkpoint, param_dtype, rng_seed, init_size)
+        return build_da3(spec, checkpoint, param_dtype, rng_seed, init_size)
 
     raise NotImplementedError(
         f"model family {spec.family!r} ({name}) is not implemented yet; "
-        f"available: depth_anything, dpt_dinov2, vda"
+        f"available: depth_anything, dpt_dinov2, vda, da3"
     )
+
+
+def build_bound(
+    name: str,
+    checkpoint: Optional[str] = None,
+    param_dtype=jnp.float32,
+    rng_seed: int = 0,
+    init_size: Optional[int] = None,
+):
+    """Registry name → (bound, spec) for the frame program.
+
+    `bound` closes over the params: a plain `pixels→depth` callable for
+    single-frame models, or a StatefulModel (first/step) for streaming
+    models like VDA — the frame engine threads the carry through the jitted
+    program (plays the role of the reference's per-model wrapper dispatch,
+    reference depth.py:1763-1781).
+    """
+    spec = get_spec(name)
+    if spec.family == "vda":
+        from desktop2stereo_tpu.models.vda import (
+            VideoDepthAnything,
+            build_vda,
+            make_vda_fns,
+        )
+        from desktop2stereo_tpu.pipeline.programs import StatefulModel
+
+        _, params, spec = build_vda(spec, checkpoint, param_dtype, rng_seed, init_size)
+        model = VideoDepthAnything.from_spec(spec)
+        _, first, step = make_vda_fns(model)
+        return StatefulModel(
+            first=lambda x: first(params, x),
+            step=lambda x, s: step(params, x, s),
+        ), spec
+
+    apply_fn, params, spec = build_model(name, checkpoint, param_dtype, rng_seed, init_size)
+    return (lambda x: apply_fn(params, x)), spec

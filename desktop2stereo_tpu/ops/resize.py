@@ -57,14 +57,17 @@ def resize_weights(
     mode: str = "bilinear",
     align_corners: bool = False,
     antialias: bool = False,
+    scale_override: Optional[float] = None,
 ) -> np.ndarray:
     """[out_size, in_size] float32 row matrix replicating torch F.interpolate.
 
     Supported modes: "bilinear", "bicubic", "area", "nearest".
     Edge handling is clamp-to-edge (torch semantics): out-of-range taps fold
-    their weight onto the boundary sample.
+    their weight onto the boundary sample.  `scale_override` reproduces
+    torch's scale_factor-based sampling (src = dst/scale) when it differs
+    from out/in — e.g. DINOv2's interpolate_offset pos-embed kludge.
     """
-    if in_size == out_size and mode != "area":
+    if in_size == out_size and mode != "area" and scale_override is None:
         return np.eye(out_size, dtype=np.float32)
 
     W = np.zeros((out_size, in_size), dtype=np.float64)
@@ -101,7 +104,7 @@ def resize_weights(
         centers = np.arange(out_size) * scale
         kscale = 1.0
     else:
-        scale = in_size / out_size
+        scale = (1.0 / scale_override) if scale_override else in_size / out_size
         centers = (np.arange(out_size) + 0.5) * scale - 0.5
         # Antialias widens the kernel by the downscale factor.
         kscale = max(scale, 1.0) if antialias else 1.0
@@ -156,25 +159,28 @@ def resize(
     mode: str = "bilinear",
     align_corners: bool = False,
     antialias: bool = False,
+    scale_override: Optional[Tuple[float, float]] = None,
 ) -> jax.Array:
     """Resize NHWC / HWC / HW array to `size` (H, W), torch-parity.
 
     Equivalent to torch ``F.interpolate(x, size, mode=..., align_corners=...,
     antialias=...)`` on the spatial dims, for static shapes.
+    `scale_override` = (sh, sw) replicates scale_factor-based calls.
     """
     h_axis = x.ndim - 3 if x.ndim >= 3 else 0
     w_axis = h_axis + 1
     in_h, in_w = x.shape[h_axis], x.shape[w_axis]
     out_h, out_w = size
-    if (in_h, in_w) == (out_h, out_w) and mode != "area":
+    sh, sw = scale_override if scale_override is not None else (None, None)
+    if (in_h, in_w) == (out_h, out_w) and mode != "area" and scale_override is None:
         return x
     orig_dtype = x.dtype
     if not jnp.issubdtype(orig_dtype, jnp.floating):
         x = x.astype(jnp.float32)
-    if in_h != out_h or mode == "area":
-        x = _apply_1d(x, resize_weights(in_h, out_h, mode, align_corners, antialias), h_axis)
-    if in_w != out_w or mode == "area":
-        x = _apply_1d(x, resize_weights(in_w, out_w, mode, align_corners, antialias), w_axis)
+    if in_h != out_h or mode == "area" or sh is not None:
+        x = _apply_1d(x, resize_weights(in_h, out_h, mode, align_corners, antialias, sh), h_axis)
+    if in_w != out_w or mode == "area" or sw is not None:
+        x = _apply_1d(x, resize_weights(in_w, out_w, mode, align_corners, antialias, sw), w_axis)
     return x
 
 

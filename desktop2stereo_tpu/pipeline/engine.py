@@ -192,6 +192,15 @@ class FrameEngine:
         if self._error is not None:
             raise self._error
 
+    def drained(self) -> bool:
+        """True when a finite source is exhausted and every captured frame
+        has been consumed (processed or dropped by latest-wins)."""
+        return (
+            self.capture_done.is_set()
+            and not self._has_pending
+            and self._consumed_seq >= self.raw_box._seq
+        )
+
     def run(self, duration: Optional[float] = None, max_frames: Optional[int] = None) -> EngineStats:
         """Blocking convenience: start, wait, stop."""
         self.start()
@@ -201,11 +210,7 @@ class FrameEngine:
                 break
             if max_frames is not None and self.frames >= max_frames:
                 break
-            if (
-                self.capture_done.is_set()
-                and not self._has_pending
-                and self._consumed_seq >= self.raw_box._seq
-            ):
+            if self.drained():
                 break  # everything the source produced has been processed
             time.sleep(0.01)
         self.stop()

@@ -38,10 +38,41 @@ class FrameState(NamedTuple):
     """Carried state across frames (donated into each step)."""
 
     ema_depth: jax.Array  # [H, W] float32; NaN-filled before first frame
+    model: Any = ()       # model-specific carry (e.g. VDA rolling caches)
 
 
-def init_state(height: int, width: int) -> FrameState:
-    return FrameState(ema_depth=jnp.full((height, width), jnp.nan, jnp.float32))
+def init_state(height: int, width: int, model: Any = ()) -> FrameState:
+    return FrameState(
+        ema_depth=jnp.full((height, width), jnp.nan, jnp.float32), model=model
+    )
+
+
+class StatefulModel(NamedTuple):
+    """Streaming model surface for the frame program.
+
+    first(pixels) → (raw_depth, model_state): builds the initial carry
+    (e.g. VDA replicates frame 0's hidden states ×31, reference
+    vda2_s.py:195-207).
+    step(pixels, model_state) → (raw_depth, model_state').
+    """
+
+    first: Callable[[jax.Array], Tuple[jax.Array, Any]]
+    step: Callable[[jax.Array, Any], Tuple[jax.Array, Any]]
+
+
+def _as_stateful(model_apply) -> Tuple[StatefulModel, bool]:
+    """Adapt a plain `pixels→depth` callable or a StatefulModel-like object
+    (anything with .first/.step) to the streaming surface."""
+    if hasattr(model_apply, "first") and hasattr(model_apply, "step"):
+        return StatefulModel(model_apply.first, model_apply.step), True
+
+    def first(x):
+        return model_apply(x), ()
+
+    def step(x, s):
+        return model_apply(x), s
+
+    return StatefulModel(first, step), False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -81,7 +112,7 @@ class ProgramConfig:
 
 def build_frame_step(
     cfg: ProgramConfig,
-    model_apply: Callable[[jax.Array], jax.Array],
+    model_apply,
     spec: Optional[ModelSpec] = None,
     compute_dtype=jnp.bfloat16,
     jit: bool = True,
@@ -90,8 +121,39 @@ def build_frame_step(
 
     frame_u8: [H,W,3|4] uint8 BGRA/BGR capture frame (device array).
     sbs_u8:   [H',W',3] uint8 composed stereo frame.
-    `model_apply` maps normalized NHWC pixels → raw depth [B,h,w].
+    `model_apply` maps normalized NHWC pixels → raw depth [B,h,w]; it may
+    also be a StatefulModel(-like) object, in which case `build_frame_step`
+    returns the *streaming* step and `build_first_step` builds the carry.
     """
+    stateful, _ = _as_stateful(model_apply)
+    return _build_step(cfg, stateful.step, spec, compute_dtype, jit, first=False)
+
+
+def build_first_step(
+    cfg: ProgramConfig,
+    model_apply,
+    spec: Optional[ModelSpec] = None,
+    compute_dtype=jnp.bfloat16,
+    jit: bool = True,
+) -> Callable:
+    """First-frame variant: same signature, but the model carry in the input
+    state is ignored and a fresh one is built (reference vda2_s.py:195-207)."""
+    stateful, _ = _as_stateful(model_apply)
+
+    def first_call(pixels, _model_state):
+        return stateful.first(pixels)
+
+    return _build_step(cfg, first_call, spec, compute_dtype, jit, first=True)
+
+
+def _build_step(
+    cfg: ProgramConfig,
+    model_call,   # (pixels, model_state) -> (raw_depth, model_state')
+    spec: Optional[ModelSpec],
+    compute_dtype,
+    jit: bool,
+    first: bool,
+) -> Callable:
     spec = spec or get_spec(cfg.model_name)
 
     def step(frame_u8: jax.Array, state: FrameState):
@@ -116,7 +178,10 @@ def build_frame_step(
         model_in = normalize_for_model(model_in, spec.norm_family)
 
         # --- depth inference (ViT + DPT, bf16 on MXU) ----------------------
-        raw_depth = model_apply(model_in.astype(compute_dtype))[0]
+        raw_depth_b, new_model_state = model_call(
+            model_in.astype(compute_dtype), state.model
+        )
+        raw_depth = raw_depth_b[0]
 
         # --- post-process in f32 (percentiles need the range) --------------
         depth = post_process_depth(
@@ -133,7 +198,7 @@ def build_frame_step(
             prev = state.ema_depth
             smoothed = ema_op(prev, depth, cfg.ema_alpha)
             depth = jnp.where(jnp.isnan(prev), depth, smoothed)
-        new_state = FrameState(ema_depth=depth)
+        new_state = FrameState(ema_depth=depth, model=new_model_state)
 
         # --- stereo composite ----------------------------------------------
         sbs = stereo_compose(
@@ -159,7 +224,14 @@ class ProgramCache:
 
     def __init__(self, cfg: ProgramConfig, model_apply, spec=None, compute_dtype=jnp.bfloat16):
         self.cfg = cfg
+        self._stateful = hasattr(model_apply, "first") and hasattr(model_apply, "step")
         self._step = build_frame_step(cfg, model_apply, spec, compute_dtype)
+        # Stateless models share one program; stateful ones need a distinct
+        # first-frame program that builds the model carry.
+        self._first = (
+            build_first_step(cfg, model_apply, spec, compute_dtype)
+            if self._stateful else self._step
+        )
         self._states: Dict[Tuple[int, int], FrameState] = {}
 
     def __call__(self, frame_u8: jax.Array):
@@ -168,8 +240,9 @@ class ProgramCache:
         key = (oh, ow)
         state = self._states.get(key)
         if state is None:
-            state = init_state(oh, ow)
-        sbs, depth, new_state = self._step(frame_u8, state)
+            sbs, depth, new_state = self._first(frame_u8, init_state(oh, ow))
+        else:
+            sbs, depth, new_state = self._step(frame_u8, state)
         self._states[key] = new_state
         return sbs, depth
 

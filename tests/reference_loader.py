@@ -1,0 +1,97 @@
+"""Test-only loader for the upstream reference implementation at
+/root/reference (read-only mount).  Parity tests import the reference's torch
+modules directly and compare our JAX reimplementation against them with
+shared random weights — the strongest possible golden check.  Everything here
+is a TEST FIXTURE: nothing from the reference is copied into the framework.
+
+Skips cleanly when the reference tree is absent (e.g. a different CI host).
+"""
+
+import os
+import sys
+import types
+
+import pytest
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def _install_stubs() -> None:
+    """The reference's DA3 package imports addict/easydict/omegaconf, which
+    are not in this image; give it minimal shims."""
+
+    class _AttrDict(dict):
+        def __getattr__(self, k):
+            try:
+                return self[k]
+            except KeyError:
+                raise AttributeError(k)
+
+        def __setattr__(self, k, v):
+            self[k] = v
+
+        def __delattr__(self, k):
+            del self[k]
+
+    if "addict" not in sys.modules:
+        addict = types.ModuleType("addict")
+        addict.Dict = _AttrDict
+        sys.modules["addict"] = addict
+    if "easydict" not in sys.modules:
+        easydict = types.ModuleType("easydict")
+        easydict.EasyDict = _AttrDict
+        sys.modules["easydict"] = easydict
+    if "omegaconf" not in sys.modules:
+        omegaconf = types.ModuleType("omegaconf")
+
+        class DictConfig(dict):
+            pass
+
+        class ListConfig(list):
+            pass
+
+        class OmegaConf:
+            @staticmethod
+            def create(x):
+                return x
+
+            @staticmethod
+            def has_resolver(name):
+                return True
+
+            @staticmethod
+            def register_new_resolver(*a, **k):
+                pass
+
+        omegaconf.DictConfig = DictConfig
+        omegaconf.ListConfig = ListConfig
+        omegaconf.OmegaConf = OmegaConf
+        sys.modules["omegaconf"] = omegaconf
+
+
+def load_reference_da3():
+    """Returns the reference's depth_anything_3 model modules, or skips."""
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "models", "depth_anything_3")):
+        pytest.skip("reference tree not available")
+    _install_stubs()
+    for p in (os.path.join(REFERENCE_ROOT, "models"), REFERENCE_ROOT):
+        if p not in sys.path:
+            sys.path.insert(0, p)
+    import depth_anything_3.model.dinov2.vision_transformer as vt
+    import depth_anything_3.model.dualdpt as dualdpt
+    import depth_anything_3.model.dpt as dpt
+    import depth_anything_3.model.cam_dec as cam_dec
+
+    return types.SimpleNamespace(vt=vt, dualdpt=dualdpt, dpt=dpt, cam_dec=cam_dec)
+
+
+def load_reference_vda():
+    """Returns the reference's VideoDepthAnything class, or skips."""
+    if not os.path.isdir(os.path.join(REFERENCE_ROOT, "models", "video_depth_anything")):
+        pytest.skip("reference tree not available")
+    _install_stubs()
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    from models.video_depth_anything.vda2_s import VideoDepthAnything
+
+    return VideoDepthAnything

@@ -21,6 +21,34 @@ from desktop2stereo_tpu.sinks.null import NullSink
 from desktop2stereo_tpu.sources.synthetic import SyntheticSource
 
 
+class FakeStatefulModel:
+    """Streaming-model stand-in: depth = gradient + a counter carried in
+    state (so outputs prove the carry threads through the program)."""
+
+    @staticmethod
+    def first(pixels):
+        depth = fake_model_apply(pixels)
+        return depth, jnp.zeros((), jnp.float32)
+
+    @staticmethod
+    def step(pixels, counter):
+        depth = fake_model_apply(pixels) + counter * 0.001
+        return depth, counter + 1.0
+
+
+def test_stateful_model_carry_threads_through_program():
+    from desktop2stereo_tpu.pipeline.programs import ProgramCache
+
+    cfg = make_cfg(temporal_smooth=False)
+    program = ProgramCache(cfg, FakeStatefulModel(), compute_dtype=jnp.float32)
+    frame = jnp.zeros((64, 96, 4), jnp.uint8)
+    program(frame)  # first: builds carry
+    program(frame)  # step: counter 0 → 1
+    program(frame)  # step: counter 1 → 2
+    key = next(iter(program._states))
+    assert float(program._states[key].model) == 2.0
+
+
 def fake_model_apply(pixels: jax.Array) -> jax.Array:
     """Stand-in depth net: luminance ramp (shape-correct, cheap)."""
     return (pixels[..., 0] * 0.3 + pixels[..., 1] * 0.6 + pixels[..., 2] * 0.1 + 1.0)
