@@ -15,6 +15,7 @@ from typing import Dict, Optional, Tuple
 # ViT variant dims: (hidden, layers, heads, mlp_dim)
 VIT_VARIANTS = {
     "vits": (384, 12, 6, 1536),
+    "vitsplus": (384, 12, 6, 2304),  # dinov3 vits16plus: ffn_ratio 6, SwiGLU
     "vitb": (768, 12, 12, 3072),
     "vitl": (1024, 24, 16, 4096),
     "vitg": (1536, 40, 24, 6144),  # dinov2 giant uses SwiGLU ffn
@@ -140,10 +141,12 @@ _register(ModelSpec(name="DA3NESTED-GIANT-LARGE", family="da3", variant="vitg",
                     hf_repo="depth-anything/DA3NESTED-GIANT-LARGE-1.1", metric=True))
 
 # --- InfiniDepth (DINOv3 + implicit head) -----------------------------------
-for size, variant in (("Small", "vits"), ("SmallPlus", "vitb"), ("Base", "vitb"), ("Large", "vitl")):
+# norm_family "none": the model normalizes internally from RGB [0,1]
+# (reference depth.py:1945); SmallPlus = dinov3 vits16plus (384d SwiGLU).
+for size, variant in (("Small", "vits"), ("SmallPlus", "vitsplus"), ("Base", "vitb"), ("Large", "vitl")):
     _register(ModelSpec(
         name=f"InfiniDepth-{size}", family="infinidepth", variant=variant,
-        hf_repo=f"lc700x/InfiniDepth-{size}", patch_size=16))
+        hf_repo=f"lc700x/InfiniDepth-{size}", patch_size=16, norm_family="none"))
 
 # --- Other DPT/BEiT/ZoeDepth/DepthPro families ------------------------------
 _register(ModelSpec(name="dpt-hybrid-midas", family="dpt", variant="vitb",

@@ -428,6 +428,81 @@ def convert_da3(state_dict: Any, spec: ModelSpec) -> Params:
     return params
 
 
+def convert_infinidepth(state_dict: Any, spec: ModelSpec) -> Params:
+    """InfiniDepth checkpoint (pretrained.* dinov3 + basic_encoder.* +
+    depth_implicit_head.*) → our param tree (reference model/model.py:63-118
+    load path)."""
+    from desktop2stereo_tpu.models.infinidepth import DINOV3_CONFIGS, ENCODER_BY_NAME
+
+    sd = to_numpy_state_dict(state_dict)
+    if any(k.startswith("model.pretrained.") for k in sd):
+        sd = {k[len("model."):]: v for k, v in sd.items() if k.startswith("model.")}
+    encoder = ENCODER_BY_NAME.get(spec.name, "vitl16")
+    D, depth, _, _, swiglu = DINOV3_CONFIGS[encoder]
+
+    bp = "pretrained."
+    pw = sd[bp + "patch_embed.proj.weight"]
+    backbone: Params = {
+        "cls_token": sd[bp + "cls_token"],
+        "storage_tokens": sd[bp + "storage_tokens"],
+        "patch_kernel": np.ascontiguousarray(pw.transpose(2, 3, 1, 0).reshape(-1, D)),
+        "patch_bias": sd[bp + "patch_embed.proj.bias"],
+        "norm": _layernorm(sd, bp + "norm"),
+    }
+    for i in range(depth):
+        lp = f"{bp}blocks.{i}."
+        qkv_w = np.ascontiguousarray(sd[lp + "attn.qkv.weight"].T)
+        qkv_b = sd.get(lp + "attn.qkv.bias")
+        mask = sd.get(lp + "attn.qkv.bias_mask")
+        if qkv_b is not None and mask is not None:
+            # mask_k_bias: the k-section bias is masked out at runtime
+            # (reference dinov3/layers/attention.py:45-55) — fold it here.
+            qkv_b = qkv_b * np.nan_to_num(mask, nan=1.0)
+        if swiglu:
+            mlp = {
+                "w1": _linear(sd, lp + "mlp.w1"),
+                "w2": _linear(sd, lp + "mlp.w2"),
+                "w3": _linear(sd, lp + "mlp.w3"),
+            }
+        else:
+            mlp = {"fc1": _linear(sd, lp + "mlp.fc1"), "fc2": _linear(sd, lp + "mlp.fc2")}
+        backbone[f"layer_{i}"] = {
+            "norm1": _layernorm(sd, lp + "norm1"),
+            "norm2": _layernorm(sd, lp + "norm2"),
+            "qkv": {"kernel": qkv_w, **({"bias": qkv_b} if qkv_b is not None else {})},
+            "proj": _linear(sd, lp + "attn.proj"),
+            "layer_scale1": sd[lp + "ls1.gamma"],
+            "layer_scale2": sd[lp + "ls2.gamma"],
+            **mlp,  # Dinov3Block creates fc1/fc2 (or w1/w2/w3) flat
+        }
+
+    be = "basic_encoder."
+    basic: Params = {
+        "conv1": _conv(sd, be + "conv1"),
+        "conv2": _conv(sd, be + "conv2"),
+        "conv3": _conv(sd, be + "conv3"),
+    }
+    for li in range(1, 5):
+        for bi in range(2):
+            blk: Params = {
+                "conv1": _conv(sd, f"{be}layer{li}.{bi}.conv1"),
+                "conv2": _conv(sd, f"{be}layer{li}.{bi}.conv2"),
+            }
+            dkey = f"{be}layer{li}.{bi}.downsample.0.weight"
+            if dkey in sd:
+                blk["downsample"] = _conv(sd, f"{be}layer{li}.{bi}.downsample.0")
+            basic[f"layer{li}_{bi}"] = blk
+
+    hp = "depth_implicit_head.out_layer.layers."
+    head: Params = {
+        "mlp_0": _linear(sd, hp + "0"),
+        "mlp_1": _linear(sd, hp + "2"),
+        "mlp_2": _linear(sd, hp + "4"),
+        "mlp_out": _linear(sd, hp + "6"),
+    }
+    return {"backbone": backbone, "basic_encoder": basic, "head": head}
+
+
 def param_count(params: Params) -> int:
     import jax
 

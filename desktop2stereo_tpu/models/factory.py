@@ -90,9 +90,14 @@ def build_model(
             return build_da3_nested(spec, checkpoint, param_dtype, rng_seed, init_size)
         return build_da3(spec, checkpoint, param_dtype, rng_seed, init_size)
 
+    if spec.family == "infinidepth":
+        from desktop2stereo_tpu.models.infinidepth import build_infinidepth
+
+        return build_infinidepth(spec, checkpoint, param_dtype, rng_seed, init_size)
+
     raise NotImplementedError(
         f"model family {spec.family!r} ({name}) is not implemented yet; "
-        f"available: depth_anything, dpt_dinov2, vda, da3"
+        f"available: depth_anything, dpt_dinov2, vda, da3, infinidepth"
     )
 
 

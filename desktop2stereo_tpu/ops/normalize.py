@@ -25,6 +25,10 @@ HALF_STD = (0.5, 0.5, 0.5)
 def norm_constants(norm_family: str) -> Tuple[Tuple[float, ...], Tuple[float, ...]]:
     if norm_family == "half":
         return HALF_MEAN, HALF_STD
+    if norm_family == "none":
+        # model normalizes internally; pass RGB [0,1] through
+        # (InfiniDepth, reference depth.py:1945)
+        return (0.0, 0.0, 0.0), (1.0, 1.0, 1.0)
     return IMAGENET_MEAN, IMAGENET_STD
 
 
