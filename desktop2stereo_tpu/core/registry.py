@@ -149,7 +149,7 @@ for size, variant in (("Small", "vits"), ("SmallPlus", "vitsplus"), ("Base", "vi
         hf_repo=f"lc700x/InfiniDepth-{size}", patch_size=16, norm_family="none"))
 
 # --- Other DPT/BEiT/ZoeDepth/DepthPro families ------------------------------
-_register(ModelSpec(name="dpt-hybrid-midas", family="dpt", variant="vitb",
+_register(ModelSpec(name="dpt-hybrid-midas", family="dpt_hybrid", variant="vitb",
                     hf_repo="lc700x/dpt-hybrid-midas-hf", norm_family="half", patch_size=16))
 _register(ModelSpec(name="dpt-large", family="dpt", variant="vitl",
                     hf_repo="Intel/dpt-large", norm_family="half", patch_size=16))
@@ -157,8 +157,9 @@ _register(ModelSpec(name="dpt-beit-base-384", family="dpt_beit", variant="vitb",
                     hf_repo="Intel/dpt-beit-base-384", norm_family="half", patch_size=16))
 _register(ModelSpec(name="dpt-beit-large-512", family="dpt_beit", variant="vitl",
                     hf_repo="Intel/dpt-beit-large-512", norm_family="half", patch_size=16))
+# ZoeDepth rides on BEiT-large-384: neck (256,512,1024,1024), fusion 256
 for ds in ("nyu-kitti", "nyu", "kitti"):
-    _register(ModelSpec(name=f"zoedepth-{ds}", family="zoedepth", variant="vitb",
+    _register(ModelSpec(name=f"zoedepth-{ds}", family="zoedepth", variant="vitl",
                         hf_repo=f"Intel/zoedepth-{ds}", metric=True, norm_family="half", patch_size=16))
 _register(ModelSpec(name="DepthPro-Large", family="depthpro", variant="vitl",
                     hf_repo="apple/DepthPro-hf", metric=True, norm_family="half",

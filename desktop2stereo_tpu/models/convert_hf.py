@@ -17,7 +17,7 @@ Key transforms (torch → flax):
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, Mapping
+from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
 
@@ -501,6 +501,202 @@ def convert_infinidepth(state_dict: Any, spec: ModelSpec) -> Params:
         "mlp_out": _linear(sd, hp + "6"),
     }
     return {"backbone": backbone, "basic_encoder": basic, "head": head}
+
+
+def convert_dpt_vit(state_dict: Any, spec: ModelSpec) -> Params:
+    """HF DPTForDepthEstimation (non-hybrid ViT, e.g. Intel/dpt-large) →
+    DPTViT params."""
+    from desktop2stereo_tpu.models.dpt_vit import DPT_VIT_PRESETS
+
+    sd = to_numpy_state_dict(state_dict)
+    D, num_layers, _, _, _ = DPT_VIT_PRESETS[spec.variant]
+
+    ep = "dpt.embeddings."
+    pw = sd[ep + "patch_embeddings.projection.weight"]  # (D,3,p,p)
+    params: Params = {
+        "cls_token": sd[ep + "cls_token"],
+        "position_embeddings": sd[ep + "position_embeddings"],
+        "patch_kernel": np.ascontiguousarray(pw.transpose(2, 3, 1, 0).reshape(-1, D)),
+        "patch_bias": sd[ep + "patch_embeddings.projection.bias"],
+    }
+    for i in range(num_layers):
+        lp = f"dpt.encoder.layer.{i}."
+        qw = sd[lp + "attention.attention.query.weight"]
+        kw = sd[lp + "attention.attention.key.weight"]
+        vw = sd[lp + "attention.attention.value.weight"]
+        params[f"layer_{i}"] = {
+            "norm1": _layernorm(sd, lp + "layernorm_before"),
+            "norm2": _layernorm(sd, lp + "layernorm_after"),
+            "qkv": {
+                "kernel": np.ascontiguousarray(np.concatenate([qw, kw, vw], axis=0).T),
+                "bias": np.concatenate([
+                    sd[lp + "attention.attention.query.bias"],
+                    sd[lp + "attention.attention.key.bias"],
+                    sd[lp + "attention.attention.value.bias"],
+                ]),
+            },
+            "proj": _linear(sd, lp + "attention.output.dense"),
+            "fc1": _linear(sd, lp + "intermediate.dense"),
+            "fc2": _linear(sd, lp + "output.dense"),
+        }
+
+    params["decoder"] = convert_classic_dpt_decoder(sd)
+    return params
+
+
+def _convert_beit_backbone(sd: Mapping[str, np.ndarray], D: int, num_layers: int,
+                           prefix: str = "backbone.") -> Params:
+    pw = sd[prefix + "embeddings.patch_embeddings.projection.weight"]
+    backbone: Params = {
+        "cls_token": sd[prefix + "embeddings.cls_token"],
+        "patch_kernel": np.ascontiguousarray(pw.transpose(2, 3, 1, 0).reshape(-1, D)),
+        "patch_bias": sd[prefix + "embeddings.patch_embeddings.projection.bias"],
+    }
+    for i in range(num_layers):
+        lp = f"{prefix}encoder.layer.{i}."
+        ap = lp + "attention.attention."
+        backbone[f"layer_{i}"] = {
+            "norm1": _layernorm(sd, lp + "layernorm_before"),
+            "norm2": _layernorm(sd, lp + "layernorm_after"),
+            "query": _linear(sd, ap + "query"),
+            "key": {"kernel": np.ascontiguousarray(sd[ap + "key.weight"].T)},
+            "value": _linear(sd, ap + "value"),
+            "relative_position_bias": {
+                "relative_position_bias_table": sd[ap + "relative_position_bias.relative_position_bias_table"],
+            },
+            "proj": _linear(sd, lp + "attention.output.dense"),
+            "fc1": _linear(sd, lp + "intermediate.dense"),
+            "fc2": _linear(sd, lp + "output.dense"),
+            "lambda_1": sd[lp + "lambda_1"],
+            "lambda_2": sd[lp + "lambda_2"],
+        }
+    return backbone
+
+
+def convert_dpt_beit(state_dict: Any, spec: ModelSpec) -> Params:
+    """HF DPTForDepthEstimation + BeitBackbone (Intel/dpt-beit-*) →
+    DPTBEiT params."""
+    from desktop2stereo_tpu.models.beit import BEIT_PRESETS
+
+    sd = to_numpy_state_dict(state_dict)
+    D, num_layers, _, _, _, _ = BEIT_PRESETS[spec.name if spec.name in BEIT_PRESETS else "zoedepth"]
+    return {
+        "backbone": _convert_beit_backbone(sd, D, num_layers),
+        "decoder": convert_classic_dpt_decoder(sd),
+    }
+
+
+def _convert_projector(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
+    return {"conv1": _conv(sd, prefix + "conv1"), "conv2": _conv(sd, prefix + "conv2")}
+
+
+def convert_zoedepth(state_dict: Any, spec: ModelSpec) -> Params:
+    """HF ZoeDepthForDepthEstimation (Intel/zoedepth-*) → ZoeDepth params."""
+    from desktop2stereo_tpu.models.beit import BEIT_PRESETS
+    from desktop2stereo_tpu.models.zoedepth import ZOE_PRESETS
+
+    sd = to_numpy_state_dict(state_dict)
+    preset = spec.name if spec.name in ZOE_PRESETS else "zoedepth-nyu"
+    configs, multi = ZOE_PRESETS[preset]
+    D, num_layers, _, _, _, _ = BEIT_PRESETS.get(preset, BEIT_PRESETS["zoedepth"])
+
+    decoder = convert_classic_dpt_decoder(sd, head_prefix=None)
+    decoder["head_conv1"] = _conv(sd, "relative_head.conv1")
+    decoder["head_conv2"] = _conv(sd, "relative_head.conv2")
+    decoder["head_conv3"] = _conv(sd, "relative_head.conv3")
+
+    mh: Params = {"conv2": _conv(sd, "metric_head.conv2")}
+    if not multi:
+        mh["seed_bin_regressor"] = _convert_projector(sd, "metric_head.seed_bin_regressor.")
+        mh["seed_projector"] = _convert_projector(sd, "metric_head.seed_projector.")
+        for i in range(4):
+            mh[f"projector_{i}"] = _convert_projector(sd, f"metric_head.projectors.{i}.")
+            mh[f"attractor_{i}"] = _convert_projector(sd, f"metric_head.attractors.{i}.")
+        mh["conditional_log_binomial"] = {
+            "mlp_conv1": _conv(sd, "metric_head.conditional_log_binomial.mlp.0"),
+            "mlp_conv2": _conv(sd, "metric_head.conditional_log_binomial.mlp.2"),
+        }
+    else:
+        mh["seed_projector"] = _convert_projector(sd, "metric_head.seed_projector.")
+        for i in range(4):
+            mh[f"projector_{i}"] = _convert_projector(sd, f"metric_head.projectors.{i}.")
+        for name, *_ in configs:
+            mh[f"seed_bin_regressor_{name}"] = _convert_projector(
+                sd, f"metric_head.seed_bin_regressors.{name}.")
+            for i in range(4):
+                mh[f"attractor_{name}_{i}"] = _convert_projector(
+                    sd, f"metric_head.attractors.{name}.{i}.")
+            mh[f"conditional_log_binomial_{name}"] = {
+                "mlp_conv1": _conv(sd, f"metric_head.conditional_log_binomial.{name}.mlp.0"),
+                "mlp_conv2": _conv(sd, f"metric_head.conditional_log_binomial.{name}.mlp.2"),
+            }
+        pt: Params = {
+            "embedding": _conv(sd, "metric_head.patch_transformer.embedding_convPxP"),
+        }
+        for li in range(4):
+            tp = f"metric_head.patch_transformer.transformer_encoder.{li}."
+            pt[f"q_{li}"] = _linear(sd, tp + "self_attn.query")
+            pt[f"k_{li}"] = _linear(sd, tp + "self_attn.key")
+            pt[f"v_{li}"] = _linear(sd, tp + "self_attn.value")
+            pt[f"out_{li}"] = _linear(sd, tp + "self_attn.out_proj")
+            pt[f"fc1_{li}"] = _linear(sd, tp + "linear1")
+            pt[f"fc2_{li}"] = _linear(sd, tp + "linear2")
+            pt[f"norm1_{li}"] = _layernorm(sd, tp + "norm1")
+            pt[f"norm2_{li}"] = _layernorm(sd, tp + "norm2")
+        mh["patch_transformer"] = pt
+        mh["classifier_fc1"] = _linear(sd, "metric_head.mlp_classifier.linear1")
+        mh["classifier_fc2"] = _linear(sd, "metric_head.mlp_classifier.linear2")
+
+    return {
+        "backbone": _convert_beit_backbone(sd, D, num_layers),
+        "decoder": decoder,
+        "metric_head": mh,
+    }
+
+
+def convert_classic_dpt_decoder(
+    sd: Mapping[str, np.ndarray], head_prefix: Optional[str] = "head.head.",
+) -> Params:
+    """HF DPTNeck (readout-project) + DPTDepthEstimationHead →
+    ClassicDPTDecoder params (shared by dpt-large, dpt-beit and the
+    ZoeDepth relative head; pass head_prefix=None to skip the head)."""
+    np_ = "neck."
+    dec: Params = {}
+    for i in range(4):
+        dec[f"readout_{i}"] = _linear(sd, f"{np_}reassemble_stage.readout_projects.{i}.0")
+        rp = f"{np_}reassemble_stage.layers.{i}."
+        layer: Params = {"projection": _conv(sd, rp + "projection")}
+        if rp + "resize.weight" in sd:
+            if i == 3:
+                layer["resize"] = _conv(sd, rp + "resize")
+            else:
+                layer["resize"] = {
+                    "kernel": sd[rp + "resize.weight"],
+                    "bias": sd[rp + "resize.bias"],
+                }
+        dec[f"reassemble_{i}"] = layer
+        dec[f"conv_{i}"] = _conv(sd, f"{np_}convs.{i}", bias=False)
+    for j in range(4):
+        fp = f"{np_}fusion_stage.layers.{j}."
+        layer = {
+            "projection": _conv(sd, fp + "projection"),
+            "res2": {
+                "conv1": _conv(sd, fp + "residual_layer2.convolution1"),
+                "conv2": _conv(sd, fp + "residual_layer2.convolution2"),
+            },
+        }
+        if j > 0:
+            layer["res1"] = {
+                "conv1": _conv(sd, fp + "residual_layer1.convolution1"),
+                "conv2": _conv(sd, fp + "residual_layer1.convolution2"),
+            }
+        dec[f"fusion_{j}"] = layer
+
+    if head_prefix is not None:
+        dec["head_conv1"] = _conv(sd, head_prefix + "0")
+        dec["head_conv2"] = _conv(sd, head_prefix + "2")
+        dec["head_conv3"] = _conv(sd, head_prefix + "4")
+    return dec
 
 
 def param_count(params: Params) -> int:

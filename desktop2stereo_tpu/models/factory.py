@@ -95,6 +95,21 @@ def build_model(
 
         return build_infinidepth(spec, checkpoint, param_dtype, rng_seed, init_size)
 
+    if spec.family == "dpt":
+        from desktop2stereo_tpu.models.dpt_vit import build_dpt_vit
+
+        return build_dpt_vit(spec, checkpoint, param_dtype, rng_seed, init_size)
+
+    if spec.family == "dpt_beit":
+        from desktop2stereo_tpu.models.beit import build_dpt_beit
+
+        return build_dpt_beit(spec, checkpoint, param_dtype, rng_seed, init_size)
+
+    if spec.family == "zoedepth":
+        from desktop2stereo_tpu.models.zoedepth import build_zoedepth
+
+        return build_zoedepth(spec, checkpoint, param_dtype, rng_seed, init_size)
+
     raise NotImplementedError(
         f"model family {spec.family!r} ({name}) is not implemented yet; "
         f"available: depth_anything, dpt_dinov2, vda, da3, infinidepth"

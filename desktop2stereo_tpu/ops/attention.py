@@ -23,19 +23,29 @@ def _platform() -> str:
         return "cpu"
 
 
-def xla_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
-    """Plain softmax attention; f32 accumulation for the logits/softmax."""
+def xla_attention(
+    q: jax.Array, k: jax.Array, v: jax.Array, bias: Optional[jax.Array] = None
+) -> jax.Array:
+    """Plain softmax attention; f32 accumulation for the logits/softmax.
+    `bias` [H,N,M] (or broadcastable) is added to the scaled logits — the
+    BEiT relative-position-bias hook."""
     B, N, H, D = q.shape
     scale = 1.0 / math.sqrt(D)
     logits = jnp.einsum(
         "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
     ) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)[None]
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
     return jnp.einsum("bhnm,bmhd->bnhd", probs, v, preferred_element_type=q.dtype)
 
 
 def multi_head_attention(
-    q: jax.Array, k: jax.Array, v: jax.Array, use_flash: Optional[bool] = None
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    use_flash: Optional[bool] = None,
+    bias: Optional[jax.Array] = None,
 ) -> jax.Array:
     """[B,N,H,hd] q/k/v → [B,N,H,hd] attention output.
 
@@ -44,12 +54,12 @@ def multi_head_attention(
     numerically equivalent within bf16 tolerance.
     """
     if use_flash is None:
-        use_flash = _platform() == "tpu"
-    if use_flash:
+        use_flash = _platform() == "tpu" and bias is None
+    if use_flash and bias is None:
         try:
             from desktop2stereo_tpu.ops.pallas.flash_attention import flash_attention
 
             return flash_attention(q, k, v)
         except Exception:
             pass  # pallas unavailable / unsupported shape → XLA fallback
-    return xla_attention(q, k, v)
+    return xla_attention(q, k, v, bias)
