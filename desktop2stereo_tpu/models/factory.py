@@ -123,30 +123,29 @@ def build_bound(
     rng_seed: int = 0,
     init_size: Optional[int] = None,
 ):
-    """Registry name → (bound, spec) for the frame program.
+    """Registry name → (BoundModel, spec) for the frame program.
 
-    `bound` closes over the params: a plain `pixels→depth` callable for
-    single-frame models, or a StatefulModel (first/step) for streaming
-    models like VDA — the frame engine threads the carry through the jitted
-    program (plays the role of the reference's per-model wrapper dispatch,
+    The BoundModel carries params EXPLICITLY so the frame program passes
+    them as jit arguments (closing them over embeds the weights as HLO
+    constants and blows compile time, see programs.BoundModel).  Streaming
+    models (VDA) expose first/step carrying the rolling-window state
+    (plays the role of the reference's per-model wrapper dispatch,
     reference depth.py:1763-1781).
     """
     spec = get_spec(name)
+    from desktop2stereo_tpu.pipeline.programs import BoundModel
+
     if spec.family == "vda":
         from desktop2stereo_tpu.models.vda import (
             VideoDepthAnything,
             build_vda,
             make_vda_fns,
         )
-        from desktop2stereo_tpu.pipeline.programs import StatefulModel
 
         _, params, spec = build_vda(spec, checkpoint, param_dtype, rng_seed, init_size)
         model = VideoDepthAnything.from_spec(spec)
         _, first, step = make_vda_fns(model)
-        return StatefulModel(
-            first=lambda x: first(params, x),
-            step=lambda x, s: step(params, x, s),
-        ), spec
+        return BoundModel(params=params, first=first, step=step), spec
 
     apply_fn, params, spec = build_model(name, checkpoint, param_dtype, rng_seed, init_size)
-    return (lambda x: apply_fn(params, x)), spec
+    return BoundModel.stateless(apply_fn, params), spec

@@ -1,0 +1,143 @@
+"""Pallas TPU kernel: horizontal bilinear resample (the DIBR warp gather).
+
+The stereo warp samples each output pixel at a data-dependent horizontal
+coordinate (reference viewer.py:534-631 fragment shader; depth.py:2149-2160
+grid_sample).  On GPU that's a free texture fetch; on TPU an XLA gather
+scalarizes to ~100-200 ms per 4K frame (measured on v5e — 25-50× slower
+than streaming the same bytes).
+
+TPU-native formulation: Mosaic's `tpu.dynamic_gather` shuffles arbitrarily
+WITHIN a 128-lane register row.  A row of W pixels is viewed as W/128 lane
+groups stacked on sublanes; a sample at absolute index i = 128·q + r then
+decomposes into a coarse group displacement dq = q - g (bounded by
+K = ceil(D/128) groups for disparity bound D) and a lane shuffle r.  The
+kernel takes (2K+1) masked passes, each a static sublane shift plus one
+in-register dynamic_gather — all VPU work, no MXU, ~10 streaming passes for
+typical D, which is orders of magnitude cheaper than a scalarized gather.
+
+Numerics match clamp-to-edge bilinear sampling exactly (f32 throughout;
+callers pre-clamp or pre-reflect the coordinates, so padding modes are
+handled upstream).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_H = 64
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _gather_decomposed(flat_c: jax.Array, q_rel, r_idx, kmax: int) -> jax.Array:
+    """flat_c: [R, 128] lane-grouped image rows; q_rel: [R, 128] group
+    displacement of each sample relative to its own group (|q_rel| ≤ kmax);
+    r_idx: [R, 128] lane index within the source group."""
+    out = jnp.zeros_like(flat_c)
+    R = flat_c.shape[0]
+    for dq in range(-kmax, kmax + 1):
+        if dq > 0:
+            shifted = jnp.concatenate([flat_c[dq:], flat_c[-1:].repeat(dq, 0)], 0)
+        elif dq < 0:
+            shifted = jnp.concatenate([flat_c[:1].repeat(-dq, 0), flat_c[:dq]], 0)
+        else:
+            shifted = flat_c
+        cand = jnp.take_along_axis(shifted, r_idx, axis=1, mode="promise_in_bounds")
+        out = jnp.where(q_rel == dq, cand, out)
+    return out
+
+
+def _warp_kernel(px_ref, img_ref, out_ref, *, kmax: int, channels: int):
+    # channel-planar: img_ref/out_ref are [C, th, wp]
+    C, th, wp = img_ref.shape
+    ng = wp // LANES
+
+    px = px_ref[...]                                   # [th, wp]
+    i0f = jnp.floor(px)
+    frac = px - i0f
+    i0 = i0f.astype(jnp.int32)
+    i1 = i0 + 1
+
+    # group-local views: [th·ng, 128]
+    def flat2(x):
+        return x.reshape(th * ng, LANES)
+
+    g_idx = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1) // LANES
+
+    def decompose(idx):
+        q_rel = flat2(idx // LANES - g_idx)
+        r_idx = flat2(idx % LANES)
+        return q_rel, r_idx
+
+    q0, r0 = decompose(i0)
+    q1, r1 = decompose(i1)
+    frac_f = flat2(frac)
+
+    for c in range(channels):
+        flat_c = img_ref[c].reshape(th * ng, LANES)
+        g0 = _gather_decomposed(flat_c, q0, r0, kmax)
+        g1 = _gather_decomposed(flat_c, q1, r1, kmax)
+        res = g0 * (1.0 - frac_f) + g1 * frac_f
+        out_ref[c] = res.reshape(th, wp)
+
+
+@functools.partial(jax.jit, static_argnames=("max_disp", "interpret"))
+def horizontal_sample(img: jax.Array, px: jax.Array, max_disp: int = 512,
+                      interpret: bool = False) -> jax.Array:
+    """Bilinear sample along W: out[i,j] = img[i] sampled at px[i,j].
+
+    img: [H, W, C] float; px: [H, W] float32, |px - j| ≤ max_disp, and
+    already clamped/reflected into [0, W-1].  Returns [H, W, C].
+    """
+    H, W, C = img.shape
+    wp = _round_up(W, LANES)
+    hp = _round_up(H, TILE_H)
+    # +1 group: the bilinear i0+1 and lane-group rounding can add one
+    kmax = max_disp // LANES + 2
+
+    imgp = jnp.pad(img, ((0, hp - H), (0, wp - W), (0, 0))).astype(jnp.float32)
+    imgp = imgp.transpose(2, 0, 1)  # channel-planar [C, hp, wp]
+    pxp = jnp.pad(px.astype(jnp.float32), ((0, hp - H), (0, wp - W)))
+
+    grid = (hp // TILE_H,)
+    out = pl.pallas_call(
+        functools.partial(_warp_kernel, kmax=kmax, channels=C),
+        out_shape=jax.ShapeDtypeStruct((C, hp, wp), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TILE_H, wp), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, TILE_H, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((C, TILE_H, wp), lambda i: (0, i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=hp * wp * C * (2 * (2 * kmax + 1) + 4),
+            bytes_accessed=(hp * wp * C * 2 + hp * wp) * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(pxp, imgp)
+    return out.transpose(1, 2, 0)[:H, :W].astype(img.dtype)
+
+
+def horizontal_sample_ref(img: jax.Array, px: jax.Array) -> jax.Array:
+    """Pure-jnp reference (gather-based) for tests/CPU."""
+    x0 = jnp.floor(px)
+    frac = (px - x0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, img.shape[1] - 1)
+    x1i = jnp.clip(x0i + 1, 0, img.shape[1] - 1)
+    g0 = jnp.take_along_axis(img, x0i[..., None], axis=1)
+    g1 = jnp.take_along_axis(img, x1i[..., None], axis=1)
+    return g0 * (1.0 - frac) + g1 * frac

@@ -56,19 +56,60 @@ def _sample_rows_bilinear(img: jax.Array, px: jax.Array) -> jax.Array:
     return g0 * (1.0 - frac) + g1 * frac
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _hsample(img: jax.Array, px: jax.Array, max_disp: int) -> jax.Array:
+    """Horizontal bilinear sample dispatch: Pallas dynamic-gather kernel on
+    TPU (XLA's gather scalarizes to ~100+ ms at 4K), jnp reference elsewhere.
+    px must already be clamped/reflected into [0, W-1]."""
+    if _on_tpu():
+        try:
+            from desktop2stereo_tpu.ops.pallas.warp import horizontal_sample
+
+            squeeze = img.ndim == 2
+            im = img[..., None] if squeeze else img
+            out = horizontal_sample(im, px, max_disp=max_disp)
+            return out[..., 0] if squeeze else out
+        except Exception:
+            pass
+    if img.ndim == 2:
+        return _sample_rows_bilinear(img[..., None], px)[..., 0]
+    return _sample_rows_bilinear(img, px)
+
+
+def _sample_const_offset(x: jax.Array, offset: float) -> jax.Array:
+    """Sample [H,W] at j+offset (clamp-to-edge) for a STATIC offset — a
+    two-tap lerp of static column shifts, no gather needed (replaces the
+    GLSL texture taps at fixed parallax offsets, reference viewer.py:540)."""
+    import math as _math
+
+    i0 = _math.floor(offset)
+    f = offset - i0
+    a = _shift_cols(x[..., None], i0)[..., 0]
+    if f == 0.0:
+        return a
+    b = _shift_cols(x[..., None], i0 + 1)[..., 0]
+    return a * (1.0 - f) + b * f
+
+
 # --------------------------------------------------------------------------
 # 1. Legacy torch-compositor parity path
 # --------------------------------------------------------------------------
 
 def warp_eye_grid_sample(
-    rgb: jax.Array, shifts: jax.Array, sign: float
+    rgb: jax.Array, shifts: jax.Array, sign: float, max_disp: int = 512
 ) -> jax.Array:
     """One eye of make_sbs_core's grid_sample path (reference
     depth.py:2149-2160): sample rgb at x + sign*shifts with reflection."""
     H, W = shifts.shape
     base = jnp.arange(W, dtype=shifts.dtype)[None, :]
     px = _reflect_coords(base + sign * shifts, W)
-    return _sample_rows_bilinear(rgb, px)
+    return _hsample(rgb, px, max_disp)
 
 
 def pad_to_aspect(img: jax.Array, target_ratio: Tuple[int, int] = (16, 9)) -> jax.Array:
@@ -104,9 +145,13 @@ def make_sbs(
     H, W = depth.shape
     img = jnp.clip(rgb, 0.0, 255.0)
     shifts = -(depth - convergence) * depth_ratio * (ipd_uv * W) * DEPTH_STRENGTH_SBS
+    # static disparity bound (reflection can at most double the reach)
+    max_shift = max(abs(convergence), abs(1.0 - convergence)) * depth_ratio \
+        * ipd_uv * W * DEPTH_STRENGTH_SBS
+    max_disp = int(2 * max_shift) + 2
 
-    left = warp_eye_grid_sample(img, shifts, +1.0)
-    right = warp_eye_grid_sample(img, shifts, -1.0)
+    left = warp_eye_grid_sample(img, shifts, +1.0, max_disp)
+    right = warp_eye_grid_sample(img, shifts, -1.0, max_disp)
 
     if fill_16_9:
         left = pad_to_aspect(left)
@@ -246,11 +291,12 @@ def dibr_render(
 
     # 3-tap asymmetric Gaussian pre-smooth along the parallax direction at
     # ±1.5px (bilinear at half-texel → average of 1- and 2-px neighbours).
+    # Constant offsets → static-shift lerps, no gather (the shader's fixed
+    # texture taps, reference viewer.py:540-544).
     par_sign = 1.0 if eye_offset > 0 else -1.0
 
     def sample_depth_at(offset_px: float) -> jax.Array:
-        base = jnp.arange(W, dtype=dt)[None, :] + offset_px
-        return _sample_uv_bilinear(depth[..., None], base)[..., 0]
+        return _sample_const_offset(depth, offset_px)
 
     d0 = depth
     dm = sample_depth_at(-par_sign * 1.5)
@@ -271,7 +317,9 @@ def dibr_render(
     shift_uv = eye_offset * (depth_shaped + convergence) * depth_strength * edge_falloff
     px = jnp.arange(W, dtype=dt)[None, :] - shift_uv * W
 
-    color = _sample_uv_bilinear(rgb, px)
+    # static disparity bound for the kernel warp
+    max_disp = int(abs(eye_offset) * (1.35 + abs(convergence))
+                   * depth_strength * W) + 2
 
     # Soft disocclusion confidence: 2-tap depth jump along parallax dir.
     d_l = sample_depth_at(-par_sign * 2.0)
@@ -283,6 +331,22 @@ def dibr_render(
     conf = jnp.where(oob, 1.0, conf)
 
     sweep_sign = -1.0 if eye_offset > 0 else 1.0
+    px_clamped = jnp.clip(px, 0.0, W - 1.0)
+
+    if _on_tpu():
+        try:
+            from desktop2stereo_tpu.ops.pallas.dibr import dibr_warp_fill_blend
+
+            return dibr_warp_fill_blend(
+                rgb.astype(jnp.float32), d.astype(jnp.float32),
+                conf.astype(jnp.float32), px_clamped.astype(jnp.float32),
+                max_disp=max_disp, search_radius=search_radius,
+                depth_tolerance=depth_tolerance, sweep_sign=sweep_sign,
+            ).astype(dt)
+        except Exception:
+            pass  # fall back to the jnp reference path
+
+    color = _hsample(rgb, px_clamped, max_disp)
     filled = push_pull_inpaint(
         rgb, d, depth_inv, sweep_sign, search_radius, depth_tolerance
     )

@@ -2,10 +2,10 @@
 
 The reference splits the frame path into eager torch stages with seams
 (process → predict_depth → post → make_sbs/viewer shader, reference
-main.py:232-262).  Here the entire frame→depth→stereo path compiles into ONE
-XLA program per (input-shape, settings) pair: preprocessing, ViT+DPT
-inference, depth post-processing, EMA and the DIBR stereo composite all fuse,
-and the EMA carry is a donated buffer so steady state allocates nothing.
+main.py:232-262).  Here the same path runs as a chain of four jitted XLA
+programs per (input-shape, settings) pair — preprocess, model, depth post,
+stereo — launched back-to-back on the device stream.  See _build_step for
+why four programs instead of one fused jit (XLA compile-time blowup at 4K).
 
 Shape specialization replaces the reference's lazily-built fixed-shape
 engines (reference depth.py:1841-1862): each distinct capture resolution
@@ -60,19 +60,54 @@ class StatefulModel(NamedTuple):
     step: Callable[[jax.Array, Any], Tuple[jax.Array, Any]]
 
 
-def _as_stateful(model_apply) -> Tuple[StatefulModel, bool]:
-    """Adapt a plain `pixels→depth` callable or a StatefulModel-like object
-    (anything with .first/.step) to the streaming surface."""
-    if hasattr(model_apply, "first") and hasattr(model_apply, "step"):
-        return StatefulModel(model_apply.first, model_apply.step), True
+class BoundModel(NamedTuple):
+    """Model with params carried EXPLICITLY so the frame program can pass
+    them as jit ARGUMENTS.  Closing params over the jit (a plain lambda)
+    embeds hundreds of MB of weights as HLO constants, which blows XLA
+    compile time from ~15 s to >10 min for ViT-L (measured on v5e).
 
-    def first(x):
+    first/step are pure: first(params, pixels) → (raw_depth, mstate);
+    step(params, pixels, mstate) → (raw_depth, mstate').
+    """
+
+    params: Any
+    first: Callable
+    step: Callable
+    stateful: bool = True  # False → first==step semantically (one program)
+
+    @classmethod
+    def stateless(cls, apply_fn: Callable, params: Any) -> "BoundModel":
+        def first(p, x):
+            return apply_fn(p, x), ()
+
+        def step(p, x, s):
+            return apply_fn(p, x), s
+
+        return cls(params=params, first=first, step=step, stateful=False)
+
+
+def _as_bound(model_apply) -> BoundModel:
+    """Adapt any supported model surface to BoundModel:
+    - BoundModel: as is (the fast path — params as jit args);
+    - object with .first/.step (closure-bound stateful): wrapped;
+    - plain callable pixels→depth: wrapped (fine for cheap test models;
+      real models should use BoundModel)."""
+    if isinstance(model_apply, BoundModel):
+        return model_apply
+    if hasattr(model_apply, "first") and hasattr(model_apply, "step"):
+        return BoundModel(
+            params=(),
+            first=lambda _p, x: model_apply.first(x),
+            step=lambda _p, x, s: model_apply.step(x, s),
+        )
+
+    def first(_p, x):
         return model_apply(x), ()
 
-    def step(x, s):
+    def step(_p, x, s):
         return model_apply(x), s
 
-    return StatefulModel(first, step), False
+    return BoundModel(params=(), first=first, step=step, stateful=False)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -125,8 +160,8 @@ def build_frame_step(
     also be a StatefulModel(-like) object, in which case `build_frame_step`
     returns the *streaming* step and `build_first_step` builds the carry.
     """
-    stateful, _ = _as_stateful(model_apply)
-    return _build_step(cfg, stateful.step, spec, compute_dtype, jit, first=False)
+    bound = _as_bound(model_apply)
+    return _build_step(cfg, bound, bound.step, spec, compute_dtype, jit, first=False)
 
 
 def build_first_step(
@@ -135,29 +170,43 @@ def build_first_step(
     spec: Optional[ModelSpec] = None,
     compute_dtype=jnp.bfloat16,
     jit: bool = True,
+    shared_stages=None,
 ) -> Callable:
     """First-frame variant: same signature, but the model carry in the input
     state is ignored and a fresh one is built (reference vda2_s.py:195-207)."""
-    stateful, _ = _as_stateful(model_apply)
+    bound = _as_bound(model_apply)
 
-    def first_call(pixels, _model_state):
-        return stateful.first(pixels)
+    def first_call(params, pixels, _model_state):
+        return bound.first(params, pixels)
 
-    return _build_step(cfg, first_call, spec, compute_dtype, jit, first=True)
+    return _build_step(cfg, bound, first_call, spec, compute_dtype, jit, first=True,
+                       shared_stages=shared_stages)
 
 
 def _build_step(
     cfg: ProgramConfig,
-    model_call,   # (pixels, model_state) -> (raw_depth, model_state')
+    bound: "BoundModel",
+    model_call,   # (params, pixels, model_state) -> (raw_depth, model_state')
     spec: Optional[ModelSpec],
     compute_dtype,
     jit: bool,
     first: bool,
+    shared_stages=None,
 ) -> Callable:
+    """Builds the frame step as FOUR chained device programs.
+
+    One monolithic jit is the obvious design, but XLA's compile time grows
+    superlinearly with graph size at 4K: the pieces compile in 3-50 s each
+    while the fused whole exceeds 10 minutes (measured on v5e).  Chaining
+    separately-jitted stages keeps compilation additive (~80 s total for
+    ViT-L at 4K); inter-stage dispatch is ~50 µs — noise at 60 Hz — and the
+    stage boundaries (frame→model-input, depth→stereo) have no profitable
+    cross-stage fusion anyway, since each side reshapes the whole image.
+    """
     spec = spec or get_spec(cfg.model_name)
 
-    def step(frame_u8: jax.Array, state: FrameState):
-        # --- preprocess: BGRA→RGB + output-height downscale (one resize) ---
+    def preprocess(frame_u8: jax.Array):
+        # BGRA→RGB + output-height downscale + model-input resize/normalize
         rgb_full = bgra_to_rgb(frame_u8).astype(compute_dtype)
         h0, w0 = rgb_full.shape[0], rgb_full.shape[1]
         oh, ow = process_frame_size(h0, w0, cfg.output_height)
@@ -165,8 +214,6 @@ def _build_step(
             rgb = resize(rgb_full, (oh, ow), mode="bilinear", antialias=oh < h0)
         else:
             rgb = rgb_full
-
-        # --- model input: patch-aligned resize + normalize ----------------
         if spec.square_only:
             mh = mw = cfg.depth_resolution
             model_in = resize(rgb[None], (mh, mw), mode="bilinear") / 255.0
@@ -176,14 +223,14 @@ def _build_step(
                 resize(rgb[None], (mh, mw), mode="bicubic", antialias=True) / 255.0
             )
         model_in = normalize_for_model(model_in, spec.norm_family)
+        return rgb, model_in.astype(compute_dtype)
 
-        # --- depth inference (ViT + DPT, bf16 on MXU) ----------------------
-        raw_depth_b, new_model_state = model_call(
-            model_in.astype(compute_dtype), state.model
-        )
-        raw_depth = raw_depth_b[0]
+    def model_stage(params, model_in: jax.Array, model_state):
+        raw_depth_b, new_model_state = model_call(params, model_in, model_state)
+        return raw_depth_b[0], new_model_state
 
-        # --- post-process in f32 (percentiles need the range) --------------
+    def post_stage(raw_depth: jax.Array, ema_prev: jax.Array):
+        oh, ow = ema_prev.shape
         depth = post_process_depth(
             raw_depth.astype(jnp.float32),
             metric=spec.metric,
@@ -192,15 +239,12 @@ def _build_step(
         )
         # resize depth to output res (reference depth.py:1999-2004)
         depth = resize(depth[..., None], (oh, ow), mode="bilinear")[..., 0]
-
-        # --- temporal EMA with NaN-reset semantics --------------------------
         if cfg.temporal_smooth:
-            prev = state.ema_depth
-            smoothed = ema_op(prev, depth, cfg.ema_alpha)
-            depth = jnp.where(jnp.isnan(prev), depth, smoothed)
-        new_state = FrameState(ema_depth=depth, model=new_model_state)
+            smoothed = ema_op(ema_prev, depth, cfg.ema_alpha)
+            depth = jnp.where(jnp.isnan(ema_prev), depth, smoothed)
+        return depth
 
-        # --- stereo composite ----------------------------------------------
+    def stereo_stage(rgb: jax.Array, depth: jax.Array):
         sbs = stereo_compose(
             rgb.astype(jnp.float32),
             depth,
@@ -210,12 +254,40 @@ def _build_step(
             display_mode=cfg.display_mode,
             quality=cfg.quality,
         )
-        sbs_u8 = jnp.clip(sbs + 0.5, 0.0, 255.0).astype(jnp.uint8)
-        return sbs_u8, depth, new_state
+        return jnp.clip(sbs + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
     if not jit:
-        return step
-    return jax.jit(step, donate_argnums=(1,))
+        def step_eager(frame_u8: jax.Array, state: FrameState):
+            rgb, model_in = preprocess(frame_u8)
+            raw, mstate = model_stage(bound.params, model_in, state.model)
+            depth = post_stage(raw, state.ema_depth)
+            sbs = stereo_stage(rgb, depth)
+            return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+
+        return step_eager
+
+    if shared_stages is not None:
+        pre_j, post_j, stereo_j = shared_stages
+    else:
+        pre_j = jax.jit(preprocess)
+        # NOTE: the EMA carry is NOT donated — the returned depth array IS
+        # the next carry and is also handed to the sink thread, which may
+        # still be reading it when the next step runs.
+        post_j = jax.jit(post_stage)
+        stereo_j = jax.jit(stereo_stage)
+    # the model carry is donated so streaming state updates in place;
+    # params ride as jit ARGUMENTS (see BoundModel docstring)
+    model_j = jax.jit(model_stage) if first else jax.jit(model_stage, donate_argnums=(2,))
+
+    def step(frame_u8: jax.Array, state: FrameState):
+        rgb, model_in = pre_j(frame_u8)
+        raw, mstate = model_j(bound.params, model_in, state.model)
+        depth = post_j(raw, state.ema_depth)
+        sbs = stereo_j(rgb, depth)
+        return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+
+    step.stages = (pre_j, post_j, stereo_j)  # share across first/stream builds
+    return step
 
 
 class ProgramCache:
@@ -224,12 +296,16 @@ class ProgramCache:
 
     def __init__(self, cfg: ProgramConfig, model_apply, spec=None, compute_dtype=jnp.bfloat16):
         self.cfg = cfg
-        self._stateful = hasattr(model_apply, "first") and hasattr(model_apply, "step")
+        if isinstance(model_apply, BoundModel):
+            self._stateful = model_apply.stateful
+        else:
+            self._stateful = hasattr(model_apply, "first") and hasattr(model_apply, "step")
         self._step = build_frame_step(cfg, model_apply, spec, compute_dtype)
         # Stateless models share one program; stateful ones need a distinct
         # first-frame program that builds the model carry.
         self._first = (
-            build_first_step(cfg, model_apply, spec, compute_dtype)
+            build_first_step(cfg, model_apply, spec, compute_dtype,
+                             shared_stages=getattr(self._step, "stages", None))
             if self._stateful else self._step
         )
         self._states: Dict[Tuple[int, int], FrameState] = {}
