@@ -31,7 +31,9 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["synthetic", "image", "video", "screen"])
     p.add_argument("--input", help="path for image/video sources")
     p.add_argument("--sink", default="mjpeg",
-                   choices=["mjpeg", "png", "video", "null", "rtmp"])
+                   choices=["mjpeg", "png", "video", "null", "rtmp", "viewer"])
+    p.add_argument("--show-fps", action="store_true",
+                   help="green FPS overlay on the output (viewer sink)")
     p.add_argument("--out", help="output path/dir for png/video/rtmp sinks")
     p.add_argument("--frames", type=int, help="stop after N frames")
     p.add_argument("--duration", type=float, help="stop after N seconds")
@@ -93,6 +95,9 @@ def make_components(args, settings):
                    "fps": settings.fps, "quality": settings.stream_quality}
     elif args.sink == "rtmp":
         sink_kw = {"url": args.out or "rtmp://127.0.0.1/live", "fps": settings.fps}
+    elif args.sink == "viewer":
+        sink_kw = {"port": args.port or settings.streamer_port,
+                   "fps": settings.fps, "show_fps": args.show_fps or settings.show_fps}
     sink = make_sink(args.sink, **sink_kw)
     return source, program, sink, settings
 

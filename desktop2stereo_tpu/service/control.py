@@ -1,0 +1,238 @@
+"""Web control panel: the reference GUI's job on a headless TPU host.
+
+The reference ships a Flet desktop GUI that edits settings.yaml, spawns the
+worker as a subprocess, stops it via a stop.request file (Windows) or
+process-group SIGINT with a kill escalation, and tees its output into a
+rolling log (reference gui.py:1325-3699, 3478-3568).  A TPU host has no
+desktop; the same controls are served as a small stdlib HTTP panel:
+
+  python -m desktop2stereo_tpu.service.control --port 8700
+
+  GET  /            settings form (model/resolution/mode/... dropdowns)
+  POST /start       write settings.yaml, spawn the CLI worker subprocess
+  POST /stop        graceful stop (stop.request file → SIGINT → SIGKILL)
+  GET  /status      {"running": bool, "pid": int|null}
+  GET  /logs        tail of the rolling worker log
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import signal
+import subprocess
+import sys
+import threading
+import time
+import urllib.parse
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from desktop2stereo_tpu.core.config import DISPLAY_MODES, Settings, load_settings, save_settings
+from desktop2stereo_tpu.core.registry import MODEL_REGISTRY
+
+LOG_PATH = "logs/worker.log"
+STOP_FILE = "logs/stop.request"
+
+
+class WorkerManager:
+    """Spawn/stop the pipeline worker (reference gui.py:3210-3568)."""
+
+    def __init__(self, settings_path: str = "settings.yaml"):
+        self.settings_path = settings_path
+        self.proc: Optional[subprocess.Popen] = None
+        self.lock = threading.Lock()
+        os.makedirs("logs", exist_ok=True)
+
+    @property
+    def running(self) -> bool:
+        return self.proc is not None and self.proc.poll() is None
+
+    def start(self, settings: Settings, source: str, sink: str) -> int:
+        with self.lock:
+            if self.running:
+                raise RuntimeError("worker already running")
+            save_settings(settings, self.settings_path)
+            if os.path.exists(STOP_FILE):
+                os.remove(STOP_FILE)
+            log = open(LOG_PATH, "ab", buffering=0)
+            cmd = [
+                sys.executable, "-u", "-X", "faulthandler",
+                "-m", "desktop2stereo_tpu.cli",
+                "--settings", self.settings_path,
+                "--source", source, "--sink", sink,
+                "--stop-file", STOP_FILE,
+            ]
+            self.proc = subprocess.Popen(
+                cmd, stdout=log, stderr=subprocess.STDOUT,
+                start_new_session=True,
+            )
+            return self.proc.pid
+
+    def stop(self, grace_s: float = 8.0) -> bool:
+        """stop.request file → SIGINT to the process group → SIGKILL
+        (reference gui.py:3524-3568 escalation)."""
+        with self.lock:
+            if not self.running:
+                return True
+            proc = self.proc
+        try:
+            with open(STOP_FILE, "w") as f:
+                f.write("stop")
+        except OSError:
+            pass
+        deadline = time.monotonic() + grace_s / 2
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                return True
+            time.sleep(0.2)
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGINT)
+        except (ProcessLookupError, PermissionError):
+            pass
+        deadline = time.monotonic() + grace_s / 2
+        while time.monotonic() < deadline:
+            if proc.poll() is not None:
+                return True
+            time.sleep(0.2)
+        try:
+            os.killpg(os.getpgid(proc.pid), signal.SIGKILL)
+        except (ProcessLookupError, PermissionError):
+            pass
+        return proc.poll() is not None
+
+
+def _form_page(settings: Settings) -> bytes:
+    model_opts = "".join(
+        f'<option {"selected" if n == settings.model else ""}>{n}</option>'
+        for n in sorted(MODEL_REGISTRY)
+    )
+    mode_opts = "".join(
+        f'<option {"selected" if m == settings.display_mode else ""}>{m}</option>'
+        for m in DISPLAY_MODES
+    )
+    html = f"""<!doctype html><html><head><title>desktop2stereo-tpu control</title>
+<style>body{{font-family:sans-serif;background:#111;color:#eee;max-width:640px;margin:2em auto}}
+label{{display:block;margin:.6em 0 .2em}}select,input{{width:100%;padding:.3em;background:#222;color:#eee;border:1px solid #444}}
+button{{margin-top:1em;padding:.5em 2em}}#log{{white-space:pre-wrap;font-family:monospace;font-size:11px;background:#000;padding:1em;max-height:280px;overflow:auto}}</style>
+</head><body>
+<h2>desktop2stereo-tpu</h2>
+<form method="post" action="/start">
+<label>Depth Model</label><select name="model">{model_opts}</select>
+<label>Depth Resolution</label><input name="depth_resolution" value="{settings.depth_resolution}">
+<label>Output Resolution</label><input name="output_resolution" value="{settings.output_resolution}">
+<label>Display Mode</label><select name="display_mode">{mode_opts}</select>
+<label>Depth Strength</label><input name="depth_strength" value="{settings.depth_strength}">
+<label>IPD</label><input name="ipd" value="{settings.ipd}">
+<label>Source</label><select name="source"><option>synthetic</option><option>screen</option><option>video</option><option>image</option></select>
+<label>Sink</label><select name="sink"><option>mjpeg</option><option>png</option><option>video</option><option>null</option><option>rtmp</option></select>
+<button type="submit">Run</button>
+</form>
+<form method="post" action="/stop"><button type="submit">Stop</button></form>
+<p id="status"></p><div id="log"></div>
+<script>
+async function tick(){{
+ const s=await (await fetch('/status')).json();
+ document.getElementById('status').textContent=s.running?('running pid '+s.pid):'stopped';
+ document.getElementById('log').textContent=await (await fetch('/logs')).text();
+}}
+setInterval(tick, 2000); tick();
+</script></body></html>"""
+    return html.encode()
+
+
+def serve(port: int = 8700, settings_path: str = "settings.yaml") -> ThreadingHTTPServer:
+    manager = WorkerManager(settings_path)
+
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str = "text/html"):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):  # noqa: N802
+            if self.path in ("/", "/index.html"):
+                settings = (
+                    load_settings(settings_path)
+                    if os.path.exists(settings_path) else Settings()
+                )
+                self._send(200, _form_page(settings))
+            elif self.path == "/status":
+                body = json.dumps({
+                    "running": manager.running,
+                    "pid": manager.proc.pid if manager.running else None,
+                }).encode()
+                self._send(200, body, "application/json")
+            elif self.path == "/logs":
+                try:
+                    with open(LOG_PATH, "rb") as f:
+                        f.seek(0, 2)
+                        size = f.tell()
+                        f.seek(max(0, size - 8192))
+                        body = f.read()
+                except OSError:
+                    body = b""
+                self._send(200, body, "text/plain")
+            else:
+                self._send(404, b"not found")
+
+        def do_POST(self):  # noqa: N802
+            length = int(self.headers.get("Content-Length", 0))
+            fields = urllib.parse.parse_qs(self.rfile.read(length).decode())
+
+            def val(name, default):
+                return fields.get(name, [default])[0]
+
+            if self.path == "/start":
+                base = (
+                    load_settings(settings_path)
+                    if os.path.exists(settings_path) else Settings()
+                )
+                settings = base.replace(
+                    model=val("model", base.model),
+                    depth_resolution=int(val("depth_resolution", base.depth_resolution)),
+                    output_resolution=int(val("output_resolution", base.output_resolution)),
+                    display_mode=val("display_mode", base.display_mode),
+                    depth_strength=float(val("depth_strength", base.depth_strength)),
+                    ipd=float(val("ipd", base.ipd)),
+                )
+                try:
+                    manager.start(settings, val("source", "synthetic"), val("sink", "mjpeg"))
+                except RuntimeError as e:
+                    self._send(409, str(e).encode())
+                    return
+            elif self.path == "/stop":
+                manager.stop()
+            else:
+                self._send(404, b"not found")
+                return
+            self.send_response(303)
+            self.send_header("Location", "/")
+            self.end_headers()
+
+    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    server.manager = manager  # for tests
+    return server
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(prog="d2s-control")
+    p.add_argument("--port", type=int, default=8700)
+    p.add_argument("--settings", default="settings.yaml")
+    args = p.parse_args()
+    server = serve(args.port, args.settings)
+    print(f"[control] panel at http://0.0.0.0:{args.port}/")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        server.manager.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,4 +27,8 @@ def make_sink(kind: str, **kw):
         from desktop2stereo_tpu.sinks.rtmp import RtmpSink
 
         return RtmpSink(**kw)
+    if kind == "viewer":
+        from desktop2stereo_tpu.sinks.viewer import StereoWindow
+
+        return StereoWindow(**kw)
     raise ValueError(f"unknown sink kind {kind!r}")

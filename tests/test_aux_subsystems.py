@@ -1,0 +1,110 @@
+"""Aux subsystem tests: FPS overlay, letterbox crop detection, profiling
+hooks, headless viewer facade, control service."""
+
+import threading
+import time
+import urllib.request
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from desktop2stereo_tpu.ops.overlay import FpsOverlay, overlay_text, text_mask
+from desktop2stereo_tpu.pipeline.crop import (
+    FULL,
+    CropController,
+    apply_crop,
+    crop_from_stats,
+    crop_stats,
+)
+from desktop2stereo_tpu.pipeline.profiling import StageTimer
+
+
+def test_fps_overlay_draws_green_text():
+    rgb = jnp.zeros((240, 320, 3), jnp.float32)
+    ov = FpsOverlay()
+    out = np.asarray(ov(rgb, 59.9))
+    # green pixels where glyphs are, nothing else
+    assert (out[..., 1] > 0).any()
+    assert (out[..., 0] == 0).all() and (out[..., 2] == 0).all()
+    mask = text_mask("FPS: 59.9", 240, 320)
+    np.testing.assert_array_equal((out[..., 1] > 0), mask > 0)
+
+
+def _letterboxed(h=360, w=640, bar=50):
+    rng = np.random.default_rng(0)
+    img = np.zeros((h, w, 3), np.float32)
+    img[bar:h - bar] = rng.uniform(40, 220, (h - 2 * bar, w, 3))
+    return img
+
+
+def test_crop_detects_letterbox():
+    img = jnp.asarray(_letterboxed())
+    stats = crop_stats(img)
+    crop = crop_from_stats(np.asarray(stats), 640, 360)
+    assert crop != FULL
+    u0, v0, uw, vh = crop
+    assert u0 == 0.0 and uw == 1.0           # no pillarbox
+    assert 0.10 < v0 < 0.18                   # ~50/360 plus edge trim
+    assert 0.64 < vh < 0.78
+
+
+def test_crop_full_frame_stays_full():
+    rng = np.random.default_rng(1)
+    img = jnp.asarray(rng.uniform(30, 220, (360, 640, 3)).astype(np.float32))
+    crop = crop_from_stats(np.asarray(crop_stats(img)), 640, 360)
+    assert crop == FULL
+
+
+def test_crop_controller_hysteresis():
+    ctrl = CropController(full_hits_reset=3, poll_every=1)
+    boxed = jnp.asarray(_letterboxed())
+    rng = np.random.default_rng(2)
+    full = jnp.asarray(rng.uniform(30, 220, (360, 640, 3)).astype(np.float32))
+
+    assert ctrl.update(boxed) != FULL
+    # one or two full frames do NOT reset (reveal hysteresis)
+    ctrl.update(full)
+    assert ctrl.active
+    ctrl.update(full)
+    assert ctrl.active
+    ctrl.update(full)
+    assert not ctrl.active  # third consecutive full frame resets
+
+
+def test_apply_crop_slices():
+    img = jnp.zeros((100, 200, 3))
+    out = apply_crop(img, (0.25, 0.1, 0.5, 0.8))
+    assert out.shape == (80, 100, 3)
+
+
+def test_stage_timer():
+    t = StageTimer()
+    with t.stage("model"):
+        time.sleep(0.01)
+    assert 0.005 < t.snapshot()["model"] < 0.5
+
+
+def test_viewer_facade_and_control_service():
+    from desktop2stereo_tpu.sinks.viewer import StereoWindow
+
+    win = StereoWindow(port=0, show_fps=True)
+    frame = jnp.full((120, 160, 3), 128.0, jnp.float32)
+    win.push(np.asarray(frame, np.uint8), None, {"fps": 30.0})
+    assert win.frame_count == 1
+    win.close()
+
+    from desktop2stereo_tpu.service import control
+
+    server = control.serve(port=0, settings_path="/tmp/d2s_test_settings.yaml")
+    port = server.server_address[1]
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        page = urllib.request.urlopen(f"http://127.0.0.1:{port}/", timeout=5).read()
+        assert b"Depth Model" in page
+        status = urllib.request.urlopen(f"http://127.0.0.1:{port}/status", timeout=5).read()
+        assert b"running" in status
+    finally:
+        server.shutdown()
