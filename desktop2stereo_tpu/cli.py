@@ -28,7 +28,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--settings", help="settings.yaml (reference-compatible)")
     p.add_argument("--model", help="model name from the registry")
     p.add_argument("--source", default="synthetic",
-                   choices=["synthetic", "image", "video", "screen"])
+                   choices=["synthetic", "image", "video", "screen", "shm"])
     p.add_argument("--input", help="path for image/video sources")
     p.add_argument("--sink", default="mjpeg",
                    choices=["mjpeg", "png", "video", "null", "rtmp", "viewer"])
@@ -73,6 +73,10 @@ def make_components(args, settings):
     if args.source == "synthetic":
         h, w = (int(v) for v in args.size.split("x"))
         src_kw = {"size": (h, w)}
+        if args.frames:
+            src_kw["max_frames"] = args.frames
+    elif args.source == "shm":
+        src_kw = {"name": args.input or "/d2s_frames"}
         if args.frames:
             src_kw["max_frames"] = args.frames
     elif args.source in ("image", "video"):

@@ -23,4 +23,8 @@ def make_source(kind: str, **kw):
         from desktop2stereo_tpu.sources.screen import ScreenSource
 
         return ScreenSource(**kw)
+    if kind == "shm":
+        from desktop2stereo_tpu.sources.shm import ShmSource
+
+        return ShmSource(**kw)
     raise ValueError(f"unknown source kind {kind!r}")

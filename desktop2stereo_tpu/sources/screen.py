@@ -1,9 +1,14 @@
-"""Real screen capture (optional; Linux/X11 via mss).
+"""Real screen capture behind the reference's `grab()` interface.
 
 The reference dedicates ~1.5k LoC to per-OS capture backends (reference
-capture.py: DXGI/WGC/SCK/Quartz/mss).  On a headless TPU host only the mss
-path is meaningful; it hides behind the same `grab()` interface so a
-workstation deployment can swap richer backends in.
+capture.py: DXGI/WGC/ScreenCaptureKit/Quartz/mss).  On a Linux/TPU host the
+meaningful paths, tried in order:
+
+1. native X11 grab (C++ shim, desktop2stereo_tpu.native.X11Capture — the
+   DXGI-duplication counterpart);
+2. mss, if installed;
+3. error with guidance (headless hosts should use --source shm with a
+   remote capture agent, or synthetic/video).
 """
 
 from __future__ import annotations
@@ -14,26 +19,45 @@ import numpy as np
 
 
 class ScreenSource:
-    def __init__(self, monitor_index: int = 0, max_frames: Optional[int] = None) -> None:
-        try:
-            import mss
-        except ImportError as e:  # pragma: no cover
-            raise RuntimeError(
-                "screen capture needs the 'mss' package (not bundled on TPU hosts); "
-                "use --source synthetic/image/video instead"
-            ) from e
-        self._sct = mss.mss()
-        mons = self._sct.monitors
-        self._mon = mons[min(monitor_index + 1, len(mons) - 1)]
+    def __init__(self, monitor_index: int = 0, max_frames: Optional[int] = None,
+                 display: str = "") -> None:
         self.max_frames = max_frames
         self._i = 0
+        self._native = None
+        self._sct = None
+        self._mon = None
+        try:
+            from desktop2stereo_tpu.native import X11Capture
+
+            self._native = X11Capture(display)
+            return
+        except Exception:
+            pass
+        try:
+            import mss
+
+            self._sct = mss.mss()
+            mons = self._sct.monitors
+            self._mon = mons[min(monitor_index + 1, len(mons) - 1)]
+        except ImportError as e:  # pragma: no cover
+            raise RuntimeError(
+                "no screen capture backend: no X11 display for the native "
+                "shim and no 'mss' package; on a headless TPU host use "
+                "--source shm (remote capture agent) or synthetic/video"
+            ) from e
 
     def grab(self) -> Optional[np.ndarray]:
         if self.max_frames is not None and self._i >= self.max_frames:
             return None
         self._i += 1
+        if self._native is not None:
+            frame = self._native.grab()
+            return None if frame is None else frame.copy()
         shot = self._sct.grab(self._mon)
         return np.asarray(shot)  # BGRA uint8
 
     def close(self) -> None:
-        self._sct.close()
+        if self._native is not None:
+            self._native.close()
+        if self._sct is not None:
+            self._sct.close()

@@ -1,0 +1,364 @@
+// d2s_native: host-side runtime primitives for desktop2stereo_tpu.
+//
+// The reference leans on native code for its host transport and capture:
+// wincam/windows-capture (C++/Rust DXGI + WGC grabbers, reference
+// capture.py:14, main.py:86-91) and pinned/PBO DMA rings for zero-copy
+// delivery (reference viewer.py:20-170, xr_viewer/frame.py:62-161).  The
+// TPU build's equivalents, C++ with a ctypes-friendly C ABI:
+//
+//  * shared-memory frame ring: a seqlock'd latest-frame-wins ring in POSIX
+//    shm so external producers (capture agents, ffmpeg wrappers, remote
+//    forwarders) hand frames to the Python pipeline with one memcpy and no
+//    pickling/socket overhead — the host-IPC analog of the PBO ring;
+//  * X11 screen capture via dlopen'd libX11 (+XShm when available) — the
+//    Linux counterpart of the reference's DXGI duplication path;
+//  * an absolute-deadline frame pacer (clock_nanosleep/TIMER_ABSTIME),
+//    replacing the drift-prone sleep pacing in reference main.py:211-230.
+//
+// Build: g++ -O2 -shared -fPIC -o libd2s_native.so d2s_native.cpp -ldl
+// (no X11 headers needed; all X symbols are resolved at runtime).
+
+#include <atomic>
+#include <cerrno>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <ctime>
+
+#include <dlfcn.h>
+#include <fcntl.h>
+#include <sys/mman.h>
+#include <sys/stat.h>
+#include <unistd.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// Shared-memory latest-wins frame ring
+// ---------------------------------------------------------------------------
+
+struct RingHeader {
+  uint32_t magic;          // 'D2SR'
+  uint32_t slots;
+  uint32_t max_bytes;      // per-slot payload capacity
+  std::atomic<uint64_t> seq;  // global frame counter; slot = seq % slots
+};
+
+struct SlotHeader {
+  std::atomic<uint64_t> start_seq;  // written before payload
+  std::atomic<uint64_t> end_seq;    // written after payload (== start when stable)
+  uint32_t width, height, channels;
+  uint64_t timestamp_ns;
+  uint32_t bytes;
+};
+
+struct Ring {
+  RingHeader* hdr;
+  uint8_t* base;
+  size_t map_bytes;
+  int fd;
+  char name[256];
+  int owner;
+};
+
+static const uint32_t kMagic = 0x44325352;  // "D2SR"
+static const size_t kAlign = 64;
+
+static size_t slot_stride(uint32_t max_bytes) {
+  size_t s = sizeof(SlotHeader) + max_bytes;
+  return (s + kAlign - 1) / kAlign * kAlign;
+}
+
+static SlotHeader* slot_at(Ring* r, uint64_t idx) {
+  size_t stride = slot_stride(r->hdr->max_bytes);
+  return reinterpret_cast<SlotHeader*>(
+      r->base + sizeof(RingHeader) + (idx % r->hdr->slots) * stride);
+}
+
+void* d2s_ring_create(const char* name, uint32_t max_bytes, uint32_t slots) {
+  if (slots < 2) slots = 2;
+  size_t bytes = sizeof(RingHeader) + slots * slot_stride(max_bytes);
+  shm_unlink(name);
+  int fd = shm_open(name, O_CREAT | O_RDWR | O_EXCL, 0600);
+  if (fd < 0) return nullptr;
+  if (ftruncate(fd, (off_t)bytes) != 0) {
+    close(fd);
+    shm_unlink(name);
+    return nullptr;
+  }
+  void* mem = mmap(nullptr, bytes, PROT_READ | PROT_WRITE, MAP_SHARED, fd, 0);
+  if (mem == MAP_FAILED) {
+    close(fd);
+    shm_unlink(name);
+    return nullptr;
+  }
+  Ring* r = new Ring();
+  r->hdr = reinterpret_cast<RingHeader*>(mem);
+  r->base = reinterpret_cast<uint8_t*>(mem);
+  r->map_bytes = bytes;
+  r->fd = fd;
+  r->owner = 1;
+  snprintf(r->name, sizeof(r->name), "%s", name);
+  r->hdr->magic = kMagic;
+  r->hdr->slots = slots;
+  r->hdr->max_bytes = max_bytes;
+  r->hdr->seq.store(0);
+  for (uint32_t i = 0; i < slots; ++i) {
+    SlotHeader* s = slot_at(r, i);
+    s->start_seq.store(0);
+    s->end_seq.store(0);
+  }
+  return r;
+}
+
+void* d2s_ring_open(const char* name) {
+  int fd = shm_open(name, O_RDWR, 0600);
+  if (fd < 0) return nullptr;
+  struct stat st;
+  if (fstat(fd, &st) != 0 || st.st_size < (off_t)sizeof(RingHeader)) {
+    close(fd);
+    return nullptr;
+  }
+  void* mem = mmap(nullptr, (size_t)st.st_size, PROT_READ | PROT_WRITE,
+                   MAP_SHARED, fd, 0);
+  if (mem == MAP_FAILED) {
+    close(fd);
+    return nullptr;
+  }
+  Ring* r = new Ring();
+  r->hdr = reinterpret_cast<RingHeader*>(mem);
+  if (r->hdr->magic != kMagic) {
+    munmap(mem, (size_t)st.st_size);
+    close(fd);
+    delete r;
+    return nullptr;
+  }
+  r->base = reinterpret_cast<uint8_t*>(mem);
+  r->map_bytes = (size_t)st.st_size;
+  r->fd = fd;
+  r->owner = 0;
+  snprintf(r->name, sizeof(r->name), "%s", name);
+  return r;
+}
+
+// Returns the frame's sequence number, or 0 on error.
+uint64_t d2s_ring_write(void* handle, const uint8_t* data, uint32_t width,
+                        uint32_t height, uint32_t channels,
+                        uint64_t timestamp_ns) {
+  Ring* r = reinterpret_cast<Ring*>(handle);
+  uint32_t bytes = width * height * channels;
+  if (bytes == 0 || bytes > r->hdr->max_bytes) return 0;
+  uint64_t seq = r->hdr->seq.load(std::memory_order_relaxed) + 1;
+  SlotHeader* s = slot_at(r, seq);
+  s->start_seq.store(seq, std::memory_order_release);
+  s->width = width;
+  s->height = height;
+  s->channels = channels;
+  s->timestamp_ns = timestamp_ns;
+  s->bytes = bytes;
+  memcpy(reinterpret_cast<uint8_t*>(s) + sizeof(SlotHeader), data, bytes);
+  s->end_seq.store(seq, std::memory_order_release);
+  r->hdr->seq.store(seq, std::memory_order_release);
+  return seq;
+}
+
+// Copy the newest frame (if newer than last_seq) into out.  Returns the
+// frame seq, 0 if nothing newer, or (uint64_t)-1 if it did not fit / torn.
+uint64_t d2s_ring_read_latest(void* handle, uint8_t* out, uint32_t out_cap,
+                              uint32_t* width, uint32_t* height,
+                              uint32_t* channels, uint64_t* timestamp_ns,
+                              uint64_t last_seq) {
+  Ring* r = reinterpret_cast<Ring*>(handle);
+  for (int attempt = 0; attempt < 4; ++attempt) {
+    uint64_t seq = r->hdr->seq.load(std::memory_order_acquire);
+    if (seq == 0 || seq <= last_seq) return 0;
+    SlotHeader* s = slot_at(r, seq);
+    if (s->end_seq.load(std::memory_order_acquire) != seq) continue;  // mid-write
+    uint32_t bytes = s->bytes;
+    if (bytes > out_cap) return (uint64_t)-1;
+    uint32_t w = s->width, h = s->height, c = s->channels;
+    uint64_t ts = s->timestamp_ns;
+    memcpy(out, reinterpret_cast<uint8_t*>(s) + sizeof(SlotHeader), bytes);
+    // seqlock validate: the slot must not have been recycled mid-copy
+    if (s->start_seq.load(std::memory_order_acquire) == seq &&
+        s->end_seq.load(std::memory_order_acquire) == seq) {
+      *width = w;
+      *height = h;
+      *channels = c;
+      *timestamp_ns = ts;
+      return seq;
+    }
+  }
+  return (uint64_t)-1;
+}
+
+uint64_t d2s_ring_latest_seq(void* handle) {
+  Ring* r = reinterpret_cast<Ring*>(handle);
+  return r->hdr->seq.load(std::memory_order_acquire);
+}
+
+uint32_t d2s_ring_max_bytes(void* handle) {
+  return reinterpret_cast<Ring*>(handle)->hdr->max_bytes;
+}
+
+void d2s_ring_close(void* handle) {
+  Ring* r = reinterpret_cast<Ring*>(handle);
+  munmap(r->base, r->map_bytes);
+  close(r->fd);
+  if (r->owner) shm_unlink(r->name);
+  delete r;
+}
+
+// ---------------------------------------------------------------------------
+// X11 capture (libX11 via dlopen; optional XShm fast path via libXext)
+// ---------------------------------------------------------------------------
+
+struct XImageLike {  // prefix-compatible with Xlib's XImage
+  int width, height;
+  int xoffset;
+  int format;
+  char* data;
+  int byte_order;
+  int bitmap_unit;
+  int bitmap_bit_order;
+  int bitmap_pad;
+  int depth;
+  int bytes_per_line;
+  int bits_per_pixel;
+  // ... (remaining fields unused)
+};
+
+typedef void* (*XOpenDisplayFn)(const char*);
+typedef int (*XCloseDisplayFn)(void*);
+typedef unsigned long (*XDefaultRootWindowFn)(void*);
+typedef int (*XDefaultScreenFn)(void*);
+typedef int (*XDisplayWidthFn)(void*, int);
+typedef int (*XDisplayHeightFn)(void*, int);
+typedef XImageLike* (*XGetImageFn)(void*, unsigned long, int, int,
+                                   unsigned int, unsigned int, unsigned long,
+                                   int);
+typedef int (*XDestroyImageFn)(XImageLike*);
+
+struct X11Cap {
+  void* lib;
+  void* dpy;
+  unsigned long root;
+  int width, height;
+  XGetImageFn get_image;
+  XDestroyImageFn destroy_image;
+};
+
+void* d2s_x11_open(const char* display_name) {
+  void* lib = dlopen("libX11.so.6", RTLD_LAZY | RTLD_LOCAL);
+  if (!lib) lib = dlopen("libX11.so", RTLD_LAZY | RTLD_LOCAL);
+  if (!lib) return nullptr;
+  auto open_display = (XOpenDisplayFn)dlsym(lib, "XOpenDisplay");
+  auto default_root = (XDefaultRootWindowFn)dlsym(lib, "XDefaultRootWindow");
+  auto default_screen = (XDefaultScreenFn)dlsym(lib, "XDefaultScreen");
+  auto disp_w = (XDisplayWidthFn)dlsym(lib, "XDisplayWidth");
+  auto disp_h = (XDisplayHeightFn)dlsym(lib, "XDisplayHeight");
+  auto get_image = (XGetImageFn)dlsym(lib, "XGetImage");
+  auto destroy_image = (XDestroyImageFn)dlsym(lib, "XDestroyImage");
+  if (!open_display || !default_root || !get_image) {
+    dlclose(lib);
+    return nullptr;
+  }
+  void* dpy = open_display(display_name && display_name[0] ? display_name
+                                                           : nullptr);
+  if (!dpy) {
+    dlclose(lib);
+    return nullptr;
+  }
+  X11Cap* cap = new X11Cap();
+  cap->lib = lib;
+  cap->dpy = dpy;
+  cap->root = default_root(dpy);
+  int screen = default_screen ? default_screen(dpy) : 0;
+  cap->width = disp_w ? disp_w(dpy, screen) : 0;
+  cap->height = disp_h ? disp_h(dpy, screen) : 0;
+  cap->get_image = get_image;
+  cap->destroy_image = destroy_image;
+  return cap;
+}
+
+int d2s_x11_size(void* handle, int* width, int* height) {
+  X11Cap* cap = reinterpret_cast<X11Cap*>(handle);
+  *width = cap->width;
+  *height = cap->height;
+  return 0;
+}
+
+// Grab the root window as BGRA into out (w*h*4 bytes).  Returns 0 on ok.
+int d2s_x11_grab(void* handle, uint8_t* out, int w, int h) {
+  X11Cap* cap = reinterpret_cast<X11Cap*>(handle);
+  const unsigned long kAllPlanes = ~0UL;
+  const int kZPixmap = 2;
+  XImageLike* img =
+      cap->get_image(cap->dpy, cap->root, 0, 0, (unsigned)w, (unsigned)h,
+                     kAllPlanes, kZPixmap);
+  if (!img) return -1;
+  if (img->bits_per_pixel == 32) {
+    for (int y = 0; y < h && y < img->height; ++y) {
+      memcpy(out + (size_t)y * w * 4,
+             img->data + (size_t)y * img->bytes_per_line, (size_t)w * 4);
+    }
+  } else if (img->bits_per_pixel == 24) {
+    for (int y = 0; y < h && y < img->height; ++y) {
+      const uint8_t* src =
+          reinterpret_cast<uint8_t*>(img->data) + (size_t)y * img->bytes_per_line;
+      uint8_t* dst = out + (size_t)y * w * 4;
+      for (int x = 0; x < w; ++x) {
+        dst[4 * x + 0] = src[3 * x + 0];
+        dst[4 * x + 1] = src[3 * x + 1];
+        dst[4 * x + 2] = src[3 * x + 2];
+        dst[4 * x + 3] = 255;
+      }
+    }
+  } else {
+    if (cap->destroy_image) cap->destroy_image(img);
+    return -2;
+  }
+  if (cap->destroy_image) cap->destroy_image(img);
+  return 0;
+}
+
+void d2s_x11_close(void* handle) {
+  X11Cap* cap = reinterpret_cast<X11Cap*>(handle);
+  auto close_display = (XCloseDisplayFn)dlsym(cap->lib, "XCloseDisplay");
+  if (close_display) close_display(cap->dpy);
+  dlclose(cap->lib);
+  delete cap;
+}
+
+// ---------------------------------------------------------------------------
+// Frame pacer: drift-free absolute deadlines
+// ---------------------------------------------------------------------------
+
+uint64_t d2s_now_ns(void) {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return (uint64_t)ts.tv_sec * 1000000000ull + (uint64_t)ts.tv_nsec;
+}
+
+// Sleep until *deadline_ns, then advance it by interval_ns.  If the deadline
+// already slipped by more than one interval, resynchronize to now (drop the
+// backlog — latest-frame-wins pacing, like the reference's 1/FPS loop).
+// Returns the number of whole intervals skipped.
+uint32_t d2s_pace(uint64_t* deadline_ns, uint64_t interval_ns) {
+  uint64_t now = d2s_now_ns();
+  uint32_t skipped = 0;
+  if (*deadline_ns == 0) *deadline_ns = now + interval_ns;
+  if (now > *deadline_ns + interval_ns) {
+    skipped = (uint32_t)((now - *deadline_ns) / interval_ns);
+    *deadline_ns = now + interval_ns;
+  }
+  struct timespec ts;
+  ts.tv_sec = (time_t)(*deadline_ns / 1000000000ull);
+  ts.tv_nsec = (long)(*deadline_ns % 1000000000ull);
+  while (clock_nanosleep(CLOCK_MONOTONIC, TIMER_ABSTIME, &ts, nullptr) == EINTR) {
+  }
+  *deadline_ns += interval_ns;
+  return skipped;
+}
+
+}  // extern "C"
