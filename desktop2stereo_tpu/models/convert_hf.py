@@ -699,6 +699,177 @@ def convert_classic_dpt_decoder(
     return dec
 
 
+def convert_dpt_hybrid(state_dict: Any, spec: ModelSpec,
+                       depths=(3, 4, 9), num_layers: int = 12) -> Params:
+    """HF DPTForDepthEstimation(is_hybrid=True) → DPTHybrid params."""
+    sd = to_numpy_state_dict(state_dict)
+
+    def gn(prefix):
+        return {"norm": _layernorm(sd, prefix)}  # GroupNorm: weight/bias → scale/bias
+
+    bp = "dpt.embeddings.backbone.bit."
+    bit: Params = {
+        "stem": {
+            "conv": {"kernel": np.ascontiguousarray(
+                sd[bp + "embedder.convolution.weight"].transpose(2, 3, 1, 0))},
+            "norm": gn(bp + "embedder.norm"),
+        },
+    }
+    for s, depth in enumerate(depths):
+        for l in range(depth):
+            lp = f"{bp}encoder.stages.{s}.layers.{l}."
+            layer: Params = {}
+            for ci in (1, 2, 3):
+                layer[f"conv{ci}"] = {"kernel": np.ascontiguousarray(
+                    sd[lp + f"conv{ci}.weight"].transpose(2, 3, 1, 0))}
+                layer[f"norm{ci}"] = gn(lp + f"norm{ci}")
+            if lp + "downsample.conv.weight" in sd:
+                layer["downsample_conv"] = {"kernel": np.ascontiguousarray(
+                    sd[lp + "downsample.conv.weight"].transpose(2, 3, 1, 0))}
+                layer["downsample_norm"] = gn(lp + "downsample.norm")
+            bit[f"stage{s}_layer{l}"] = layer
+
+    params: Params = {
+        "bit": bit,
+        "projection": _conv(sd, "dpt.embeddings.projection"),
+        "cls_token": sd["dpt.embeddings.cls_token"],
+        "position_embeddings": sd["dpt.embeddings.position_embeddings"],
+    }
+    for i in range(num_layers):
+        lp = f"dpt.encoder.layer.{i}."
+        qw = sd[lp + "attention.attention.query.weight"]
+        kw = sd[lp + "attention.attention.key.weight"]
+        vw = sd[lp + "attention.attention.value.weight"]
+        params[f"layer_{i}"] = {
+            "norm1": _layernorm(sd, lp + "layernorm_before"),
+            "norm2": _layernorm(sd, lp + "layernorm_after"),
+            "qkv": {
+                "kernel": np.ascontiguousarray(np.concatenate([qw, kw, vw], 0).T),
+                "bias": np.concatenate([
+                    sd[lp + "attention.attention.query.bias"],
+                    sd[lp + "attention.attention.key.bias"],
+                    sd[lp + "attention.attention.value.bias"],
+                ]),
+            },
+            "proj": _linear(sd, lp + "attention.output.dense"),
+            "fc1": _linear(sd, lp + "intermediate.dense"),
+            "fc2": _linear(sd, lp + "output.dense"),
+        }
+
+    for si in (2, 3):
+        params[f"readout_{si}"] = _linear(
+            sd, f"neck.reassemble_stage.readout_projects.{si}.0")
+        rp = f"neck.reassemble_stage.layers.{si}."
+        layer = {"projection": _conv(sd, rp + "projection")}
+        if rp + "resize.weight" in sd:  # stage 3 stride-2 conv
+            layer["resize"] = _conv(sd, rp + "resize")
+        params[f"reassemble_{si}"] = layer
+    for i in range(4):
+        params[f"conv_{i}"] = _conv(sd, f"neck.convs.{i}", bias=False)
+    for j in range(4):
+        fp = f"neck.fusion_stage.layers.{j}."
+        layer = {
+            "projection": _conv(sd, fp + "projection"),
+            "res2": {
+                "conv1": _conv(sd, fp + "residual_layer2.convolution1"),
+                "conv2": _conv(sd, fp + "residual_layer2.convolution2"),
+            },
+        }
+        if j > 0:
+            layer["res1"] = {
+                "conv1": _conv(sd, fp + "residual_layer1.convolution1"),
+                "conv2": _conv(sd, fp + "residual_layer1.convolution2"),
+            }
+        params[f"fusion_{j}"] = layer
+    params["head_conv1"] = _conv(sd, "head.head.0")
+    params["head_conv2"] = _conv(sd, "head.head.2")
+    params["head_conv3"] = _conv(sd, "head.head.4")
+    return params
+
+
+def convert_depthpro(state_dict: Any, spec: ModelSpec, num_layers: int = 24,
+                     n_scaled: int = 3, n_hooks: int = 2) -> Params:
+    """HF DepthProForDepthEstimation → DepthPro params (FOV branch weights
+    are skipped; the stereo pipeline consumes depth only)."""
+    sd = to_numpy_state_dict(state_dict)
+
+    params: Params = {
+        "patch_encoder": convert_dinov2_backbone(
+            sd, num_layers, prefix="depth_pro.encoder.patch_encoder.model."),
+        "image_encoder": convert_dinov2_backbone(
+            sd, num_layers, prefix="depth_pro.encoder.image_encoder.model."),
+    }
+
+    up = "depth_pro.neck.feature_upsample."
+
+    def upsample_block(prefix: str, n_layers: int, bias: bool) -> Params:
+        block: Params = {}
+        for li in range(n_layers):
+            w = sd[f"{prefix}layers.{li}.weight"]
+            if w.ndim == 4 and w.shape[2] == 1 and w.shape[3] == 1:
+                # 1x1 projection Conv2d (out,in,1,1)
+                entry: Params = {"kernel": np.ascontiguousarray(w.transpose(2, 3, 1, 0))}
+            else:
+                # ConvTranspose2d (in,out,2,2) kept as-is
+                entry = {"kernel": w}
+            if bias and f"{prefix}layers.{li}.bias" in sd:
+                entry["bias"] = sd[f"{prefix}layers.{li}.bias"]
+            block[f"layers_{li}"] = entry
+        return block
+
+    params["image_block"] = upsample_block(up + "image_block.", 1, bias=True)
+    for i in range(n_scaled):
+        params[f"scaled_{i}"] = upsample_block(up + f"scaled_images.{i}.", 2, bias=False)
+    for i in range(n_hooks):
+        params[f"intermediate_{i}"] = upsample_block(
+            up + f"intermediate.{i}.", 3 + i, bias=False)
+    params["fuse_image_low_res"] = _conv(sd, "depth_pro.neck.fuse_image_with_low_res")
+    for i in range(4):
+        key = f"depth_pro.neck.feature_projection.projections.{i}.weight"
+        if key in sd:
+            params[f"projection_{i}"] = _conv(
+                sd, f"depth_pro.neck.feature_projection.projections.{i}", bias=False)
+
+    n_fusion = n_scaled + n_hooks
+    for j in range(n_fusion - 1):
+        fp = f"fusion_stage.intermediate.{j}."
+        layer: Params = {
+            "res2": {
+                "conv1": _conv(sd, fp + "residual_layer2.convolution1"),
+                "conv2": _conv(sd, fp + "residual_layer2.convolution2"),
+            },
+            "deconv": {"kernel": sd[fp + "deconv.weight"]},
+            "projection": _conv(sd, fp + "projection"),
+        }
+        if j > 0:  # first fusion layer never receives a residual
+            layer["res1"] = {
+                "conv1": _conv(sd, fp + "residual_layer1.convolution1"),
+                "conv2": _conv(sd, fp + "residual_layer1.convolution2"),
+            }
+        params[f"fusion_{j}"] = layer
+    fp = "fusion_stage.final."
+    params["fusion_final"] = {
+        "res1": {
+            "conv1": _conv(sd, fp + "residual_layer1.convolution1"),
+            "conv2": _conv(sd, fp + "residual_layer1.convolution2"),
+        },
+        "res2": {
+            "conv1": _conv(sd, fp + "residual_layer2.convolution1"),
+            "conv2": _conv(sd, fp + "residual_layer2.convolution2"),
+        },
+        "projection": _conv(sd, fp + "projection"),
+    }
+
+    params["head_conv1"] = _conv(sd, "head.layers.0")
+    params["head_deconv"] = {
+        "kernel": sd["head.layers.1.weight"],
+        "bias": sd["head.layers.1.bias"],
+    }
+    params["head_conv2"] = _conv(sd, "head.layers.2")
+    params["head_conv3"] = _conv(sd, "head.layers.4")
+    return params
+
+
 def param_count(params: Params) -> int:
     import jax
 

@@ -178,11 +178,16 @@ class Dinov2Encoder(nn.Module):
     layer_norm_eps: float = 1e-6
     apply_final_layernorm: bool = True
     interpolate_offset: float = 0.0
+    pretrain_grid: int = 37
+    # When set, only these out_layers get the final LayerNorm (DepthPro's
+    # intermediate hooks consume RAW hidden states while the last hidden
+    # state is normed — HF Dinov2Model semantics).
+    final_norm_indices: Optional[Tuple[int, ...]] = None
 
     @nn.compact
     def __call__(self, pixels: jax.Array) -> Tuple[jax.Array, ...]:
         x = Dinov2Embeddings(
-            self.hidden_size, self.patch_size,
+            self.hidden_size, self.patch_size, pretrain_grid=self.pretrain_grid,
             interpolate_offset=self.interpolate_offset, name="embeddings",
         )(pixels)
         outputs = []
@@ -200,5 +205,9 @@ class Dinov2Encoder(nn.Module):
                 break  # trailing layers feed nothing (DA uses up to layer 11/23/39)
         if self.apply_final_layernorm:
             ln = nn.LayerNorm(epsilon=self.layer_norm_eps, name="layernorm", dtype=x.dtype)
-            outputs = [ln(o) for o in outputs]
+            ordered = sorted(self.out_layers)
+            norm_set = (set(self.final_norm_indices)
+                        if self.final_norm_indices is not None else set(ordered))
+            outputs = [ln(o) if ordered[i] in norm_set else o
+                       for i, o in enumerate(outputs)]
         return tuple(outputs)

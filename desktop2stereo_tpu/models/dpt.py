@@ -30,6 +30,7 @@ class ConvTransposeSameStride(nn.Module):
 
     channels: int
     factor: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -38,13 +39,15 @@ class ConvTransposeSameStride(nn.Module):
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (C, self.channels, f, f)
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
         y = jnp.einsum(
             "bhwc,cogk->bhgwko", x, kernel.astype(x.dtype),
             preferred_element_type=x.dtype,
         )
         y = y.reshape(B, H * f, W * f, self.channels)
-        return y + bias.astype(x.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+            y = y + bias.astype(x.dtype)
+        return y
 
 
 class ReassembleLayer(nn.Module):

@@ -105,15 +105,22 @@ def build_model(
 
         return build_dpt_beit(spec, checkpoint, param_dtype, rng_seed, init_size)
 
+    if spec.family == "dpt_hybrid":
+        from desktop2stereo_tpu.models.dpt_hybrid import build_dpt_hybrid
+
+        return build_dpt_hybrid(spec, checkpoint, param_dtype, rng_seed, init_size)
+
     if spec.family == "zoedepth":
         from desktop2stereo_tpu.models.zoedepth import build_zoedepth
 
         return build_zoedepth(spec, checkpoint, param_dtype, rng_seed, init_size)
 
-    raise NotImplementedError(
-        f"model family {spec.family!r} ({name}) is not implemented yet; "
-        f"available: depth_anything, dpt_dinov2, vda, da3, infinidepth"
-    )
+    if spec.family == "depthpro":
+        from desktop2stereo_tpu.models.depthpro import build_depthpro
+
+        return build_depthpro(spec, checkpoint, param_dtype, rng_seed, init_size)
+
+    raise NotImplementedError(f"model family {spec.family!r} ({name}) is not implemented")
 
 
 def build_bound(

@@ -96,3 +96,16 @@ def test_upload_roundtrip():
     x = np.arange(12, dtype=np.float32).reshape(3, 4)
     y = runtime.upload(x)
     assert np.array_equal(np.asarray(y), x)
+
+
+def test_factory_covers_every_registry_family():
+    """Every family in the registry must have a factory dispatch branch."""
+    import inspect
+
+    from desktop2stereo_tpu.core.registry import MODEL_REGISTRY
+    from desktop2stereo_tpu.models import factory
+
+    src = inspect.getsource(factory.build_model)
+    families = {spec.family for spec in MODEL_REGISTRY.values()}
+    for fam in families:
+        assert f'"{fam}"' in src, f"factory has no branch for family {fam!r}"
