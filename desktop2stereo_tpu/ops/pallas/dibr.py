@@ -169,6 +169,233 @@ def _dibr_kernel(px_ref, conf_ref,
         out_ref[c] = color[c] + conf * (filled - color[c])
 
 
+def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
+                      dep_u_ref, dep_c_ref, dep_d_ref,
+                      out_l_ref, out_r_ref, *,
+                      kmax: int, search_radius: int, depth_tolerance: float,
+                      eye_offset: float, depth_strength: float,
+                      convergence: float, edge_margin: float,
+                      width: int, vshift: int, tile_h: int, tile_idx_max: int):
+    """Both eyes in one pass: depth pre-smooth + shaping + edge falloff +
+    per-eye warp/confidence + shared inpaint sweeps + blends (the whole
+    dibr_render body, reference viewer.py:528-631)."""
+    th = tile_h
+    wp = dep_c_ref.shape[2]
+    ng = wp // LANES
+    i = pl.program_id(0)
+
+    rgb = [rgb_c_ref[c] for c in range(3)]
+    dep_raw = dep_c_ref[0]
+
+    # --- constant-offset depth taps (static-shift lerps) --------------------
+    def tap(off: float):
+        i0 = math.floor(off)
+        f = off - i0
+        a = _shift_cols_clamp(dep_raw, i0)
+        if f == 0.0:
+            return a
+        return a * (1.0 - f) + _shift_cols_clamp(dep_raw, i0 + 1) * f
+
+    # per-eye parallax signs: right eye (eye_offset>0) has par_sign +1
+    smooth = {}
+    conf_taps = {}
+    for sign in (-1.0, 1.0):
+        dm = tap(-sign * 1.5)
+        dp_ = tap(+sign * 1.5)
+        smooth[sign] = dep_raw * 0.7 + dm * 0.15 + dp_ * 0.15
+        conf_taps[sign] = (tap(-sign * 2.0), tap(+sign * 2.0))
+
+    # --- edge falloff (smoothstep at both borders) ---------------------------
+    col = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1).astype(jnp.float32)
+    u = (col + 0.5) / width
+    e1 = jnp.clip(u / edge_margin, 0.0, 1.0)
+    e1 = e1 * e1 * (3.0 - 2.0 * e1)
+    e2 = jnp.clip((1.0 - u) / edge_margin, 0.0, 1.0)
+    e2 = e2 * e2 * (3.0 - 2.0 * e2)
+    falloff = e1 * e2
+
+    g_idx = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1) // LANES
+
+    def flat2(x):
+        return x.reshape(th * ng, LANES)
+
+    def warp(eye: float):
+        sign = 1.0 if eye > 0 else -1.0
+        d = smooth[sign]
+        depth_shaped = (-d) * (1.0 + 0.35 * (1.0 - d))
+        shift_uv = eye * (depth_shaped + convergence) * depth_strength * falloff
+        px = col - shift_uv * width
+        oob = jnp.logical_or(px < 0.0, px > width - 1.0)
+        pxc = jnp.clip(px, 0.0, width - 1.0)
+        i0f = jnp.floor(pxc)
+        frac = flat2(pxc - i0f)
+        i0 = i0f.astype(jnp.int32)
+        q0, r0 = flat2(i0 // LANES - g_idx), flat2(i0 % LANES)
+        i1 = i0 + 1
+        q1, r1 = flat2(i1 // LANES - g_idx), flat2(i1 % LANES)
+        color = []
+        for c in range(3):
+            fc = flat2(rgb[c])
+            g0 = _gather_rows(fc, q0, r0, kmax)
+            g1 = _gather_rows(fc, q1, r1, kmax)
+            color.append((g0 * (1.0 - frac) + g1 * frac).reshape(th, wp))
+        # soft disocclusion confidence
+        d_l, d_r = conf_taps[sign]
+        jump = jnp.abs(d_l - d_r)
+        t = jnp.clip((jump - 0.04) / (0.10 - 0.04), 0.0, 1.0)
+        conf = t * t * (3.0 - 2.0 * t)
+        conf = jnp.where(oob, 1.0, conf)
+        return color, conf, d
+
+    # --- shared-shift inpaint sweeps ----------------------------------------
+    def fill(d, sweep_sign, par_sign):
+        cdi = -d
+
+        def sweep(direction, decay, use_depth_weight):
+            colors = [jnp.zeros((th, wp), jnp.float32) for _ in range(3)]
+            weights = jnp.zeros((th, wp), jnp.float32)
+            cum = jnp.zeros((th, wp), jnp.float32)
+            for t in range(1, search_radius + 1):
+                off = int(direction * t)
+                s_depth_inv = 1.0 - _shift_cols_clamp(d, off)
+                is_bg = s_depth_inv > cdi + depth_tolerance
+                dist_w = math.exp(-float(t) * decay)
+                if use_depth_weight:
+                    w = dist_w * (1.0 + (s_depth_inv - cdi) * 10.0)
+                else:
+                    w = jnp.full((th, wp), dist_w, jnp.float32)
+                w = jnp.where(jnp.logical_and(is_bg, cum <= 5.0), w, 0.0)
+                for c in range(3):
+                    colors[c] = colors[c] + _shift_cols_clamp(rgb[c], off) * w
+                weights = weights + w
+                cum = cum + w
+            return colors, weights
+
+        fwd_c, fwd_w = sweep(sweep_sign, 0.15, True)
+        bwd_c, bwd_w = sweep(-sweep_sign, 0.2, False)
+        need_bwd = fwd_w < 2.0
+        best_c = [fwd_c[c] + jnp.where(need_bwd, bwd_c[c], 0.0) for c in range(3)]
+        best_w = fwd_w + jnp.where(need_bwd, bwd_w, 0.0)
+        found = best_w > 0.01
+        inv_w = 1.0 / jnp.maximum(best_w, 1e-12)
+        vert_c = [best_c[c] * inv_w * 0.5 for c in range(3)]
+        vert_w = jnp.full((th, wp), 0.5, jnp.float32)
+
+        up_ok = i > 0
+        dn_ok = i < tile_idx_max
+
+        def row_shifted(refs, off):
+            up, cen, dn = refs
+            if off < 0:
+                span = jnp.concatenate([up[th + off:], cen[:th + off]], axis=0)
+                edge = jnp.concatenate(
+                    [jnp.repeat(cen[:1], -off, axis=0), cen[:th + off]], axis=0)
+                return jnp.where(up_ok, span, edge)
+            span = jnp.concatenate([cen[off:], dn[:off]], axis=0)
+            edge = jnp.concatenate(
+                [cen[off:], jnp.repeat(cen[th - 1:th], off, axis=0)], axis=0)
+            return jnp.where(dn_ok, span, edge)
+
+        for off in (-vshift, vshift):
+            v_raw = row_shifted((dep_u_ref[0], dep_raw, dep_d_ref[0]), off)
+            # the jnp path blurs with row-shifted SMOOTHED depth; smoothing
+            # is horizontal-only, so smooth the shifted raw rows (exact)
+            def htap(x, o):
+                i0 = math.floor(o)
+                f = o - i0
+                a = _shift_cols_clamp(x, i0)
+                return a if f == 0.0 else a * (1.0 - f) + _shift_cols_clamp(x, i0 + 1) * f
+            v_d = (v_raw * 0.7 + htap(v_raw, -par_sign * 1.5) * 0.15
+                   + htap(v_raw, +par_sign * 1.5) * 0.15)
+            ok = (1.0 - v_d) > cdi + depth_tolerance * 0.5
+            w = jnp.where(ok, 0.25, 0.0)
+            for c in range(3):
+                v_rgb = row_shifted((rgb_u_ref[c], rgb[c], rgb_d_ref[c]), off)
+                vert_c[c] = vert_c[c] + v_rgb * w
+            vert_w = vert_w + w
+        inv_vw = 1.0 / vert_w
+        return [jnp.where(found, vert_c[c] * inv_vw, rgb[c]) for c in range(3)], found
+
+    for eye, out_ref in ((-abs(eye_offset), out_l_ref), (abs(eye_offset), out_r_ref)):
+        color, conf, d = warp(eye)
+        par_sign = 1.0 if eye > 0 else -1.0
+        sweep_sign = -1.0 if eye > 0 else 1.0
+        filled, _ = fill(d, sweep_sign, par_sign)
+        for c in range(3):
+            out_ref[c] = color[c] + conf * (filled[c] - color[c])
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("ipd", "depth_strength", "convergence", "search_radius",
+                     "depth_tolerance", "edge_margin", "vshift", "interpret"),
+)
+def dibr_render_pair(
+    rgb: jax.Array,          # [H, W, 3] f32, 0..255
+    depth: jax.Array,        # [H, W] f32 post-processed depth in [0,1]
+    ipd: float = 0.064,
+    depth_strength: float = 1.0,
+    convergence: float = 0.0,
+    search_radius: int = 12,
+    depth_tolerance: float = 0.012,
+    edge_margin: float = 0.05,
+    vshift: int = 2,
+    interpret: bool = False,
+):
+    """Both stereo eyes in ONE fused pass (shares the rgb/depth reads and
+    all inpaint shift work between eyes).  Returns (left, right)."""
+    H, W, C = rgb.shape
+    assert C == 3
+    wp = _round_up(W, LANES)
+    # Both eyes live in-flight at once → ~2× the single-eye register
+    # pressure; shrink the row tile at wide frames so spills stay in VMEM.
+    tile_h = 32 if wp >= 2048 else TILE_H
+    hp = _round_up(H, tile_h)
+    max_disp = int(abs(ipd / 2.0) * (1.35 + abs(convergence)) * depth_strength * W) + 2
+    kmax = max_disp // LANES + 2
+    nt = hp // tile_h
+
+    rgbp = jnp.pad(rgb, ((0, hp - H), (0, wp - W), (0, 0)), mode="edge")
+    rgbp = rgbp.astype(jnp.float32).transpose(2, 0, 1)
+    depp = jnp.pad(depth.astype(jnp.float32), ((0, hp - H), (0, wp - W)),
+                   mode="edge")[None]
+
+    def spec(chans, off):
+        return pl.BlockSpec(
+            (chans, tile_h, wp),
+            lambda i, _o=off: (0, jnp.clip(i + _o, 0, nt - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    out_l, out_r = pl.pallas_call(
+        functools.partial(
+            _dibr_pair_kernel, kmax=kmax, search_radius=search_radius,
+            depth_tolerance=depth_tolerance, eye_offset=ipd / 2.0,
+            depth_strength=depth_strength, convergence=convergence,
+            edge_margin=edge_margin, width=W, vshift=vshift,
+            tile_h=tile_h, tile_idx_max=nt - 1,
+        ),
+        out_shape=(jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+                   jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)),
+        grid=(nt,),
+        in_specs=[
+            spec(3, -1), spec(3, 0), spec(3, 1),
+            spec(1, -1), spec(1, 0), spec(1, 1),
+        ],
+        out_specs=(
+            pl.BlockSpec((3, tile_h, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, tile_h, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(rgbp, rgbp, rgbp, depp, depp, depp)
+    left = out_l.transpose(1, 2, 0)[:H, :W]
+    right = out_r.transpose(1, 2, 0)[:H, :W]
+    return left, right
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("max_disp", "search_radius", "depth_tolerance",

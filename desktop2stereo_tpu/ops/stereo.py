@@ -402,6 +402,18 @@ def stereo_compose(
         d = jnp.clip(depth, 0.0, 1.0) * 255.0
         return jnp.stack([d, d, d], axis=-1)
     if quality == "high":
+        if _on_tpu():
+            try:
+                from desktop2stereo_tpu.ops.pallas.dibr import dibr_render_pair
+
+                left, right = dibr_render_pair(
+                    rgb.astype(jnp.float32), depth.astype(jnp.float32),
+                    ipd=ipd, depth_strength=depth_strength,
+                    convergence=convergence,
+                )
+                return jnp.clip(compose_display(left, right, display_mode), 0.0, 255.0)
+            except Exception:
+                pass  # fall back to per-eye path
         left = dibr_render(rgb, depth, -ipd / 2.0, depth_strength, convergence)
         right = dibr_render(rgb, depth, +ipd / 2.0, depth_strength, convergence)
         return jnp.clip(compose_display(left, right, display_mode), 0.0, 255.0)

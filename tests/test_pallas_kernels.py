@@ -53,3 +53,23 @@ def test_dibr_render_cpu_uses_jnp_path():
     out = S.dibr_render(rgb, depth, -0.032)
     assert out.shape == rgb.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_dibr_pair_kernel_matches_per_eye_jnp():
+    """The fused both-eyes kernel ≡ two jnp dibr_render calls."""
+    from desktop2stereo_tpu.ops.pallas.dibr import dibr_render_pair
+
+    rng = np.random.default_rng(3)
+    H, W = 96, 256
+    rgb = jnp.asarray(rng.random((H, W, 3)) * 255.0, jnp.float32)
+    depth = jnp.asarray(rng.random((H, W)), jnp.float32)
+    ipd, strength, conv = 0.064, 1.0, 0.01
+
+    left, right = dibr_render_pair(
+        rgb, depth, ipd=ipd, depth_strength=strength, convergence=conv,
+        interpret=True,
+    )
+    want_l = np.asarray(S.dibr_render(rgb, depth, -ipd / 2, strength, conv))
+    want_r = np.asarray(S.dibr_render(rgb, depth, +ipd / 2, strength, conv))
+    np.testing.assert_allclose(np.asarray(left), want_l, atol=1e-3, rtol=1e-3)
+    np.testing.assert_allclose(np.asarray(right), want_r, atol=1e-3, rtol=1e-3)
