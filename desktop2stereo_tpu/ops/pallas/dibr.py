@@ -47,9 +47,9 @@ def _shift_cols_clamp(x: jax.Array, off: int) -> jax.Array:
 
 
 def _gather_rows(flat_c: jax.Array, q_rel: jax.Array, r_idx: jax.Array,
-                 kmax: int) -> jax.Array:
+                 dq_lo: int, dq_hi: int) -> jax.Array:
     out = jnp.zeros_like(flat_c)
-    for dq in range(-kmax, kmax + 1):
+    for dq in range(dq_lo, dq_hi + 1):
         if dq > 0:
             shifted = jnp.concatenate([flat_c[dq:], flat_c[-1:].repeat(dq, 0)], 0)
         elif dq < 0:
@@ -94,8 +94,8 @@ def _dibr_kernel(px_ref, conf_ref,
     color = []
     for c in range(3):
         fc = flat2(rgb[c])
-        g0 = _gather_rows(fc, q0, r0, kmax)
-        g1 = _gather_rows(fc, q1, r1, kmax)
+        g0 = _gather_rows(fc, q0, r0, -kmax, kmax)
+        g1 = _gather_rows(fc, q1, r1, -kmax, kmax)
         color.append((g0 * (1.0 - frac_f) + g1 * frac_f).reshape(th, wp))
 
     # --- 2. push-pull inpaint (reference viewer.py:437-506) -----------------
@@ -103,8 +103,9 @@ def _dibr_kernel(px_ref, conf_ref,
 
     def sweep(direction: float, decay: float, use_depth_weight: bool):
         colors = [jnp.zeros((th, wp), jnp.float32) for _ in range(3)]
+        # the reference's cum-gate accumulator is identical to the weight
+        # sum (both add w every tap), so one accumulator serves as both
         weights = jnp.zeros((th, wp), jnp.float32)
-        cum = jnp.zeros((th, wp), jnp.float32)
         for t in range(1, search_radius + 1):
             off = int(direction * t)
             s_depth_inv = 1.0 - _shift_cols_clamp(dep, off)
@@ -114,12 +115,11 @@ def _dibr_kernel(px_ref, conf_ref,
                 w = dist_w * (1.0 + (s_depth_inv - cdi) * 10.0)
             else:
                 w = jnp.full((th, wp), dist_w, jnp.float32)
-            active = jnp.logical_and(is_bg, cum <= 5.0)
+            active = jnp.logical_and(is_bg, weights <= 5.0)
             w = jnp.where(active, w, 0.0)
             for c in range(3):
                 colors[c] = colors[c] + _shift_cols_clamp(rgb[c], off) * w
             weights = weights + w
-            cum = cum + w
         return colors, weights
 
     fwd_c, fwd_w = sweep(sweep_sign, 0.15, True)
@@ -172,13 +172,21 @@ def _dibr_kernel(px_ref, conf_ref,
 def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
                       dep_u_ref, dep_c_ref, dep_d_ref,
                       out_l_ref, out_r_ref, *,
-                      kmax: int, search_radius: int, depth_tolerance: float,
+                      dq_l: Tuple[int, int], dq_r: Tuple[int, int],
+                      search_radius: int, depth_tolerance: float,
                       eye_offset: float, depth_strength: float,
                       convergence: float, edge_margin: float,
                       width: int, vshift: int, tile_h: int, tile_idx_max: int):
     """Both eyes in one pass: depth pre-smooth + shaping + edge falloff +
     per-eye warp/confidence + shared inpaint sweeps + blends (the whole
-    dibr_render body, reference viewer.py:528-631)."""
+    dibr_render body, reference viewer.py:528-631).
+
+    Eye-sharing: the 3-tap pre-smooth and disocclusion jump are SYMMETRIC
+    sums (tap(-1.5s)+tap(+1.5s) is sign-invariant), so the smoothed depth,
+    confidence base, background masks and every shifted column/row array
+    are identical for both eyes — computed once.  Only the warp direction,
+    the sweep-role pairing (which direction is depth-weighted) and the
+    final blends are per-eye."""
     th = tile_h
     wp = dep_c_ref.shape[2]
     ng = wp // LANES
@@ -187,23 +195,23 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
     rgb = [rgb_c_ref[c] for c in range(3)]
     dep_raw = dep_c_ref[0]
 
-    # --- constant-offset depth taps (static-shift lerps) --------------------
-    def tap(off: float):
+    def htap(x, off: float):
+        """Constant-offset column tap as static-shift lerp."""
         i0 = math.floor(off)
         f = off - i0
-        a = _shift_cols_clamp(dep_raw, i0)
+        a = _shift_cols_clamp(x, i0)
         if f == 0.0:
             return a
-        return a * (1.0 - f) + _shift_cols_clamp(dep_raw, i0 + 1) * f
+        return a * (1.0 - f) + _shift_cols_clamp(x, i0 + 1) * f
 
-    # per-eye parallax signs: right eye (eye_offset>0) has par_sign +1
-    smooth = {}
-    conf_taps = {}
-    for sign in (-1.0, 1.0):
-        dm = tap(-sign * 1.5)
-        dp_ = tap(+sign * 1.5)
-        smooth[sign] = dep_raw * 0.7 + dm * 0.15 + dp_ * 0.15
-        conf_taps[sign] = (tap(-sign * 2.0), tap(+sign * 2.0))
+    # --- eye-independent depth work ------------------------------------------
+    smooth = (dep_raw * 0.7 + htap(dep_raw, -1.5) * 0.15
+              + htap(dep_raw, +1.5) * 0.15)
+    cdi = -smooth
+    jump = jnp.abs(htap(dep_raw, -2.0) - htap(dep_raw, +2.0))
+    t_ = jnp.clip((jump - 0.04) / (0.10 - 0.04), 0.0, 1.0)
+    conf_base = t_ * t_ * (3.0 - 2.0 * t_)
+    depth_shaped = (-smooth) * (1.0 + 0.35 * (1.0 - smooth))
 
     # --- edge falloff (smoothstep at both borders) ---------------------------
     col = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1).astype(jnp.float32)
@@ -212,19 +220,15 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
     e1 = e1 * e1 * (3.0 - 2.0 * e1)
     e2 = jnp.clip((1.0 - u) / edge_margin, 0.0, 1.0)
     e2 = e2 * e2 * (3.0 - 2.0 * e2)
-    falloff = e1 * e2
+    shift_base = (depth_shaped + convergence) * depth_strength * (e1 * e2)
 
     g_idx = jax.lax.broadcasted_iota(jnp.int32, (th, wp), 1) // LANES
 
     def flat2(x):
         return x.reshape(th * ng, LANES)
 
-    def warp(eye: float):
-        sign = 1.0 if eye > 0 else -1.0
-        d = smooth[sign]
-        depth_shaped = (-d) * (1.0 + 0.35 * (1.0 - d))
-        shift_uv = eye * (depth_shaped + convergence) * depth_strength * falloff
-        px = col - shift_uv * width
+    def warp(eye: float, dq: Tuple[int, int]):
+        px = col - (eye * shift_base) * width
         oob = jnp.logical_or(px < 0.0, px > width - 1.0)
         pxc = jnp.clip(px, 0.0, width - 1.0)
         i0f = jnp.floor(pxc)
@@ -236,93 +240,89 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
         color = []
         for c in range(3):
             fc = flat2(rgb[c])
-            g0 = _gather_rows(fc, q0, r0, kmax)
-            g1 = _gather_rows(fc, q1, r1, kmax)
+            g0 = _gather_rows(fc, q0, r0, dq[0], dq[1])
+            g1 = _gather_rows(fc, q1, r1, dq[0], dq[1])
             color.append((g0 * (1.0 - frac) + g1 * frac).reshape(th, wp))
-        # soft disocclusion confidence
-        d_l, d_r = conf_taps[sign]
-        jump = jnp.abs(d_l - d_r)
-        t = jnp.clip((jump - 0.04) / (0.10 - 0.04), 0.0, 1.0)
-        conf = t * t * (3.0 - 2.0 * t)
-        conf = jnp.where(oob, 1.0, conf)
-        return color, conf, d
+        conf = jnp.where(oob, 1.0, conf_base)
+        return color, conf
 
-    # --- shared-shift inpaint sweeps ----------------------------------------
-    def fill(d, sweep_sign, par_sign):
-        cdi = -d
+    # --- inpaint sweeps: one pass per direction feeds BOTH eyes --------------
+    # For each direction the depth-weighted role (decay .15) is the forward
+    # sweep of one eye while the plain role (decay .2) is the backward sweep
+    # of the other — the shifted depth/rgb taps are shared.
+    def sweep_dir(direction: int):
+        # the reference's cum-gate accumulator is identical to the weight sum
+        # (both add w every tap), so one accumulator serves as both
+        dwc = [jnp.zeros((th, wp), jnp.float32) for _ in range(3)]
+        dww = jnp.zeros((th, wp), jnp.float32)
+        plc = [jnp.zeros((th, wp), jnp.float32) for _ in range(3)]
+        plw = jnp.zeros((th, wp), jnp.float32)
+        for t in range(1, search_radius + 1):
+            off = direction * t
+            s_depth_inv = 1.0 - _shift_cols_clamp(smooth, off)
+            is_bg = s_depth_inv > cdi + depth_tolerance
+            s_rgb = [_shift_cols_clamp(rgb[c], off) for c in range(3)]
+            w_dw = math.exp(-float(t) * 0.15) * (1.0 + (s_depth_inv - cdi) * 10.0)
+            w_dw = jnp.where(jnp.logical_and(is_bg, dww <= 5.0), w_dw, 0.0)
+            w_pl = jnp.where(jnp.logical_and(is_bg, plw <= 5.0),
+                             math.exp(-float(t) * 0.2), 0.0)
+            for c in range(3):
+                dwc[c] = dwc[c] + s_rgb[c] * w_dw
+                plc[c] = plc[c] + s_rgb[c] * w_pl
+            dww = dww + w_dw
+            plw = plw + w_pl
+        return (dwc, dww), (plc, plw)
 
-        def sweep(direction, decay, use_depth_weight):
-            colors = [jnp.zeros((th, wp), jnp.float32) for _ in range(3)]
-            weights = jnp.zeros((th, wp), jnp.float32)
-            cum = jnp.zeros((th, wp), jnp.float32)
-            for t in range(1, search_radius + 1):
-                off = int(direction * t)
-                s_depth_inv = 1.0 - _shift_cols_clamp(d, off)
-                is_bg = s_depth_inv > cdi + depth_tolerance
-                dist_w = math.exp(-float(t) * decay)
-                if use_depth_weight:
-                    w = dist_w * (1.0 + (s_depth_inv - cdi) * 10.0)
-                else:
-                    w = jnp.full((th, wp), dist_w, jnp.float32)
-                w = jnp.where(jnp.logical_and(is_bg, cum <= 5.0), w, 0.0)
-                for c in range(3):
-                    colors[c] = colors[c] + _shift_cols_clamp(rgb[c], off) * w
-                weights = weights + w
-                cum = cum + w
-            return colors, weights
+    dw_pos, pl_pos = sweep_dir(+1)
+    dw_neg, pl_neg = sweep_dir(-1)
 
-        fwd_c, fwd_w = sweep(sweep_sign, 0.15, True)
-        bwd_c, bwd_w = sweep(-sweep_sign, 0.2, False)
+    # --- vertical blur taps (fully eye-independent) ---------------------------
+    up_ok = i > 0
+    dn_ok = i < tile_idx_max
+
+    def row_shifted(refs, off):
+        up, cen, dn = refs
+        if off < 0:
+            span = jnp.concatenate([up[th + off:], cen[:th + off]], axis=0)
+            edge = jnp.concatenate(
+                [jnp.repeat(cen[:1], -off, axis=0), cen[:th + off]], axis=0)
+            return jnp.where(up_ok, span, edge)
+        span = jnp.concatenate([cen[off:], dn[:off]], axis=0)
+        edge = jnp.concatenate(
+            [cen[off:], jnp.repeat(cen[th - 1:th], off, axis=0)], axis=0)
+        return jnp.where(dn_ok, span, edge)
+
+    vadd_c = [jnp.zeros((th, wp), jnp.float32) for _ in range(3)]
+    vert_w = jnp.full((th, wp), 0.5, jnp.float32)
+    for off in (-vshift, vshift):
+        v_raw = row_shifted((dep_u_ref[0], dep_raw, dep_d_ref[0]), off)
+        # the jnp path blurs with row-shifted SMOOTHED depth; smoothing is
+        # horizontal-only, so smooth the shifted raw rows (exact)
+        v_d = v_raw * 0.7 + htap(v_raw, -1.5) * 0.15 + htap(v_raw, +1.5) * 0.15
+        ok = (1.0 - v_d) > cdi + depth_tolerance * 0.5
+        w = jnp.where(ok, 0.25, 0.0)
+        for c in range(3):
+            v_rgb = row_shifted((rgb_u_ref[c], rgb[c], rgb_d_ref[c]), off)
+            vadd_c[c] = vadd_c[c] + v_rgb * w
+        vert_w = vert_w + w
+    inv_vw = 1.0 / vert_w
+
+    # --- per-eye: warp + role pairing + blend ---------------------------------
+    # left eye (eye<0) sweeps forward in +1; right eye forward in -1
+    eye_cfg = (
+        (-abs(eye_offset), dq_l, dw_pos, pl_neg, out_l_ref),
+        (+abs(eye_offset), dq_r, dw_neg, pl_pos, out_r_ref),
+    )
+    for eye, dq, (fwd_c, fwd_w), (bwd_c, bwd_w), out_ref in eye_cfg:
+        color, conf = warp(eye, dq)
         need_bwd = fwd_w < 2.0
-        best_c = [fwd_c[c] + jnp.where(need_bwd, bwd_c[c], 0.0) for c in range(3)]
         best_w = fwd_w + jnp.where(need_bwd, bwd_w, 0.0)
         found = best_w > 0.01
-        inv_w = 1.0 / jnp.maximum(best_w, 1e-12)
-        vert_c = [best_c[c] * inv_w * 0.5 for c in range(3)]
-        vert_w = jnp.full((th, wp), 0.5, jnp.float32)
-
-        up_ok = i > 0
-        dn_ok = i < tile_idx_max
-
-        def row_shifted(refs, off):
-            up, cen, dn = refs
-            if off < 0:
-                span = jnp.concatenate([up[th + off:], cen[:th + off]], axis=0)
-                edge = jnp.concatenate(
-                    [jnp.repeat(cen[:1], -off, axis=0), cen[:th + off]], axis=0)
-                return jnp.where(up_ok, span, edge)
-            span = jnp.concatenate([cen[off:], dn[:off]], axis=0)
-            edge = jnp.concatenate(
-                [cen[off:], jnp.repeat(cen[th - 1:th], off, axis=0)], axis=0)
-            return jnp.where(dn_ok, span, edge)
-
-        for off in (-vshift, vshift):
-            v_raw = row_shifted((dep_u_ref[0], dep_raw, dep_d_ref[0]), off)
-            # the jnp path blurs with row-shifted SMOOTHED depth; smoothing
-            # is horizontal-only, so smooth the shifted raw rows (exact)
-            def htap(x, o):
-                i0 = math.floor(o)
-                f = o - i0
-                a = _shift_cols_clamp(x, i0)
-                return a if f == 0.0 else a * (1.0 - f) + _shift_cols_clamp(x, i0 + 1) * f
-            v_d = (v_raw * 0.7 + htap(v_raw, -par_sign * 1.5) * 0.15
-                   + htap(v_raw, +par_sign * 1.5) * 0.15)
-            ok = (1.0 - v_d) > cdi + depth_tolerance * 0.5
-            w = jnp.where(ok, 0.25, 0.0)
-            for c in range(3):
-                v_rgb = row_shifted((rgb_u_ref[c], rgb[c], rgb_d_ref[c]), off)
-                vert_c[c] = vert_c[c] + v_rgb * w
-            vert_w = vert_w + w
-        inv_vw = 1.0 / vert_w
-        return [jnp.where(found, vert_c[c] * inv_vw, rgb[c]) for c in range(3)], found
-
-    for eye, out_ref in ((-abs(eye_offset), out_l_ref), (abs(eye_offset), out_r_ref)):
-        color, conf, d = warp(eye)
-        par_sign = 1.0 if eye > 0 else -1.0
-        sweep_sign = -1.0 if eye > 0 else 1.0
-        filled, _ = fill(d, sweep_sign, par_sign)
+        scale = 0.5 / jnp.maximum(best_w, 1e-12)
         for c in range(3):
-            out_ref[c] = color[c] + conf * (filled[c] - color[c])
+            best_c = fwd_c[c] + jnp.where(need_bwd, bwd_c[c], 0.0)
+            filled = jnp.where(found, (best_c * scale + vadd_c[c]) * inv_vw, rgb[c])
+            out_ref[c] = color[c] + conf * (filled - color[c])
 
 
 @functools.partial(
@@ -351,9 +351,22 @@ def dibr_render_pair(
     # pressure; shrink the row tile at wide frames so spills stay in VMEM.
     tile_h = 32 if wp >= 2048 else TILE_H
     hp = _round_up(H, tile_h)
-    max_disp = int(abs(ipd / 2.0) * (1.35 + abs(convergence)) * depth_strength * W) + 2
-    kmax = max_disp // LANES + 2
     nt = hp // tile_h
+
+    def dq_bounds(eye: float) -> Tuple[int, int]:
+        # warp displacement delta = px-col = -eye*(shaped+conv)*strength*
+        # falloff*W with shaped ∈ [-1.35, 0], falloff ∈ [0, 1]; each eye only
+        # shifts one way, so its lane-group range is asymmetric (±slop covers
+        # floor() and the i0+1 tap; padded cols clamp back to W-1).
+        v_lo = (-1.35 + convergence) * depth_strength
+        v_hi = convergence * depth_strength
+        cand = (0.0, -eye * v_lo * W, -eye * v_hi * W)
+        d_min = min(min(cand) - 1.0, -(wp - W) - 1.0)
+        d_max = max(cand) + 2.0
+        return int(math.floor(d_min / LANES)), int(math.floor(d_max / LANES)) + 1
+
+    dq_l = dq_bounds(-abs(ipd / 2.0))
+    dq_r = dq_bounds(+abs(ipd / 2.0))
 
     rgbp = jnp.pad(rgb, ((0, hp - H), (0, wp - W), (0, 0)), mode="edge")
     rgbp = rgbp.astype(jnp.float32).transpose(2, 0, 1)
@@ -369,7 +382,7 @@ def dibr_render_pair(
 
     out_l, out_r = pl.pallas_call(
         functools.partial(
-            _dibr_pair_kernel, kmax=kmax, search_radius=search_radius,
+            _dibr_pair_kernel, dq_l=dq_l, dq_r=dq_r, search_radius=search_radius,
             depth_tolerance=depth_tolerance, eye_offset=ipd / 2.0,
             depth_strength=depth_strength, convergence=convergence,
             edge_margin=edge_margin, width=W, vshift=vshift,
