@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def make_components(args, settings):
+    import jax.numpy as jnp
+
     from desktop2stereo_tpu.core.runtime import detect_policy, setup_compilation_cache
     from desktop2stereo_tpu.models.factory import build_bound
     from desktop2stereo_tpu.pipeline.programs import ProgramCache, ProgramConfig
@@ -66,8 +68,14 @@ def make_components(args, settings):
 
     bound, spec = build_bound(settings.model, checkpoint=args.checkpoint)
 
+    compute_dtype = policy.compute_dtype
+    if spec.force_fp32 and compute_dtype != jnp.float32:
+        # model-quirk table (reference utils.py:234-238 FORCE_FP32_KEYWORDS)
+        print(f"[d2s] {spec.name}: forcing fp32 compute (model quirk)")
+        compute_dtype = jnp.float32
+
     cfg = ProgramConfig.from_settings(settings, quality=args.quality)
-    program = ProgramCache(cfg, bound, spec, compute_dtype=policy.compute_dtype)
+    program = ProgramCache(cfg, bound, spec, compute_dtype=compute_dtype)
 
     src_kw = {}
     if args.source == "synthetic":

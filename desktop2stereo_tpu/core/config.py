@@ -111,12 +111,28 @@ class Settings:
                 extra[key] = value
             else:
                 kwargs[fname] = value
-        # Normalise types the YAML may carry loosely.
+        # Normalise types the YAML may carry loosely.  "Auto" resolves via
+        # the monitor policy (reference utils.py:316-343).
         if "output_resolution" in kwargs and isinstance(kwargs["output_resolution"], str):
             if kwargs["output_resolution"].lower() == "auto":
+                from desktop2stereo_tpu.core.display import compute_output_resolution
+
                 extra["Output Resolution"] = kwargs.pop("output_resolution")
+                kwargs["output_resolution"] = compute_output_resolution(
+                    "auto",
+                    kwargs.get("display_mode", "Half-SBS"),
+                    kwargs.get("run_mode"),
+                )
             else:
                 kwargs["output_resolution"] = int(kwargs["output_resolution"])
+        if "fps" in kwargs and isinstance(kwargs["fps"], str):
+            if kwargs["fps"].lower() == "auto":
+                from desktop2stereo_tpu.core.display import get_refresh_rate
+
+                extra["Set FPS"] = kwargs.pop("fps")
+                kwargs["fps"] = get_refresh_rate()
+            else:
+                kwargs["fps"] = float(kwargs["fps"])
         return cls(extra=extra, **kwargs)
 
     def to_yaml_dict(self) -> Dict[str, Any]:

@@ -56,6 +56,10 @@ class ModelSpec:
     # patch-aligned resolution.
     resolutions: Optional[Tuple[int, ...]] = None
     square_only: bool = False         # DepthPro-style fixed square input
+    # Model-quirk analog of the reference's FORCE_FP32_KEYWORDS
+    # (reference utils.py:234-238): ZoeDepth's metric-bins head loses its
+    # attractor precision below f32, so these models opt out of bf16 compute.
+    force_fp32: bool = False
 
     @property
     def dims(self) -> Tuple[int, int, int, int]:
@@ -160,7 +164,8 @@ _register(ModelSpec(name="dpt-beit-large-512", family="dpt_beit", variant="vitl"
 # ZoeDepth rides on BEiT-large-384: neck (256,512,1024,1024), fusion 256
 for ds in ("nyu-kitti", "nyu", "kitti"):
     _register(ModelSpec(name=f"zoedepth-{ds}", family="zoedepth", variant="vitl",
-                        hf_repo=f"Intel/zoedepth-{ds}", metric=True, norm_family="half", patch_size=16))
+                        hf_repo=f"Intel/zoedepth-{ds}", metric=True, norm_family="half", patch_size=16,
+                        force_fp32=True))
 _register(ModelSpec(name="DepthPro-Large", family="depthpro", variant="vitl",
                     hf_repo="apple/DepthPro-hf", metric=True, norm_family="half",
                     square_only=True, resolutions=(1536,)))
