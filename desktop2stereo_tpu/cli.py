@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stereo path: DIBR+inpaint vs grid-shift")
     p.add_argument("--checkpoint", help="safetensors path (else cache/random)")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--crop", default="off",
+                   help="letterbox handling: off | auto (detected with "
+                        "hysteresis) | u0,v0,uw,vh manual UV rect")
     p.add_argument("--stop-file", default="logs/stop.request",
                    help="touch this file to request shutdown")
     p.add_argument("--stats-every", type=float, default=2.0,
@@ -77,6 +80,37 @@ def make_components(args, settings):
     cfg = ProgramConfig.from_settings(settings, quality=args.quality)
     program = ProgramCache(cfg, bound, spec, compute_dtype=compute_dtype)
 
+    if args.crop and args.crop != "off":
+        # letterbox crop between capture and the frame program (reference
+        # xr_viewer/crop.py); a changed rect re-specializes via ProgramCache
+        from desktop2stereo_tpu.pipeline.crop import (
+            FULL, CropController, apply_crop)
+
+        base_program = program
+        if args.crop == "auto":
+            controller = CropController()
+
+            def program(frame):  # noqa: F811 — deliberate wrap
+                # stats read RGB luma; capture frames are BGRA
+                crop = controller.update(frame[..., 2::-1])
+                return base_program(apply_crop(frame, crop))
+        else:
+            rect = tuple(float(v) for v in args.crop.split(","))
+            if len(rect) != 4:
+                raise SystemExit("--crop expects 'auto' or u0,v0,uw,vh")
+
+            def program(frame):  # noqa: F811
+                return base_program(apply_crop(frame, rect))
+
+            def _warm(shape, steps=2):
+                h = max(1, int(round(rect[3] * shape[0])))
+                w = max(1, int(round(rect[2] * shape[1])))
+                base_program.warmup((h, w) + tuple(shape[2:]), steps)
+
+            program.warmup = _warm
+        if args.crop == "auto":
+            program.warmup = base_program.warmup  # crop starts full-frame
+
     src_kw = {}
     if args.source == "synthetic":
         h, w = (int(v) for v in args.size.split("x"))
@@ -104,7 +138,8 @@ def make_components(args, settings):
         sink_kw = {"path": args.out or "out.mp4", "fps": settings.fps}
     elif args.sink == "mjpeg":
         sink_kw = {"port": args.port or settings.streamer_port,
-                   "fps": settings.fps, "quality": settings.stream_quality}
+                   "fps": settings.fps, "quality": settings.stream_quality,
+                   "show_fps": args.show_fps or settings.show_fps}
     elif args.sink == "rtmp":
         sink_kw = {"url": args.out or "rtmp://127.0.0.1/live", "fps": settings.fps}
     elif args.sink == "viewer":

@@ -63,10 +63,14 @@ def text_mask(text: str, height: int, width: int) -> np.ndarray:
 
 def overlay_text(rgb: jax.Array, mask: jax.Array,
                  color=(0.0, 255.0, 0.0)) -> jax.Array:
-    """Blend a prepared text mask over rgb [H,W,3] (values 0..255)."""
-    alpha = mask[..., None].astype(rgb.dtype)
-    col = jnp.asarray(color, rgb.dtype)
-    return rgb * (1.0 - alpha) + col * alpha
+    """Blend a prepared text mask over rgb [H,W,3] (values 0..255),
+    preserving the input dtype (uint8 frames stay uint8)."""
+    alpha = mask[..., None].astype(jnp.float32)
+    col = jnp.asarray(color, jnp.float32)
+    out = rgb.astype(jnp.float32) * (1.0 - alpha) + col * alpha
+    if jnp.issubdtype(rgb.dtype, jnp.integer):
+        out = jnp.clip(out + 0.5, 0, 255)
+    return out.astype(rgb.dtype)
 
 
 class FpsOverlay:

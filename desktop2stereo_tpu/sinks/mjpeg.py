@@ -31,10 +31,17 @@ class MjpegSink:
         quality: int = 90,
         max_connections: int = 10,
         host: str = "0.0.0.0",
+        show_fps: bool = False,
     ) -> None:
         self.port = port
         self.fps = fps
         self.quality = int(quality)
+        self.show_fps = show_fps
+        self._overlay = None
+        if show_fps:
+            from desktop2stereo_tpu.ops.overlay import FpsOverlay
+
+            self._overlay = FpsOverlay()
         self.max_connections = max_connections
         self._jpeg: Optional[bytes] = None
         self._jpeg_seq = 0
@@ -123,6 +130,13 @@ class MjpegSink:
     # -- pipeline interface --------------------------------------------------
 
     def push(self, sbs_u8: np.ndarray, depth, stats) -> None:
+        if self._overlay is not None:
+            if isinstance(stats, dict):
+                fps = stats.get("fps", 0.0)
+            else:
+                fps = getattr(stats, "fps", 0.0) if stats is not None else 0.0
+            if fps and fps > 0:
+                sbs_u8 = np.asarray(self._overlay(sbs_u8, fps))
         with self._latest_lock:
             self._latest = sbs_u8
 
