@@ -29,6 +29,8 @@ from typing import Dict, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from desktop2stereo_tpu.models.init_util import jit_init
 import numpy as np
 
 from desktop2stereo_tpu.core.registry import ModelSpec
@@ -749,9 +751,8 @@ def build_da3(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         params = {"params": convert_da3(ckpt, spec)}
     else:
         size = init_size or (spec.patch_size * 4)
-        params = model.init(
-            jax.random.PRNGKey(rng_seed), jnp.zeros((1, size, size, 3), jnp.float32)
-        )
+        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+                     rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
     return da3_depth_apply(model), params, spec
@@ -798,8 +799,8 @@ def build_da3_nested(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         size = init_size or (spec.patch_size * 4)
         x0 = jnp.zeros((1, size, size, 3), jnp.float32)
         params = {"params": {
-            "da3": anyview.init(jax.random.PRNGKey(rng_seed), x0)["params"],
-            "da3_metric": metric.init(jax.random.PRNGKey(rng_seed + 1), x0)["params"],
+            "da3": jit_init(anyview, x0, rng_seed=rng_seed)["params"],
+            "da3_metric": jit_init(metric, x0, rng_seed=rng_seed + 1)["params"],
         }}
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)

@@ -28,6 +28,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from desktop2stereo_tpu.models.init_util import jit_init
+
 from desktop2stereo_tpu.core.registry import ModelSpec
 from desktop2stereo_tpu.models.dinov2 import Dinov2Encoder
 from desktop2stereo_tpu.models.dpt import ConvTransposeSameStride, PreActResidual
@@ -277,9 +279,8 @@ def build_depthpro(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
     else:
         # smallest valid input: ratios×size must cover one tile
         size = init_size or (4 * model.patch_px)
-        params = model.init(
-            jax.random.PRNGKey(rng_seed), jnp.zeros((1, size, size, 3), jnp.float32)
-        )
+        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+                     rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
 

@@ -25,6 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from desktop2stereo_tpu.models.init_util import jit_init
+
 from desktop2stereo_tpu.core.registry import ModelSpec
 from desktop2stereo_tpu.models.dpt import (
     ConvTransposeSameStride,
@@ -210,9 +212,8 @@ def build_dpt_vit(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         params = {"params": convert_dpt_vit(ckpt, spec)}
     else:
         size = init_size or (spec.patch_size * 4)
-        params = model.init(
-            jax.random.PRNGKey(rng_seed), jnp.zeros((1, size, size, 3), jnp.float32)
-        )
+        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+                     rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
 

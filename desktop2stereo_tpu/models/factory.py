@@ -15,6 +15,8 @@ from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+
+from desktop2stereo_tpu.models.init_util import jit_init
 import numpy as np
 
 from desktop2stereo_tpu.core.registry import ModelSpec, get_spec
@@ -71,9 +73,8 @@ def build_model(
             params = {"params": convert_depth_anything(ckpt, spec)}
         else:
             size = init_size or (spec.patch_size * 10)
-            params = model.init(
-                jax.random.PRNGKey(rng_seed), jnp.zeros((1, size, size, 3), jnp.float32)
-            )
+            params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+                         rng_seed=rng_seed)
             print(f"[models] no checkpoint found for {name}; using random init")
         params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
         return model.apply, params, spec

@@ -342,11 +342,11 @@ def build_vda(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32, rng_see
 
         params = {"params": convert_vda(ckpt, spec)}
     else:
+        from desktop2stereo_tpu.models.init_util import jit_init
+
         size = init_size or (spec.patch_size * 4)
-        params = model.init(
-            jax.random.PRNGKey(rng_seed),
-            jnp.zeros((1, size, size, 3), jnp.float32), 1, None,
-        )
+        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+                          1, None, rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
     apply, _, _ = make_vda_fns(model)

@@ -52,9 +52,16 @@ def multi_head_attention(
     On TPU with flash-compatible shapes, uses the Pallas kernel
     (ops/pallas/flash_attention.py); otherwise the XLA path.  Both paths are
     numerically equivalent within bf16 tolerance.
+
+    The flash kernel only pays above ~1k tokens: its per-block pipeline
+    overhead loses to XLA's fused softmax at ViT-frame sizes (778 tokens for
+    DA-V2 @518: +1.4 ms/frame measured on v5e), while at 8k tokens XLA's
+    materialized N² logits fall off a cliff (450 ms vs 5.5 ms).
     """
     if use_flash is None:
-        use_flash = _platform() == "tpu" and bias is None
+        use_flash = (
+            _platform() == "tpu" and bias is None and q.shape[1] >= 1024
+        )
     if use_flash and bias is None:
         try:
             from desktop2stereo_tpu.ops.pallas.flash_attention import flash_attention
