@@ -26,6 +26,8 @@ class ScreenSource:
         self._native = None
         self._sct = None
         self._mon = None
+        self._last: Optional[np.ndarray] = None
+        self._failures = 0
         try:
             from desktop2stereo_tpu.native import X11Capture
 
@@ -46,15 +48,37 @@ class ScreenSource:
                 "--source shm (remote capture agent) or synthetic/video"
             ) from e
 
+    # transient-failure budget: reuse the last good frame for this many
+    # consecutive misses before declaring the source dead (the reference
+    # reuses its previous frame on grab failure, reference capture.py:228-236)
+    MAX_CONSECUTIVE_FAILURES = 120
+
     def grab(self) -> Optional[np.ndarray]:
         if self.max_frames is not None and self._i >= self.max_frames:
             return None
         self._i += 1
         if self._native is not None:
             frame = self._native.grab()
-            return None if frame is None else frame.copy()
-        shot = self._sct.grab(self._mon)
-        return np.asarray(shot)  # BGRA uint8
+            if frame is None:
+                self._failures += 1
+                if self._last is not None and \
+                        self._failures <= self.MAX_CONSECUTIVE_FAILURES:
+                    return self._last
+                return None
+            self._failures = 0
+            self._last = frame.copy()
+            return self._last
+        try:
+            shot = self._sct.grab(self._mon)
+        except Exception:
+            self._failures += 1
+            if self._last is not None and \
+                    self._failures <= self.MAX_CONSECUTIVE_FAILURES:
+                return self._last
+            return None
+        self._failures = 0
+        self._last = np.asarray(shot)  # BGRA uint8
+        return self._last
 
     def close(self) -> None:
         if self._native is not None:
