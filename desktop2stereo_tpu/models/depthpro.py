@@ -277,8 +277,9 @@ def build_depthpro(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
 
         params = {"params": convert_depthpro(ckpt, spec)}
     else:
-        # smallest valid input: ratios×size must cover one tile
-        size = init_size or (4 * model.patch_px)
+        # smallest valid input: the 0.25× scale must still cover one tile,
+        # so clamp any requested init size up to 4×patch_px (1536)
+        size = max(init_size or 0, 4 * model.patch_px)
         params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
                      rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")

@@ -45,6 +45,11 @@ class PatchEmbed(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (p * p * C, self.hidden_size)
         )
         bias = self.param("bias", nn.initializers.zeros, (self.hidden_size,))
+        if (gh * p, gw * p) != (H, W):
+            # valid-padding conv semantics: a stride-p conv drops the
+            # sub-patch remainder (DepthPro runs DINOv2/14 on 384px tiles →
+            # 27×27 patches, 6px discarded, matching HF's Conv2d patchify)
+            pixels = pixels[:, : gh * p, : gw * p]
         x = pixels.reshape(B, gh, p, gw, p, C)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, p * p * C)
         x = jnp.einsum(
