@@ -348,8 +348,9 @@ def dibr_render_pair(
     assert C == 3
     wp = _round_up(W, LANES)
     # Both eyes live in-flight at once → ~2× the single-eye register
-    # pressure; shrink the row tile at wide frames so spills stay in VMEM.
-    tile_h = 32 if wp >= 2048 else TILE_H
+    # pressure; at wide frames 64-row tiles spill past VMEM (needs 142M of
+    # 128M) while 48 rows fit and beat 32 by ~7% (fewer halo re-reads).
+    tile_h = 48 if wp >= 2048 else TILE_H
     hp = _round_up(H, tile_h)
     nt = hp // tile_h
 
@@ -400,7 +401,7 @@ def dibr_render_pair(
             pl.BlockSpec((3, tile_h, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         ),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
     )(rgbp, rgbp, rgbp, depp, depp, depp)
