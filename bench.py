@@ -68,7 +68,10 @@ def main() -> None:
     float(scalar(sbs))
 
     frames = 0
-    batch = 10
+    # The data-dependent scalar fetch costs a full tunnel round-trip
+    # (~30 ms on the dev harness, ~µs on a real TPU host); amortize it over
+    # a large enough batch that it stays measurement noise (<0.5 ms/frame).
+    batch = 64
     t0 = time.time()
     measure_s = 12.0
     while time.time() - t0 < measure_s:

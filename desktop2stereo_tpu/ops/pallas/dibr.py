@@ -169,14 +169,43 @@ def _dibr_kernel(px_ref, conf_ref,
         out_ref[c] = color[c] + conf * (filled - color[c])
 
 
+def _lane_pair_avg(x: jax.Array) -> jax.Array:
+    """[th, wp] -> [th, wp//2]: mean of adjacent lane pairs (the Half-SBS
+    horizontal area x2 squeeze, reference depth.py:2219-2226).
+
+    Mosaic has no strided lane slicing (stride must be 1), so the even-lane
+    compaction runs as within-128-lane-group shuffles: pairsum once, then
+    each output group gathers `(2l) % 128` from its two source groups and
+    selects by half."""
+    th, wp = x.shape
+    half = wp // 2
+    s = x + _shift_cols_clamp(x, 1)  # s[:, j] = x[j] + x[j+1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (th, LANES), 1)
+    idx = (2 * lane) % LANES
+    nb = (half + LANES - 1) // LANES
+    pad = 2 * nb * LANES - wp
+    if pad:
+        s = jnp.concatenate([s, jnp.zeros((th, pad), x.dtype)], axis=1)
+    blocks = []
+    for k in range(nb):
+        va = s[:, 2 * k * LANES:(2 * k + 1) * LANES]
+        vb = s[:, (2 * k + 1) * LANES:(2 * k + 2) * LANES]
+        ga = jnp.take_along_axis(va, idx, axis=1, mode="promise_in_bounds")
+        gb = jnp.take_along_axis(vb, idx, axis=1, mode="promise_in_bounds")
+        blocks.append(jnp.where(lane < LANES // 2, ga, gb))
+    out = blocks[0] if nb == 1 else jnp.concatenate(blocks, axis=1)
+    return out[:, :half] * 0.5
+
+
 def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
                       dep_u_ref, dep_c_ref, dep_d_ref,
-                      out_l_ref, out_r_ref, *,
+                      *out_refs,
                       dq_l: Tuple[int, int], dq_r: Tuple[int, int],
                       search_radius: int, depth_tolerance: float,
                       eye_offset: float, depth_strength: float,
                       convergence: float, edge_margin: float,
-                      width: int, vshift: int, tile_h: int, tile_idx_max: int):
+                      width: int, vshift: int, tile_h: int, tile_idx_max: int,
+                      out_mode: str = "eyes"):
     """Both eyes in one pass: depth pre-smooth + shaping + edge falloff +
     per-eye warp/confidence + shared inpaint sweeps + blends (the whole
     dibr_render body, reference viewer.py:528-631).
@@ -227,6 +256,12 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
     def flat2(x):
         return x.reshape(th * ng, LANES)
 
+    # the i0+1 bilinear tap reads rgb shifted left by one column at the SAME
+    # (q, r) index set — one decompose and a tighter dq range than indexing
+    # i0+1 directly (whose carry into the next lane group costs a whole
+    # extra gather sweep)
+    rgb1 = [_shift_cols_clamp(rgb[c], 1) for c in range(3)]
+
     def warp(eye: float, dq: Tuple[int, int]):
         px = col - (eye * shift_base) * width
         oob = jnp.logical_or(px < 0.0, px > width - 1.0)
@@ -235,13 +270,10 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
         frac = flat2(pxc - i0f)
         i0 = i0f.astype(jnp.int32)
         q0, r0 = flat2(i0 // LANES - g_idx), flat2(i0 % LANES)
-        i1 = i0 + 1
-        q1, r1 = flat2(i1 // LANES - g_idx), flat2(i1 % LANES)
         color = []
         for c in range(3):
-            fc = flat2(rgb[c])
-            g0 = _gather_rows(fc, q0, r0, dq[0], dq[1])
-            g1 = _gather_rows(fc, q1, r1, dq[0], dq[1])
+            g0 = _gather_rows(flat2(rgb[c]), q0, r0, dq[0], dq[1])
+            g1 = _gather_rows(flat2(rgb1[c]), q0, r0, dq[0], dq[1])
             color.append((g0 * (1.0 - frac) + g1 * frac).reshape(th, wp))
         conf = jnp.where(oob, 1.0, conf_base)
         return color, conf
@@ -310,19 +342,164 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
     # --- per-eye: warp + role pairing + blend ---------------------------------
     # left eye (eye<0) sweeps forward in +1; right eye forward in -1
     eye_cfg = (
-        (-abs(eye_offset), dq_l, dw_pos, pl_neg, out_l_ref),
-        (+abs(eye_offset), dq_r, dw_neg, pl_pos, out_r_ref),
+        (-abs(eye_offset), dq_l, dw_pos, pl_neg),
+        (+abs(eye_offset), dq_r, dw_neg, pl_pos),
     )
-    for eye, dq, (fwd_c, fwd_w), (bwd_c, bwd_w), out_ref in eye_cfg:
+    eye_out = []
+    for eye, dq, (fwd_c, fwd_w), (bwd_c, bwd_w) in eye_cfg:
         color, conf = warp(eye, dq)
         need_bwd = fwd_w < 2.0
         best_w = fwd_w + jnp.where(need_bwd, bwd_w, 0.0)
         found = best_w > 0.01
         scale = 0.5 / jnp.maximum(best_w, 1e-12)
+        out = []
         for c in range(3):
             best_c = fwd_c[c] + jnp.where(need_bwd, bwd_c[c], 0.0)
             filled = jnp.where(found, (best_c * scale + vadd_c[c]) * inv_vw, rgb[c])
-            out_ref[c] = color[c] + conf * (filled - color[c])
+            out.append(color[c] + conf * (filled - color[c]))
+        eye_out.append(out)
+
+    if out_mode == "eyes":
+        out_l_ref, out_r_ref = out_refs
+        for c in range(3):
+            out_l_ref[c] = eye_out[0][c]
+            out_r_ref[c] = eye_out[1][c]
+        return
+
+    # "half_sbs_u8": squeeze each eye x2 horizontally (area), place left eye
+    # in cols [0, W/2), right eye at [W/2, W), quantize round-half-up to u8
+    # — the whole compose_display("Half-SBS") + clip/cast stage fused here
+    # where the rows already live in VMEM (reference depth.py:2219-2231).
+    (out_ref,) = out_refs
+    half_w = width // 2
+    pad = wp - 2 * half_w
+    for c in range(3):
+        l_sq = _lane_pair_avg(eye_out[0][c])[:, :half_w]
+        r_sq = _lane_pair_avg(eye_out[1][c])[:, :half_w]
+        row = jnp.concatenate([l_sq, r_sq], axis=1)
+        if pad:
+            row = jnp.concatenate(
+                [row, jnp.zeros((th, pad), jnp.float32)], axis=1)
+        # Mosaic has no f32→u8 cast; clip keeps the i32 round-trip exact
+        out_ref[c] = (jnp.clip(row + 0.5, 0.0, 255.0)
+                      .astype(jnp.int32).astype(jnp.uint8))
+
+
+def pair_tiling(H: int, W: int) -> Tuple[int, int, int]:
+    """(hp, wp, tile_h) padding/tiling the pair kernel uses for an HxW frame.
+    Exposed so upstream stages can hand over pre-padded planar buffers."""
+    wp = _round_up(W, LANES)
+    # Both eyes live in-flight at once → ~2× the single-eye register
+    # pressure; at wide frames 64-row tiles spill past VMEM (needs 142M of
+    # 128M) while 48 rows fit and beat 32 by ~7% (fewer halo re-reads).
+    tile_h = 48 if wp >= 2048 else TILE_H
+    return _round_up(H, tile_h), wp, tile_h
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "ipd", "depth_strength", "convergence",
+                     "search_radius", "depth_tolerance", "edge_margin",
+                     "vshift", "out_mode", "interpret"),
+)
+def dibr_render_pair_planar(
+    rgbp: jax.Array,         # [3, hp, wp] f32 0..255, edge-padded planar
+    depp: jax.Array,         # [1, hp, wp] f32 depth in [0,1], edge-padded
+    width: int,              # true frame width W (<= wp)
+    ipd: float = 0.064,
+    depth_strength: float = 1.0,
+    convergence: float = 0.0,
+    search_radius: int = 12,
+    depth_tolerance: float = 0.012,
+    edge_margin: float = 0.05,
+    vshift: int = 2,
+    out_mode: str = "eyes",
+    interpret: bool = False,
+):
+    """Both stereo eyes in ONE fused pass over pre-padded planar inputs.
+
+    out_mode "eyes": returns (left, right) planar f32 [3, hp, wp].
+    out_mode "half_sbs_u8": returns ONE planar u8 [3, hp, wp] whose first
+    `width` columns are the finished Half-SBS frame (left eye squeezed x2
+    in [0, W/2), right eye in [W/2, W)) — the compose/quantize stage fused.
+    """
+    _, hp, wp = rgbp.shape
+    W = width
+    tile_h = 48 if wp >= 2048 else TILE_H
+    assert hp % tile_h == 0, (hp, tile_h)
+    nt = hp // tile_h
+    if out_mode == "half_sbs_u8":
+        assert W % 2 == 0, "Half-SBS fusion needs an even frame width"
+
+    def dq_bounds(eye: float) -> Tuple[int, int]:
+        # warp displacement delta = i0-col with i0 = floor(clip(px)) and
+        # px-col = -eye*(shaped+conv)*strength*falloff*W, shaped ∈ [-1.35, 0],
+        # falloff ∈ [0, 1].  Each eye shifts one way only and the products
+        # preserve sign in f32, so the bounds are exact: lo covers the most
+        # negative displacement (including padded cols clamping back to W-1),
+        # hi covers ceil() of the most positive (the i0+1 tap needs no extra
+        # group — it reads a one-column-shifted source at the same indices).
+        v_lo = (-1.35 + convergence) * depth_strength
+        v_hi = convergence * depth_strength
+        cand = (0.0, -eye * v_lo * W, -eye * v_hi * W)
+        d_min = min(cand) - (wp - W)
+        d_max = max(cand)
+        return (int(math.floor(d_min / LANES)),
+                int(math.ceil(d_max / LANES)))
+
+    dq_l = dq_bounds(-abs(ipd / 2.0))
+    dq_r = dq_bounds(+abs(ipd / 2.0))
+
+    def spec(chans, off):
+        return pl.BlockSpec(
+            (chans, tile_h, wp),
+            lambda i, _o=off: (0, jnp.clip(i + _o, 0, nt - 1), 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def out_spec():
+        return pl.BlockSpec((3, tile_h, wp), lambda i: (0, i, 0),
+                            memory_space=pltpu.VMEM)
+
+    if out_mode == "eyes":
+        out_shape = (jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
+                     jax.ShapeDtypeStruct((3, hp, wp), jnp.float32))
+        out_specs = (out_spec(), out_spec())
+    else:
+        out_shape = jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8)
+        out_specs = out_spec()
+
+    return pl.pallas_call(
+        functools.partial(
+            _dibr_pair_kernel, dq_l=dq_l, dq_r=dq_r, search_radius=search_radius,
+            depth_tolerance=depth_tolerance, eye_offset=ipd / 2.0,
+            depth_strength=depth_strength, convergence=convergence,
+            edge_margin=edge_margin, width=W, vshift=vshift,
+            tile_h=tile_h, tile_idx_max=nt - 1, out_mode=out_mode,
+        ),
+        out_shape=out_shape,
+        grid=(nt,),
+        in_specs=[
+            spec(3, -1), spec(3, 0), spec(3, 1),
+            spec(1, -1), spec(1, 0), spec(1, 1),
+        ],
+        out_specs=out_specs,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(rgbp, rgbp, rgbp, depp, depp, depp)
+
+
+def pad_planar(rgb: jax.Array, depth: jax.Array):
+    """HWC rgb + [H,W] depth → edge-padded planar f32 kernel inputs."""
+    H, W = depth.shape
+    hp, wp, _ = pair_tiling(H, W)
+    rgbp = jnp.pad(rgb, ((0, hp - H), (0, wp - W), (0, 0)), mode="edge")
+    rgbp = rgbp.astype(jnp.float32).transpose(2, 0, 1)
+    depp = jnp.pad(depth.astype(jnp.float32), ((0, hp - H), (0, wp - W)),
+                   mode="edge")[None]
+    return rgbp, depp
 
 
 @functools.partial(
@@ -343,68 +520,16 @@ def dibr_render_pair(
     interpret: bool = False,
 ):
     """Both stereo eyes in ONE fused pass (shares the rgb/depth reads and
-    all inpaint shift work between eyes).  Returns (left, right)."""
+    all inpaint shift work between eyes).  Returns (left, right) HWC f32."""
     H, W, C = rgb.shape
     assert C == 3
-    wp = _round_up(W, LANES)
-    # Both eyes live in-flight at once → ~2× the single-eye register
-    # pressure; at wide frames 64-row tiles spill past VMEM (needs 142M of
-    # 128M) while 48 rows fit and beat 32 by ~7% (fewer halo re-reads).
-    tile_h = 48 if wp >= 2048 else TILE_H
-    hp = _round_up(H, tile_h)
-    nt = hp // tile_h
-
-    def dq_bounds(eye: float) -> Tuple[int, int]:
-        # warp displacement delta = px-col = -eye*(shaped+conv)*strength*
-        # falloff*W with shaped ∈ [-1.35, 0], falloff ∈ [0, 1]; each eye only
-        # shifts one way, so its lane-group range is asymmetric (±slop covers
-        # floor() and the i0+1 tap; padded cols clamp back to W-1).
-        v_lo = (-1.35 + convergence) * depth_strength
-        v_hi = convergence * depth_strength
-        cand = (0.0, -eye * v_lo * W, -eye * v_hi * W)
-        d_min = min(min(cand) - 1.0, -(wp - W) - 1.0)
-        d_max = max(cand) + 2.0
-        return int(math.floor(d_min / LANES)), int(math.floor(d_max / LANES)) + 1
-
-    dq_l = dq_bounds(-abs(ipd / 2.0))
-    dq_r = dq_bounds(+abs(ipd / 2.0))
-
-    rgbp = jnp.pad(rgb, ((0, hp - H), (0, wp - W), (0, 0)), mode="edge")
-    rgbp = rgbp.astype(jnp.float32).transpose(2, 0, 1)
-    depp = jnp.pad(depth.astype(jnp.float32), ((0, hp - H), (0, wp - W)),
-                   mode="edge")[None]
-
-    def spec(chans, off):
-        return pl.BlockSpec(
-            (chans, tile_h, wp),
-            lambda i, _o=off: (0, jnp.clip(i + _o, 0, nt - 1), 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    out_l, out_r = pl.pallas_call(
-        functools.partial(
-            _dibr_pair_kernel, dq_l=dq_l, dq_r=dq_r, search_radius=search_radius,
-            depth_tolerance=depth_tolerance, eye_offset=ipd / 2.0,
-            depth_strength=depth_strength, convergence=convergence,
-            edge_margin=edge_margin, width=W, vshift=vshift,
-            tile_h=tile_h, tile_idx_max=nt - 1,
-        ),
-        out_shape=(jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
-                   jax.ShapeDtypeStruct((3, hp, wp), jnp.float32)),
-        grid=(nt,),
-        in_specs=[
-            spec(3, -1), spec(3, 0), spec(3, 1),
-            spec(1, -1), spec(1, 0), spec(1, 1),
-        ],
-        out_specs=(
-            pl.BlockSpec((3, tile_h, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, tile_h, wp), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(rgbp, rgbp, rgbp, depp, depp, depp)
+    rgbp, depp = pad_planar(rgb, depth)
+    out_l, out_r = dibr_render_pair_planar(
+        rgbp, depp, W, ipd=ipd, depth_strength=depth_strength,
+        convergence=convergence, search_radius=search_radius,
+        depth_tolerance=depth_tolerance, edge_margin=edge_margin,
+        vshift=vshift, out_mode="eyes", interpret=interpret,
+    )
     left = out_l.transpose(1, 2, 0)[:H, :W]
     right = out_r.transpose(1, 2, 0)[:H, :W]
     return left, right

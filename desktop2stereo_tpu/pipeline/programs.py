@@ -32,6 +32,7 @@ from desktop2stereo_tpu.ops import (
 from desktop2stereo_tpu.ops.depth_post import ema as ema_op
 from desktop2stereo_tpu.ops.normalize import process_frame_size
 from desktop2stereo_tpu.ops.resize import patch_aligned_size, resize
+from desktop2stereo_tpu.ops.stereo import _on_tpu as _stereo_on_tpu
 
 
 class FrameState(NamedTuple):
@@ -205,7 +206,14 @@ def _build_step(
     """
     spec = spec or get_spec(cfg.model_name)
 
-    def preprocess(frame_u8: jax.Array):
+    # Half-SBS on TPU runs the fully-fused stereo tail: preprocess hands the
+    # DIBR pair kernel its native padded-planar f32 layout (no HWC→planar
+    # glue in the hot loop), and depth-post + DIBR + Half-SBS squeeze +
+    # u8 quantize run as ONE program (the kernel emits finished u8 rows).
+    fused_stereo = (jit and cfg.quality == "high"
+                    and cfg.display_mode == "Half-SBS" and _stereo_on_tpu())
+
+    def _shared_preprocess(frame_u8: jax.Array):
         # BGRA→RGB + output-height downscale + model-input resize/normalize
         rgb_full = bgra_to_rgb(frame_u8).astype(compute_dtype)
         h0, w0 = rgb_full.shape[0], rgb_full.shape[1]
@@ -224,6 +232,37 @@ def _build_step(
             )
         model_in = normalize_for_model(model_in, spec.norm_family)
         return rgb, model_in.astype(compute_dtype)
+
+    def preprocess(frame_u8: jax.Array):
+        h0, w0 = frame_u8.shape[0], frame_u8.shape[1]
+        oh, ow = process_frame_size(h0, w0, cfg.output_height)
+        if not (fused_stereo and ow % 2 == 0):
+            return _shared_preprocess(frame_u8)
+
+        # Fused-stereo layout: go PLANAR [3,H,W] f32 straight from the u8
+        # capture frame (one relayout, fused with the BGRA swizzle+cast)
+        # instead of materializing an HWC float frame and re-transposing it
+        # for the kernel — the HWC→CHW relayout of a 4K f32 frame alone
+        # costs ~1.3 ms on v5e.
+        from desktop2stereo_tpu.ops.pallas.dibr import pair_tiling
+
+        planar = bgra_to_rgb(frame_u8).transpose(2, 0, 1).astype(jnp.float32)
+        if (oh, ow) != (h0, w0):
+            planar = resize(planar[..., None], (oh, ow), mode="bilinear",
+                            antialias=oh < h0)[..., 0]
+        small = planar.astype(compute_dtype)[..., None]
+        if spec.square_only:
+            mh = mw = cfg.depth_resolution
+            mi = resize(small, (mh, mw), mode="bilinear")[..., 0]
+        else:
+            mh, mw = patch_aligned_size(oh, ow, cfg.depth_resolution, spec.patch_size)
+            mi = resize(small, (mh, mw), mode="bicubic", antialias=True)[..., 0]
+        model_in = mi.transpose(1, 2, 0)[None] / 255.0  # tiny HWC relayout
+        model_in = normalize_for_model(model_in, spec.norm_family)
+
+        hp, wp, _ = pair_tiling(oh, ow)
+        rgbp = jnp.pad(planar, ((0, 0), (0, hp - oh), (0, wp - ow)), mode="edge")
+        return rgbp, model_in.astype(compute_dtype)
 
     def model_stage(params, model_in: jax.Array, model_state):
         raw_depth_b, new_model_state = model_call(params, model_in, model_state)
@@ -256,6 +295,27 @@ def _build_step(
         )
         return jnp.clip(sbs + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
+    def post_stereo_stage(raw_depth: jax.Array, ema_prev: jax.Array,
+                          rgb_pre: jax.Array):
+        """Fused tail: depth post → DIBR pair → Half-SBS u8, one program."""
+        depth = post_stage(raw_depth, ema_prev)
+        oh, ow = depth.shape
+        planar = rgb_pre.ndim == 3 and rgb_pre.shape[0] == 3 and rgb_pre.shape[2] != 3
+        if planar:
+            from desktop2stereo_tpu.ops.pallas.dibr import dibr_render_pair_planar
+
+            hp, wp = rgb_pre.shape[1], rgb_pre.shape[2]
+            depp = jnp.pad(depth, ((0, hp - oh), (0, wp - ow)), mode="edge")[None]
+            chw_u8 = dibr_render_pair_planar(
+                rgb_pre, depp, ow,
+                ipd=cfg.ipd, depth_strength=cfg.depth_strength,
+                convergence=cfg.convergence, out_mode="half_sbs_u8",
+            )
+            sbs = chw_u8.transpose(1, 2, 0)[:oh, :ow]
+        else:  # odd width etc. — generic path on HWC
+            sbs = stereo_stage(rgb_pre, depth)
+        return sbs, depth
+
     if not jit:
         def step_eager(frame_u8: jax.Array, state: FrameState):
             rgb, model_in = preprocess(frame_u8)
@@ -267,26 +327,37 @@ def _build_step(
         return step_eager
 
     if shared_stages is not None:
-        pre_j, post_j, stereo_j = shared_stages
-    else:
-        pre_j = jax.jit(preprocess)
+        stages = shared_stages
+    elif fused_stereo:
         # NOTE: the EMA carry is NOT donated — the returned depth array IS
         # the next carry and is also handed to the sink thread, which may
         # still be reading it when the next step runs.
-        post_j = jax.jit(post_stage)
-        stereo_j = jax.jit(stereo_stage)
+        stages = (jax.jit(preprocess), jax.jit(post_stereo_stage))
+    else:
+        stages = (jax.jit(preprocess), jax.jit(post_stage), jax.jit(stereo_stage))
     # the model carry is donated so streaming state updates in place;
     # params ride as jit ARGUMENTS (see BoundModel docstring)
     model_j = jax.jit(model_stage) if first else jax.jit(model_stage, donate_argnums=(2,))
 
-    def step(frame_u8: jax.Array, state: FrameState):
-        rgb, model_in = pre_j(frame_u8)
-        raw, mstate = model_j(bound.params, model_in, state.model)
-        depth = post_j(raw, state.ema_depth)
-        sbs = stereo_j(rgb, depth)
-        return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+    if len(stages) == 2:
+        pre_j, post_stereo_j = stages
 
-    step.stages = (pre_j, post_j, stereo_j)  # share across first/stream builds
+        def step(frame_u8: jax.Array, state: FrameState):
+            rgb_pre, model_in = pre_j(frame_u8)
+            raw, mstate = model_j(bound.params, model_in, state.model)
+            sbs, depth = post_stereo_j(raw, state.ema_depth, rgb_pre)
+            return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+    else:
+        pre_j, post_j, stereo_j = stages
+
+        def step(frame_u8: jax.Array, state: FrameState):
+            rgb, model_in = pre_j(frame_u8)
+            raw, mstate = model_j(bound.params, model_in, state.model)
+            depth = post_j(raw, state.ema_depth)
+            sbs = stereo_j(rgb, depth)
+            return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+
+    step.stages = stages  # share across first/stream builds
     return step
 
 

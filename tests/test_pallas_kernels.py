@@ -73,3 +73,35 @@ def test_dibr_pair_kernel_matches_per_eye_jnp():
     want_r = np.asarray(S.dibr_render(rgb, depth, +ipd / 2, strength, conv))
     np.testing.assert_allclose(np.asarray(left), want_l, atol=1e-3, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(right), want_r, atol=1e-3, rtol=1e-3)
+
+
+def test_dibr_pair_fused_half_sbs_u8():
+    """out_mode='half_sbs_u8' ≡ eyes → compose_display('Half-SBS') →
+    clip(+0.5)→u8, fused into the kernel (incl. non-128-multiple width)."""
+    from desktop2stereo_tpu.ops.pallas.dibr import (
+        dibr_render_pair, dibr_render_pair_planar, pad_planar,
+    )
+
+    rng = np.random.default_rng(4)
+    for H, W in ((96, 256), (50, 200)):
+        rgb = jnp.asarray(rng.random((H, W, 3)) * 255.0, jnp.float32)
+        depth = jnp.asarray(rng.random((H, W)), jnp.float32)
+        ipd, strength, conv = 0.064, 2.0, 0.01
+
+        rgbp, depp = pad_planar(rgb, depth)
+        fused = dibr_render_pair_planar(
+            rgbp, depp, W, ipd=ipd, depth_strength=strength,
+            convergence=conv, out_mode="half_sbs_u8", interpret=True,
+        )
+        got = np.asarray(fused).transpose(1, 2, 0)[:H, :W]
+
+        left, right = dibr_render_pair(
+            rgb, depth, ipd=ipd, depth_strength=strength, convergence=conv,
+            interpret=True,
+        )
+        sbs = np.concatenate([np.asarray(left), np.asarray(right)], axis=1)
+        want_f = (sbs[:, 0::2] + sbs[:, 1::2]) * 0.5
+        want = np.clip(want_f + 0.5, 0.0, 255.0).astype(np.uint8)
+        # f32-associativity at the quantization boundary can flip one LSB
+        np.testing.assert_allclose(
+            got.astype(np.int32), want.astype(np.int32), atol=1)
