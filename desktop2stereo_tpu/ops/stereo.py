@@ -388,6 +388,24 @@ def compose_display(
     raise ValueError(f"unknown display mode {display_mode!r}")
 
 
+def depth_colormap_spectral(depth: jax.Array) -> jax.Array:
+    """Spectral_r-style depth colormap (blue=far → green → yellow → red=near)
+    exactly matching the reference's branch-free weighted-key formulation
+    (reference viewer.py:639-663).  depth [H,W] in [0,1] → [H,W,3] 0..255."""
+    t = jnp.clip(depth, 0.0, 1.0)
+    keys = jnp.array(
+        [[0.0, 0.298, 0.651],   # blue
+         [0.0, 0.5, 0.0],       # green
+         [1.0, 0.851, 0.0],     # yellow
+         [0.988, 0.0, 0.0]],    # red
+        t.dtype)
+    centers = jnp.array([0.125, 0.375, 0.625, 0.875], t.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(t[..., None] - centers) * 4.0)
+    total = w.sum(-1, keepdims=True)
+    w = jnp.where(total > 0.0, w / jnp.maximum(total, 1e-12), w)
+    return (w @ keys) * 255.0
+
+
 def stereo_compose(
     rgb: jax.Array,
     depth: jax.Array,
@@ -399,8 +417,7 @@ def stereo_compose(
 ) -> jax.Array:
     """Full stereo stage: per-eye DIBR (or fast warp) + display arrangement."""
     if display_mode == "Depth":
-        d = jnp.clip(depth, 0.0, 1.0) * 255.0
-        return jnp.stack([d, d, d], axis=-1)
+        return depth_colormap_spectral(depth.astype(rgb.dtype))
     if quality == "high":
         if _on_tpu():
             try:

@@ -114,3 +114,24 @@ def test_stereo_compose_end_to_end(rng):
     assert out.min() >= 0 and out.max() <= 255
     d = np.asarray(stereo_compose(jnp.asarray(rgb), jnp.asarray(depth), display_mode="Depth"))
     assert d.shape == (48, 64, 3)
+
+
+def test_depth_colormap_spectral_matches_reference_formula(rng):
+    """Weighted-key Spectral_r colormap ≡ the reference shader math
+    (reference viewer.py:639-663) at the key centers and midpoints."""
+    from desktop2stereo_tpu.ops.stereo import depth_colormap_spectral
+
+    d = jnp.asarray([[0.125, 0.375, 0.625, 0.875, 0.25, 0.0, 1.0]],
+                    jnp.float32)
+    out = np.asarray(depth_colormap_spectral(d))[0] / 255.0
+    np.testing.assert_allclose(out[0], [0.0, 0.298, 0.651], atol=1e-6)  # blue
+    np.testing.assert_allclose(out[1], [0.0, 0.5, 0.0], atol=1e-6)      # green
+    np.testing.assert_allclose(out[2], [1.0, 0.851, 0.0], atol=1e-6)    # yellow
+    np.testing.assert_allclose(out[3], [0.988, 0.0, 0.0], atol=1e-6)    # red
+    # midpoint blends blue+green equally
+    np.testing.assert_allclose(out[4], (np.array([0.0, 0.298, 0.651])
+                                        + np.array([0.0, 0.5, 0.0])) / 2,
+                               atol=1e-6)
+    # the end keys still cover the range ends (support ±0.25 around centers)
+    np.testing.assert_allclose(out[5], [0.0, 0.298, 0.651], atol=1e-6)
+    np.testing.assert_allclose(out[6], [0.988, 0.0, 0.0], atol=1e-6)
