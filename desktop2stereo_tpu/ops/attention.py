@@ -40,6 +40,10 @@ def xla_attention(
     return jnp.einsum("bhnm,bmhd->bnhd", probs, v, preferred_element_type=q.dtype)
 
 
+# Test/tuning override: None = size-based dispatch, True/False forces.
+FORCE_FLASH: Optional[bool] = None
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,
@@ -58,6 +62,8 @@ def multi_head_attention(
     DA-V2 @518: +1.4 ms/frame measured on v5e), while at 8k tokens XLA's
     materialized N² logits fall off a cliff (450 ms vs 5.5 ms).
     """
+    if use_flash is None:
+        use_flash = FORCE_FLASH
     if use_flash is None:
         use_flash = (
             _platform() == "tpu" and bias is None and q.shape[1] >= 1024
