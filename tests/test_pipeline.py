@@ -152,3 +152,41 @@ def test_engine_propagates_stage_errors():
     engine.start()
     with pytest.raises(RuntimeError, match="capture exploded"):
         engine.join(timeout=5.0)
+
+
+def test_fused_halfsbs_structure_matches_generic(monkeypatch):
+    """The TPU-only fused tail (planar preprocess + post+stereo in one
+    program, u8 emitted by the kernel) must produce the same frames as the
+    generic 4-program chain.  On CPU we force the fused structure and run
+    the pair kernel in interpret mode."""
+    import functools
+
+    import desktop2stereo_tpu.ops.pallas.dibr as dibr
+    import desktop2stereo_tpu.pipeline.programs as P
+
+    monkeypatch.setattr(P, "_stereo_on_tpu", lambda: True)
+    monkeypatch.setattr(
+        dibr, "dibr_render_pair_planar",
+        functools.partial(dibr.dibr_render_pair_planar, interpret=True),
+    )
+
+    cfg = make_cfg(display_mode="Half-SBS")
+    frame = jnp.asarray(
+        np.random.default_rng(7).integers(0, 255, (64, 96, 4), np.uint8))
+
+    fused_step = build_frame_step(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    assert len(fused_step.stages) == 2, "fused structure not active"
+    state = init_state(64, 96)
+    sbs_f, depth_f, _ = fused_step(frame, state)
+
+    monkeypatch.setattr(P, "_stereo_on_tpu", lambda: False)
+    generic_step = build_frame_step(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    assert len(generic_step.stages) == 3
+    sbs_g, depth_g, _ = generic_step(frame, init_state(64, 96))
+
+    np.testing.assert_allclose(np.asarray(depth_f), np.asarray(depth_g),
+                               atol=1e-5, rtol=1e-5)
+    # The generic CPU path uses the jnp DIBR fallback; the fused path runs
+    # the pallas kernel in interpret mode — equal up to quantization.
+    np.testing.assert_allclose(np.asarray(sbs_f).astype(np.int32),
+                               np.asarray(sbs_g).astype(np.int32), atol=1)
