@@ -242,7 +242,9 @@ def run(args=None) -> int:
         finally:
             for obj in (sink, source):
                 try:
-                    obj.close()
+                    # full teardown where offered (e.g. RtmpSink's mediamtx
+                    # sidecar); close() alone just recycles the encoder
+                    getattr(obj, "shutdown", obj.close)()
                 except Exception:
                     pass
             watchdog.cancel()

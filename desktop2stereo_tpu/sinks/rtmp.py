@@ -23,7 +23,14 @@ class RtmpSink:
         crf: int = 20,
         preset: str = "veryfast",
         ffmpeg: Optional[str] = None,
+        serve: bool = False,
+        mediamtx: Optional[str] = None,
     ) -> None:
+        """`serve=True` also spawns a local mediamtx media server (if the
+        binary is on PATH) so players/headsets can PULL the stream from
+        this host over RTMP/RTSP/SRT/HLS — the reference runs the same
+        sidecar (reference main.py:993-1017).  Publishing still works
+        against any external server when mediamtx is absent."""
         self.url = url
         self.fps = fps
         self.crf = crf
@@ -33,6 +40,13 @@ class RtmpSink:
             raise RuntimeError("ffmpeg binary not found; RTMP sink unavailable")
         self._proc: Optional[subprocess.Popen] = None
         self._shape = None
+        self._server: Optional[subprocess.Popen] = None
+        if serve:
+            path = mediamtx or shutil.which("mediamtx")
+            if path is not None:
+                self._server = subprocess.Popen(
+                    [path], stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
+                )
 
     def _start(self, h: int, w: int) -> None:
         fmt = "flv" if self.url.startswith("rtmp") else "mpegts"
@@ -70,3 +84,15 @@ class RtmpSink:
             except subprocess.TimeoutExpired:
                 self._proc.kill()
             self._proc = None
+
+    def shutdown(self) -> None:
+        """Full teardown incl. the mediamtx sidecar (close() only recycles
+        the encoder so push() can restart it on resolution change)."""
+        self.close()
+        if self._server is not None:
+            self._server.terminate()
+            try:
+                self._server.wait(timeout=2)
+            except subprocess.TimeoutExpired:
+                self._server.kill()
+            self._server = None

@@ -92,3 +92,54 @@ def test_null_sink():
     s = NullSink()
     s.push(np.zeros((4, 4, 3), np.uint8), None, {})
     assert s.frames == 1 and s.last_shape == (4, 4, 3)
+
+
+def test_rtmp_sink_mediamtx_sidecar(tmp_path):
+    """serve=True spawns the media-server sidecar when the binary exists and
+    shutdown() reaps it; ffmpeg is faked so no real encode happens."""
+    import os
+    import stat
+    import time as _time
+
+    from desktop2stereo_tpu.sinks.rtmp import RtmpSink
+
+    def fake_bin(name, body="#!/bin/sh\nsleep 30\n"):
+        p = tmp_path / name
+        p.write_text(body)
+        p.chmod(p.stat().st_mode | stat.S_IEXEC)
+        return str(p)
+
+    ffmpeg = fake_bin("ffmpeg", "#!/bin/sh\ncat > /dev/null\n")
+    mtx = fake_bin("mediamtx")
+    sink = RtmpSink("rtmp://127.0.0.1/live/d2s", ffmpeg=ffmpeg,
+                    serve=True, mediamtx=mtx)
+    assert sink._server is not None and sink._server.poll() is None
+
+    frame = np.zeros((16, 32, 3), np.uint8)
+    sink.push(frame, None, {})
+    assert sink._proc is not None
+    # resolution change restarts the encoder (reference main.py:1018-1061)
+    first = sink._proc
+    sink.push(np.zeros((32, 32, 3), np.uint8), None, {})
+    assert sink._proc is not first
+
+    sink.shutdown()
+    deadline = _time.time() + 3.0
+    while sink._server is not None and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert sink._server is None
+
+
+def test_rtmp_sink_serve_without_mediamtx(tmp_path):
+    """serve=True degrades gracefully when no mediamtx binary exists."""
+    import stat
+
+    from desktop2stereo_tpu.sinks.rtmp import RtmpSink
+
+    p = tmp_path / "ffmpeg"
+    p.write_text("#!/bin/sh\ncat > /dev/null\n")
+    p.chmod(p.stat().st_mode | stat.S_IEXEC)
+    sink = RtmpSink("srt://127.0.0.1:8890", ffmpeg=str(p), serve=True,
+                    mediamtx=None)
+    assert sink._server is None
+    sink.shutdown()
