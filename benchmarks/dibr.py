@@ -1,0 +1,64 @@
+"""TPU timing: fused half_sbs_u8 planar kernel vs old eyes+XLA-compose path."""
+import time
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from desktop2stereo_tpu.core.runtime import setup_compilation_cache
+from desktop2stereo_tpu.ops.pallas.dibr import (
+    dibr_render_pair, dibr_render_pair_planar, pad_planar, pair_tiling,
+)
+from desktop2stereo_tpu.ops.stereo import compose_display
+
+setup_compilation_cache()
+
+H, W = 2160, 3840
+rng = np.random.default_rng(0)
+rgb = jax.device_put(rng.random((H, W, 3), np.float32) * 255.0)
+depth = jax.device_put(rng.random((H, W), np.float32))
+hp, wp, _ = pair_tiling(H, W)
+rgbp = jax.device_put(rng.random((3, hp, wp), np.float32) * 255.0)
+depp = jax.device_put(rng.random((1, hp, wp), np.float32))
+
+scalar = jax.jit(lambda x: x.reshape(-1)[0].astype(jnp.float32))
+
+def timeit(name, fn, *args, n1=20, n2=60):
+    def run(n):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        float(scalar(jax.tree_util.tree_leaves(out)[0]))
+        return time.perf_counter() - t0
+    fn(*args); run(4)
+    ms = (run(n2) - run(n1)) / (n2 - n1) * 1000
+    print(f"{name:42s} {ms:7.2f} ms")
+    return ms
+
+@jax.jit
+def old_path(r, d):
+    l, rr = dibr_render_pair(r, d, ipd=0.064, depth_strength=2.0)
+    out = compose_display(l, rr, "Half-SBS")
+    return jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.uint8)
+
+@jax.jit
+def fused(rp, dp):
+    out = dibr_render_pair_planar(rp, dp, W, ipd=0.064, depth_strength=2.0,
+                                  out_mode="half_sbs_u8")
+    return out.transpose(1, 2, 0)[:H, :W]
+
+@jax.jit
+def fused_planar_out(rp, dp):
+    return dibr_render_pair_planar(rp, dp, W, ipd=0.064, depth_strength=2.0,
+                                   out_mode="half_sbs_u8")
+
+@jax.jit
+def pad_only(r, d):
+    return pad_planar(r, d)
+
+timeit("old: pair + XLA compose + cast", old_path, rgb, depth)
+timeit("fused kernel + u8 transpose to HWC", fused, rgbp, depp)
+timeit("fused kernel, planar u8 out (no transp)", fused_planar_out, rgbp, depp)
+timeit("pad/transpose glue (HWC->planar)", pad_only, rgb, depth)
+
+out_a = np.asarray(fused(rgbp, depp))
+print("fused output ok:", out_a.shape, out_a.dtype, out_a[::700, ::900, 0].tolist())
