@@ -176,6 +176,30 @@ def save_settings(settings: Settings, path: str | os.PathLike) -> None:
         yaml.safe_dump(existing, f, allow_unicode=True, sort_keys=False)
 
 
+def update_yaml(path: str | os.PathLike, updates: Dict[str, Any]) -> None:
+    """Merge a few keys into a settings.yaml without touching anything else
+    — the reference's `write_yaml(path, {key: value})` live-update channel
+    from the XR side (reference utils.py:588-614, environment.py:1093-1099)."""
+    data: Dict[str, Any] = {}
+    if os.path.exists(path):
+        try:
+            with open(path, "rb") as f:
+                raw = f.read()
+            for enc in ("utf-8", "gbk", "latin-1"):
+                try:
+                    data = yaml.safe_load(raw.decode(enc)) or {}
+                    break
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(data, dict):
+                data = {}
+        except Exception:
+            data = {}
+    data.update(updates)
+    with open(path, "w", encoding="utf-8") as f:
+        yaml.safe_dump(data, f, allow_unicode=True, sort_keys=False)
+
+
 def stereo_geometry(settings: Settings) -> Tuple[float, float, float]:
     """(ipd, depth_ratio, convergence) triple for the stereo compositor."""
     return settings.ipd, settings.depth_strength, settings.convergence

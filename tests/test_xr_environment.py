@@ -169,3 +169,56 @@ def test_frost_and_cyclers():
     assert pt.clear_color((0.1, 0.1, 0.1)) == (0.1, 0.1, 0.1)
     pt.toggle()
     assert pt.clear_color((0.1, 0.1, 0.1)) == (0.0, 1.0, 0.0)
+
+
+def test_screen_state_persist_restore(tmp_path):
+    from desktop2stereo_tpu.xr.persist import (
+        persist_screen_state,
+        restore_screen_state,
+    )
+
+    path = str(tmp_path / ".builtin_default.json")
+    pose = ScreenPose(width=5.5, distance=4.2, pan_x=0.3, pan_y=-0.1,
+                      yaw=0.12, pitch=-0.05)
+    assert persist_screen_state(path, pose, curve_axis="horizontal",
+                                preset_index=2)
+    got = restore_screen_state(path)
+    assert got is not None
+    p2, curve, preset = got
+    assert p2.width == pytest.approx(5.5) and p2.distance == pytest.approx(4.2)
+    assert p2.yaw == pytest.approx(0.12)
+    assert curve == "horizontal" and preset == 2
+
+    # merge-don't-clobber: foreign profile keys survive a re-persist
+    import json as _json
+    with open(path) as f:
+        prof = _json.load(f)
+    prof["display_name"] = {"EN": "Mine"}
+    with open(path, "w") as f:
+        _json.dump(prof, f)
+    persist_screen_state(path, pose.with_preset(0), preset_index=0)
+    with open(path) as f:
+        prof2 = _json.load(f)
+    assert prof2["display_name"] == {"EN": "Mine"}
+
+    # locked environments never persist
+    assert not persist_screen_state(path, pose, locked=True)
+
+
+def test_runtime_settings_persist(tmp_path):
+    from desktop2stereo_tpu.core.config import load_settings
+    from desktop2stereo_tpu.xr.persist import persist_runtime_settings
+
+    path = str(tmp_path / "settings.yaml")
+    with open(path, "w") as f:
+        f.write("Model: Depth-Anything-V2-Small\nCustom Key: keepme\n")
+    persist_runtime_settings(path, environment="Cinema", depth_strength=2.5,
+                             crop_mode="manual", controller="QUEST")
+    s = load_settings(path)
+    assert s.model == "Depth-Anything-V2-Small"
+    assert s.extra["Custom Key"] == "keepme"
+    assert s.extra["Environment Model"] == "Cinema"
+    assert s.extra["Crop Mode"] == "manual"
+    assert s.extra["Controller Model"] == "QUEST"
+    # Depth Strength is a first-class settings key → round-trips into it
+    assert s.depth_strength == pytest.approx(2.5)
