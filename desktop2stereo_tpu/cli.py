@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="touch this file to request shutdown")
     p.add_argument("--stats-every", type=float, default=2.0,
                    help="seconds between stats lines (0 = quiet)")
+    p.add_argument("--streams", type=int, default=1,
+                   help="serve N concurrent feeds through one compiled "
+                        "pipeline (per-stream state; png/video/mjpeg sinks "
+                        "get per-stream suffixes)")
     return p
 
 
@@ -170,6 +174,9 @@ def run(args=None) -> int:
 
     source, program, sink, settings = make_components(args, settings)
 
+    if args.streams > 1:
+        return _run_multi(args, settings, source, program, sink)
+
     shutdown = threading.Event()
 
     def handle(sig, frame):
@@ -254,6 +261,86 @@ def run(args=None) -> int:
         f"[d2s] done: {final.frames} frames, avg {final.fps:.1f} FPS, "
         f"1% low {final.fps_1pct_low:.1f}"
     )
+    return 0
+
+
+def _run_multi(args, settings, source0, program, sink0) -> int:
+    """--streams N: N sources → MultiStreamEngine → N sinks, one compiled
+    pipeline with per-stream carried state (pipeline/multi.py)."""
+    from desktop2stereo_tpu.pipeline.multi import MultiStreamEngine
+    from desktop2stereo_tpu.sinks import make_sink
+    from desktop2stereo_tpu.sources import make_source
+
+    n = args.streams
+    sources = [source0]
+    sinks = [sink0]
+    for i in range(1, n):
+        if args.source == "synthetic":
+            h, w = (int(v) for v in args.size.split("x"))
+            kw = {"size": (h, w), "seed": i}
+            if args.frames:
+                kw["max_frames"] = args.frames
+            sources.append(make_source("synthetic", **kw))
+        elif args.source == "shm":
+            base = args.input or "/d2s_frames"
+            kw = {"name": f"{base}_{i}"}
+            if args.frames:
+                kw["max_frames"] = args.frames
+            sources.append(make_source("shm", **kw))
+        elif args.source in ("image", "video"):
+            kw = {"path": args.input}
+            if args.frames:
+                kw["max_frames"] = args.frames
+            if args.source == "video":
+                kw["loop"] = args.frames is not None
+            sources.append(make_source(args.source, **kw))
+        else:
+            raise SystemExit(f"--streams with --source {args.source} unsupported")
+
+        if args.sink == "png":
+            sinks.append(make_sink("png", out_dir=f"{args.out or 'out'}_{i}",
+                                   save_depth=True))
+        elif args.sink == "video":
+            base = args.out or "out.mp4"
+            root, dot, ext = base.rpartition(".")
+            path = f"{root}_{i}.{ext}" if dot else f"{base}_{i}"
+            sinks.append(make_sink("video", path=path, fps=settings.fps))
+        elif args.sink == "mjpeg":
+            port = (args.port or settings.streamer_port) + i
+            sinks.append(make_sink("mjpeg", port=port, fps=settings.fps,
+                                   quality=settings.stream_quality))
+        elif args.sink == "null":
+            sinks.append(make_sink("null"))
+        else:
+            raise SystemExit(f"--streams with --sink {args.sink} unsupported")
+
+    shutdown = threading.Event()
+    for sig in (signal.SIGINT, signal.SIGTERM):
+        try:
+            signal.signal(sig, lambda *_a: shutdown.set())
+        except (ValueError, OSError):
+            pass
+
+    probe = sources[0].grab()
+    if probe is not None and hasattr(program, "warmup"):
+        print(f"[d2s] compiling for frame shape {probe.shape} ...")
+        t0 = time.perf_counter()
+        program.warmup(probe.shape)
+        print(f"[d2s] compiled in {time.perf_counter() - t0:.1f}s")
+
+    engine = MultiStreamEngine(sources, program, sinks,
+                               target_fps=settings.fps, shutdown=shutdown)
+    try:
+        stats = engine.run(duration=args.duration)
+    finally:
+        shutdown.set()
+        for obj in sources + sinks:
+            try:
+                getattr(obj, "shutdown", obj.close)()
+            except Exception:
+                pass
+    for name, s in stats.items():
+        print(f"[d2s] {name}: {s['frames']} frames, {s.get('fps', 0.0):.1f} FPS")
     return 0
 
 

@@ -56,6 +56,11 @@ class Mailbox:
                 self._cond.wait(remaining)
             return self._item, self._seq
 
+    @property
+    def latest_seq(self) -> int:
+        with self._cond:
+            return self._seq
+
 
 @dataclass
 class EngineStats:

@@ -1,0 +1,177 @@
+"""Multi-stream serving: N capture feeds through one compiled pipeline.
+
+The reference is strictly one capture → one viewer.  On a TPU chip the
+frame program has headroom (a ViT-S frame is ~4 ms against a 16.7 ms 60 Hz
+budget), so one chip can serve several concurrent feeds — dual-display
+capture, several remote clients — by round-robining streams through the
+SAME compiled programs (shapes match ⇒ zero recompiles) with per-stream
+carried state (ProgramCache's `stream` key).  Cross-chip scaling of the
+same idea is `parallel.sharding.parallel_frame_apply` (the data-axis mesh);
+this engine is the single-chip host loop.
+
+Same latest-frame-wins semantics as pipeline.engine.FrameEngine, per
+stream: each stream has its own depth-1 mailboxes; a slow stream drops its
+own frames and never stalls the others.
+"""
+
+from __future__ import annotations
+
+import threading
+import time
+from typing import Any, Callable, List, Optional, Sequence
+
+import jax
+import numpy as np
+
+from desktop2stereo_tpu.pipeline.engine import Mailbox
+from desktop2stereo_tpu.pipeline.metrics import FpsCounter
+
+
+class _Stream:
+    def __init__(self, idx: int, source: Any, sink: Any):
+        self.idx = idx
+        self.source = source
+        self.sink = sink
+        self.raw = Mailbox()
+        self.out = Mailbox()
+        self.raw_seq = -1
+        self.out_seq = -1
+        self.pending = None          # (sbs, depth, t0) awaiting host fetch
+        self.frames = 0
+        self.fps = FpsCounter()
+        self.done = threading.Event()
+
+
+class MultiStreamEngine:
+    """N sources → one ProgramCache (stream-keyed state) → N sinks."""
+
+    def __init__(
+        self,
+        sources: Sequence[Any],
+        program: Callable,          # ProgramCache-like: (frame, stream=i)
+        sinks: Sequence[Any],
+        target_fps: float = 60.0,
+        shutdown: Optional[threading.Event] = None,
+    ) -> None:
+        if len(sources) != len(sinks):
+            raise ValueError("need one sink per source")
+        self.program = program
+        self.target_fps = target_fps
+        self.shutdown = shutdown or threading.Event()
+        self.streams: List[_Stream] = [
+            _Stream(i, src, snk) for i, (src, snk) in enumerate(zip(sources, sinks))
+        ]
+        self._threads: List[threading.Thread] = []
+        self._error: Optional[BaseException] = None
+
+    # ---- per-stream capture / sink loops ---------------------------------
+
+    def _capture_loop(self, st: _Stream) -> None:
+        interval = 1.0 / self.target_fps if self.target_fps > 0 else 0.0
+        try:
+            while not self.shutdown.is_set():
+                t0 = time.perf_counter()
+                frame = st.source.grab()
+                if frame is None:
+                    st.done.set()
+                    return
+                st.raw.put((frame, t0))
+                if interval:
+                    slack = interval - (time.perf_counter() - t0)
+                    if slack > 0:
+                        time.sleep(slack)
+        except BaseException as e:
+            self._error = e
+            self.shutdown.set()
+
+    def _sink_loop(self, st: _Stream) -> None:
+        try:
+            while not self.shutdown.is_set():
+                item, st.out_seq = st.out.get(timeout=0.1, last_seq=st.out_seq)
+                if item is None:
+                    continue
+                sbs_np, depth, _t0 = item
+                st.sink.push(sbs_np, depth,
+                             {"stream": st.idx, **st.fps.stats()})
+        except BaseException as e:
+            self._error = e
+            self.shutdown.set()
+
+    # ---- shared compute loop ----------------------------------------------
+
+    def _finish(self, st: _Stream) -> None:
+        sbs, depth, t0 = st.pending
+        st.pending = None
+        st.out.put((np.asarray(sbs), depth, t0))
+        st.frames += 1
+        st.fps.tick()
+
+    def _compute_loop(self) -> None:
+        try:
+            while not self.shutdown.is_set():
+                if all(st.done.is_set() for st in self.streams):
+                    break
+                progressed = False
+                for st in self.streams:
+                    item, st.raw_seq = st.raw.get(timeout=0.0, last_seq=st.raw_seq)
+                    if item is None:
+                        continue
+                    frame, t0 = item
+                    sbs, depth = self.program(jax.device_put(frame), stream=st.idx)
+                    # one-frame software pipeline per stream: finish the
+                    # PREVIOUS result while this one executes on device
+                    if st.pending is not None:
+                        self._finish(st)
+                    st.pending = (sbs, depth, t0)
+                    progressed = True
+                if not progressed:
+                    # nothing new anywhere: flush pendings, then idle briefly
+                    for st in self.streams:
+                        if st.pending is not None:
+                            self._finish(st)
+                    time.sleep(0.001)
+            for st in self.streams:
+                if st.pending is not None:
+                    self._finish(st)
+        except BaseException as e:
+            self._error = e
+            self.shutdown.set()
+
+    # ---- lifecycle ---------------------------------------------------------
+
+    def start(self) -> None:
+        for st in self.streams:
+            for name, fn in (("capture", self._capture_loop),
+                             ("sink", self._sink_loop)):
+                t = threading.Thread(target=fn, args=(st,),
+                                     name=f"d2s-{name}-{st.idx}", daemon=True)
+                t.start()
+                self._threads.append(t)
+        t = threading.Thread(target=self._compute_loop, name="d2s-compute",
+                             daemon=True)
+        t.start()
+        self._threads.append(t)
+        self._compute_thread = t
+
+    def run(self, duration: Optional[float] = None) -> dict:
+        self.start()
+        t0 = time.time()
+        try:
+            while not self.shutdown.is_set():
+                if not self._compute_thread.is_alive():
+                    break  # all sources exhausted; pendings were flushed
+                if duration is not None and time.time() - t0 > duration:
+                    break
+                time.sleep(0.02)
+        finally:
+            time.sleep(0.05)
+            self.shutdown.set()
+        if self._error is not None:
+            raise self._error
+        return self.stats()
+
+    def stats(self) -> dict:
+        return {
+            f"stream{st.idx}": {"frames": st.frames, **st.fps.stats()}
+            for st in self.streams
+        }

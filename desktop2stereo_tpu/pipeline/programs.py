@@ -379,12 +379,15 @@ class ProgramCache:
                              shared_stages=getattr(self._step, "stages", None))
             if self._stateful else self._step
         )
-        self._states: Dict[Tuple[int, int], FrameState] = {}
+        self._states: Dict[Tuple[int, int, int], FrameState] = {}
 
-    def __call__(self, frame_u8: jax.Array):
+    def __call__(self, frame_u8: jax.Array, stream: int = 0):
+        """`stream` keys the carried state (EMA depth, temporal caches) so
+        several concurrent feeds — dual-display capture, multi-client
+        serving — share the compiled programs without sharing state."""
         h, w = frame_u8.shape[0], frame_u8.shape[1]
         oh, ow = process_frame_size(h, w, self.cfg.output_height)
-        key = (oh, ow)
+        key = (stream, oh, ow)
         state = self._states.get(key)
         if state is None:
             sbs, depth, new_state = self._first(frame_u8, init_state(oh, ow))
