@@ -31,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["synthetic", "image", "video", "screen", "shm"])
     p.add_argument("--input", help="path for image/video sources")
     p.add_argument("--sink", default="mjpeg",
-                   choices=["mjpeg", "png", "video", "null", "rtmp", "viewer"])
+                   choices=["mjpeg", "png", "video", "null", "rtmp", "viewer", "xr"])
     p.add_argument("--show-fps", action="store_true",
                    help="green FPS overlay on the output (viewer sink)")
     p.add_argument("--out", help="output path/dir for png/video/rtmp sinks")
@@ -149,6 +149,8 @@ def make_components(args, settings):
     elif args.sink == "viewer":
         sink_kw = {"port": args.port or settings.streamer_port,
                    "fps": settings.fps, "show_fps": args.show_fps or settings.show_fps}
+    elif args.sink == "xr":
+        sink_kw = {"port": args.port or 1123}
     sink = make_sink(args.sink, **sink_kw)
     return source, program, sink, settings
 

@@ -31,4 +31,8 @@ def make_sink(kind: str, **kw):
         from desktop2stereo_tpu.sinks.viewer import StereoWindow
 
         return StereoWindow(**kw)
+    if kind == "xr":
+        from desktop2stereo_tpu.sinks.xr import XrSink
+
+        return XrSink(**kw)
     raise ValueError(f"unknown sink kind {kind!r}")

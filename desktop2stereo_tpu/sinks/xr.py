@@ -1,0 +1,38 @@
+"""XR sink: publish (rgb, depth) to remote headset clients over TCP.
+
+The reference's OpenXR mode hands each frame's color+depth to the
+same-machine viewer for per-eye DIBR at render time (reference
+main.py:1282-1318).  On a TPU host the headset workstation is remote, so
+this sink drops frames into the latest-wins FrameServer and serves them
+through xr.net; pair it with `--display-mode Mono` so the frame program
+outputs the un-warped color (the client's renderer does the per-eye warp
+with its own IPD, exactly like the reference viewer shader).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+
+from desktop2stereo_tpu.xr.frame_server import FrameServer
+from desktop2stereo_tpu.xr.net import FrameNetServer
+
+
+class XrSink:
+    def __init__(self, port: int = 1123, host: str = "0.0.0.0"):
+        self.frames = FrameServer()
+        self._net = FrameNetServer(self.frames, host=host, port=port).start()
+        self.port = self._net.port
+
+    @property
+    def url(self) -> str:
+        return f"tcp://{'127.0.0.1'}:{self.port} (xr frame protocol)"
+
+    def push(self, sbs_u8: np.ndarray, depth: Optional[np.ndarray],
+             stats: dict) -> None:
+        depth_np = None if depth is None else np.asarray(depth)
+        self.frames.update_frame(np.asarray(sbs_u8), depth_np)
+
+    def close(self) -> None:
+        self._net.close()

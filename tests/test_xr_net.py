@@ -1,0 +1,64 @@
+"""XR frame-server network transport tests (loopback)."""
+
+import numpy as np
+import pytest
+
+from desktop2stereo_tpu.xr.frame_server import FrameServer
+from desktop2stereo_tpu.xr.net import FrameNetClient, FrameNetServer
+
+
+@pytest.fixture()
+def served():
+    fs = FrameServer()
+    srv = FrameNetServer(fs, host="127.0.0.1", port=0).start()
+    yield fs, srv
+    srv.close()
+
+
+def test_raw_roundtrip_with_depth(served):
+    fs, srv = served
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 255, (48, 64, 3), np.uint8)
+    depth = rng.random((48, 64)).astype(np.float32)
+    fs.update_frame(rgb, depth)
+
+    c = FrameNetClient(port=srv.port, encoding="raw")
+    pkt = c.poll(timeout=2.0)
+    assert pkt is not None
+    np.testing.assert_array_equal(pkt.rgb, rgb)
+    np.testing.assert_allclose(pkt.depth, depth, atol=1.0 / 65535)
+
+    # nothing newer → None, and last_seen stays
+    assert c.poll(timeout=0.05) is None
+    fs.update_frame(rgb // 2, None)
+    pkt2 = c.poll(timeout=2.0)
+    assert pkt2 is not None and pkt2.seq == pkt.seq + 1
+    assert pkt2.depth is None
+    c.close()
+
+
+def test_jpeg_encoding_roundtrip(served):
+    fs, srv = served
+    rgb = np.full((32, 48, 3), 128, np.uint8)
+    rgb[:16] = [255, 0, 0]
+    fs.update_frame(rgb, None)
+
+    c = FrameNetClient(port=srv.port, encoding="jpeg")
+    pkt = c.poll(timeout=2.0)
+    assert pkt is not None and pkt.rgb.shape == (32, 48, 3)
+    # lossy but close
+    assert abs(int(pkt.rgb[:16, :, 0].astype(int).mean()) - 255) < 20
+    assert abs(int(pkt.rgb[20:, :, 1].astype(int).mean()) - 128) < 20
+    c.close()
+
+
+def test_latest_wins_across_slow_client(served):
+    fs, srv = served
+    c = FrameNetClient(port=srv.port, encoding="raw")
+    for i in range(5):
+        fs.update_frame(np.full((8, 8, 3), i * 40, np.uint8), None)
+    pkt = c.poll(timeout=2.0)
+    # client jumped straight to the newest frame
+    assert pkt.rgb[0, 0, 0] == 160
+    assert pkt.seq == 5
+    c.close()
