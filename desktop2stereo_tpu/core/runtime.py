@@ -13,7 +13,6 @@ single torch.device, and the XLA persistent compilation cache instead of
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from dataclasses import dataclass
 from typing import Optional, Sequence

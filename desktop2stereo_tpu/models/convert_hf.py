@@ -16,7 +16,6 @@ Key transforms (torch → flax):
 
 from __future__ import annotations
 
-import re
 from typing import Any, Dict, Mapping, Optional
 
 import numpy as np

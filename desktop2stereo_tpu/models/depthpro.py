@@ -22,7 +22,7 @@ checkpoint carries it; the frame pipeline consumes only `depth`.
 from __future__ import annotations
 
 import math
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -17,7 +17,7 @@ TPU-first choices (not a torch translation):
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

@@ -15,7 +15,7 @@ maps to lax's native SAME; everything stays NHWC.
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax

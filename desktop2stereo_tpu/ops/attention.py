@@ -8,7 +8,6 @@ selection (reference depth.py:184-190) with a single entry point.  Layout is
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import Optional
 

@@ -23,7 +23,6 @@ handled upstream).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -20,7 +20,7 @@ with near≈1 / far≈0 (post-processed).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,9 +15,8 @@ to the host per poll.
 
 from __future__ import annotations
 
-import dataclasses
 import functools
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -15,7 +15,6 @@ compiles once (persistent-cache backed) and is then O(1) to look up.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax

@@ -17,7 +17,6 @@ control service's HTTP endpoints (service/control.py).
 from __future__ import annotations
 
 import threading
-import time
 from typing import Optional
 
 import numpy as np

@@ -12,8 +12,8 @@ mip LOD curve) are plain host math for whatever renderer attaches.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, replace
-from typing import Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import numpy as np
 

@@ -17,7 +17,7 @@ plane) with the size-invariant half angle from geometry.
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 from typing import Optional, Tuple
 
 import numpy as np

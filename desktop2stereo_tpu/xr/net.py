@@ -31,7 +31,7 @@ import socketserver
 import struct
 import threading
 import zlib
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 
