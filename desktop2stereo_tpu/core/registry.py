@@ -157,6 +157,11 @@ _register(ModelSpec(name="dpt-hybrid-midas", family="dpt_hybrid", variant="vitb"
                     hf_repo="lc700x/dpt-hybrid-midas-hf", norm_family="half", patch_size=16))
 _register(ModelSpec(name="dpt-large", family="dpt", variant="vitl",
                     hf_repo="Intel/dpt-large", norm_family="half", patch_size=16))
+# the reference author's retrained dpt-large (same architecture, different
+# weights; reference utils.py:808)
+_register(ModelSpec(name="dpt-large-redesign", family="dpt", variant="vitl",
+                    hf_repo="lc700x/dpt-large-redesign-hf", norm_family="half",
+                    patch_size=16))
 _register(ModelSpec(name="dpt-beit-base-384", family="dpt_beit", variant="vitb",
                     hf_repo="Intel/dpt-beit-base-384", norm_family="half", patch_size=16))
 _register(ModelSpec(name="dpt-beit-large-512", family="dpt_beit", variant="vitl",
