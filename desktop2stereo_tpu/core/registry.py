@@ -9,6 +9,7 @@ metric-ness, and which HF repo the weights convert from.
 
 from __future__ import annotations
 
+import dataclasses
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -175,6 +176,27 @@ _register(ModelSpec(name="DepthPro-Large", family="depthpro", variant="vitl",
                     hf_repo="apple/DepthPro-hf", metric=True, norm_family="half",
                     square_only=True, resolutions=(1536,)))
 _register(_da("depth-ai", "vitl", "lc700x/depth-ai-hf", metric=True))
+
+
+# --- Per-model resolution menus ---------------------------------------------
+# The GUI's per-model depth-resolution dropdown (reference settings.yaml:
+# 5-314).  Four menu shapes cover every listed model; families the reference
+# leaves unlisted (classic DPT/BEiT/ZoeDepth) get a patch-16 ladder.
+_DA_MENU = (196, 238, 294, 336, 392, 448, 518)      # patch-14 DA/VDA/Distill
+_DA3_MENU = (182, 224, 280, 322, 378, 434, 504)     # patch-14 DA3 spread
+_INFINI_MENU = (192, 240, 304, 336, 384, 448, 512)  # patch-16 InfiniDepth
+_P16_MENU = (256, 320, 384, 448, 512)               # classic DPT-era models
+
+_FAMILY_MENUS = {
+    "depth_anything": _DA_MENU, "dpt_dinov2": _DA_MENU, "vda": _DA_MENU,
+    "da3": _DA3_MENU, "infinidepth": _INFINI_MENU,
+    "dpt": _P16_MENU, "dpt_hybrid": _P16_MENU, "dpt_beit": _P16_MENU,
+    "zoedepth": _P16_MENU,
+}
+for _name, _spec in list(MODEL_REGISTRY.items()):
+    if _spec.resolutions is None and _spec.family in _FAMILY_MENUS:
+        MODEL_REGISTRY[_name] = dataclasses.replace(
+            _spec, resolutions=_FAMILY_MENUS[_spec.family])
 
 
 def get_spec(name: str) -> ModelSpec:

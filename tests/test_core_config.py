@@ -109,3 +109,22 @@ def test_factory_covers_every_registry_family():
     families = {spec.family for spec in MODEL_REGISTRY.values()}
     for fam in families:
         assert f'"{fam}"' in src, f"factory has no branch for family {fam!r}"
+
+
+def test_resolution_menus_match_reference():
+    """Per-model depth-resolution menus ≡ the reference's Model List
+    (reference settings.yaml:5-314); unlisted families get a menu too."""
+    import yaml
+
+    from desktop2stereo_tpu.core.registry import MODEL_REGISTRY
+
+    ref = yaml.safe_load(
+        open("/root/reference/settings.yaml", encoding="utf-8"))["Model List"]
+    for name, entry in ref.items():
+        want = tuple(entry.get("resolutions", []))
+        spec = MODEL_REGISTRY.get(name)
+        assert spec is not None, name
+        assert spec.resolutions == want, (name, spec.resolutions, want)
+    # classic families the reference leaves unlisted still offer a menu
+    assert MODEL_REGISTRY["dpt-large"].resolutions
+    assert 384 in MODEL_REGISTRY["zoedepth-nyu"].resolutions
