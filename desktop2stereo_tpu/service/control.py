@@ -112,6 +112,14 @@ def _form_page(settings: Settings) -> bytes:
         f'<option {"selected" if m == settings.display_mode else ""}>{m}</option>'
         for m in DISPLAY_MODES
     )
+    # per-model resolution menus (reference settings.yaml:5-314) for the
+    # client-side dropdown swap when the model changes
+    import json as _json
+
+    res_menus = _json.dumps({
+        n: list(s.resolutions) for n, s in MODEL_REGISTRY.items()
+        if s.resolutions
+    })
     html = f"""<!doctype html><html><head><title>desktop2stereo-tpu control</title>
 <style>body{{font-family:sans-serif;background:#111;color:#eee;max-width:640px;margin:2em auto}}
 label{{display:block;margin:.6em 0 .2em}}select,input{{width:100%;padding:.3em;background:#222;color:#eee;border:1px solid #444}}
@@ -119,8 +127,9 @@ button{{margin-top:1em;padding:.5em 2em}}#log{{white-space:pre-wrap;font-family:
 </head><body>
 <h2>desktop2stereo-tpu</h2>
 <form method="post" action="/start">
-<label>Depth Model</label><select name="model">{model_opts}</select>
-<label>Depth Resolution</label><input name="depth_resolution" value="{settings.depth_resolution}">
+<label>Depth Model</label><select name="model" id="model" onchange="syncRes()">{model_opts}</select>
+<label>Depth Resolution</label><select name="depth_resolution" id="depth_resolution">
+<option>{settings.depth_resolution}</option></select>
 <label>Output Resolution</label><input name="output_resolution" value="{settings.output_resolution}">
 <label>Display Mode</label><select name="display_mode">{mode_opts}</select>
 <label>Depth Strength</label><input name="depth_strength" value="{settings.depth_strength}">
@@ -132,12 +141,22 @@ button{{margin-top:1em;padding:.5em 2em}}#log{{white-space:pre-wrap;font-family:
 <form method="post" action="/stop"><button type="submit">Stop</button></form>
 <p id="status"></p><div id="log"></div>
 <script>
+const RES_MENUS = {res_menus};
+function syncRes(){{
+ const model=document.getElementById('model').value;
+ const sel=document.getElementById('depth_resolution');
+ const menu=RES_MENUS[model];
+ if(!menu) return;
+ const cur=parseInt(sel.value);
+ sel.innerHTML=menu.map(r=>`<option ${{r===cur?'selected':''}}>${{r}}</option>`).join('');
+ if(!menu.includes(cur)) sel.value=menu[menu.length-1];
+}}
 async function tick(){{
  const s=await (await fetch('/status')).json();
  document.getElementById('status').textContent=s.running?('running pid '+s.pid):'stopped';
  document.getElementById('log').textContent=await (await fetch('/logs')).text();
 }}
-setInterval(tick, 2000); tick();
+setInterval(tick, 2000); tick(); syncRes();
 </script></body></html>"""
     return html.encode()
 
