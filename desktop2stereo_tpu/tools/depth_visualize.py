@@ -38,7 +38,10 @@ def colormap_spectral_r(depth01: np.ndarray) -> np.ndarray:
 
 def main() -> None:
     p = argparse.ArgumentParser(prog="d2s-depth-visualize")
-    p.add_argument("image", nargs="?", default="assets/cats.jpg")
+    p.add_argument("image", nargs="?", default=None,
+                   help="input image; defaults to assets/golden.png "
+                        "(or assets/cats.jpg if present, matching the "
+                        "reference harness)")
     p.add_argument("--model", default="Depth-Anything-V2-Small")
     p.add_argument("--depth-res", type=int, default=518)
     p.add_argument("--out", default="out/depth_vis")
@@ -57,6 +60,16 @@ def main() -> None:
 
     setup_compilation_cache()
     policy = detect_policy()
+
+    if args.image is None:
+        root = os.path.join(os.path.dirname(__file__), "..", "..", "assets")
+        for cand in ("cats.jpg", "golden.png"):
+            path = os.path.join(root, cand)
+            if os.path.isfile(path):
+                args.image = path
+                break
+        else:
+            raise SystemExit("no input image given and assets/ has no golden")
 
     img = np.asarray(Image.open(args.image).convert("RGB"))
     frame_bgra = img[..., ::-1]  # pipeline expects BGR(A) capture layout
