@@ -168,10 +168,11 @@ _register(ModelSpec(name="dpt-beit-base-384", family="dpt_beit", variant="vitb",
 _register(ModelSpec(name="dpt-beit-large-512", family="dpt_beit", variant="vitl",
                     hf_repo="Intel/dpt-beit-large-512", norm_family="half", patch_size=16))
 # ZoeDepth rides on BEiT-large-384: neck (256,512,1024,1024), fusion 256
+# the metric-bins head promotes itself to f32 internally (models/
+# zoedepth.py), so the BEiT trunk rides the session compute dtype
 for ds in ("nyu-kitti", "nyu", "kitti"):
     _register(ModelSpec(name=f"zoedepth-{ds}", family="zoedepth", variant="vitl",
-                        hf_repo=f"Intel/zoedepth-{ds}", metric=True, norm_family="half", patch_size=16,
-                        force_fp32=True))
+                        hf_repo=f"Intel/zoedepth-{ds}", metric=True, norm_family="half", patch_size=16))
 _register(ModelSpec(name="DepthPro-Large", family="depthpro", variant="vitl",
                     hf_repo="apple/DepthPro-hf", metric=True, norm_family="half",
                     square_only=True, resolutions=(1536,)))

@@ -62,36 +62,63 @@ def _relative_position_index(wh: int, ww: int) -> np.ndarray:
     return index.reshape(-1)
 
 
-class BeitRelativePositionBias(nn.Module):
-    """Per-layer bias table → [heads, N+1, N+1] for the runtime window,
+def build_rel_pos_bias(table: jax.Array, gh: int, gw: int, pretrain_window: int,
+                       num_heads: int) -> jax.Array:
+    """One layer's bias table → [heads, N+1, N+1] for the runtime window,
     interpolating the table when (gh,gw) ≠ pretrain window (HF
-    modeling_beit.py BeitRelativePositionBias.forward)."""
+    modeling_beit.py BeitRelativePositionBias.forward).
+
+    NOTE: the (N+1)²-row gather this does costs ~0.3 ms on a v5e — ×24
+    layers that dwarfs the encoder itself.  The bias is input-independent,
+    so the frame program computes all layers ONCE per capture shape
+    (compute_rel_pos_biases) and carries them as model state; this builder
+    runs per-frame only on the parity/init paths."""
+    M = pretrain_window
+    old_num = (2 * M - 1) ** 2 + 3
+    new_h, new_w = 2 * gh - 1, 2 * gw - 1
+    if (gh, gw) != (M, M):
+        sub = table[: old_num - 3].reshape(2 * M - 1, 2 * M - 1, num_heads)
+        sub = resize(sub.astype(jnp.float32), (new_h, new_w), mode="bilinear")
+        table_new = jnp.concatenate(
+            [sub.reshape(new_h * new_w, num_heads),
+             table[old_num - 3:].astype(jnp.float32)], axis=0
+        ).astype(table.dtype)
+    else:
+        table_new = table
+    index = _relative_position_index(gh, gw)
+    n = gh * gw + 1
+    bias = jnp.take(table_new, jnp.asarray(index), axis=0)  # [(N+1)², H]
+    return bias.reshape(n, n, num_heads).transpose(2, 0, 1)
+
+
+def compute_rel_pos_biases(backbone_params, gh: int, gw: int,
+                           pretrain_window: int, num_layers: int,
+                           num_heads: int):
+    """All layers' biases for one runtime grid — the once-per-shape
+    precompute the streaming first() runs and step() reuses."""
+    out = []
+    for i in range(num_layers):
+        table = backbone_params[f"layer_{i}"]["relative_position_bias"][
+            "relative_position_bias_table"]
+        out.append(build_rel_pos_bias(table, gh, gw, pretrain_window, num_heads))
+    return out
+
+
+class BeitRelativePositionBias(nn.Module):
+    """Per-layer bias table module wrapper around build_rel_pos_bias."""
 
     num_heads: int
     pretrain_window: int
 
     @nn.compact
     def __call__(self, gh: int, gw: int) -> jax.Array:
-        M = self.pretrain_window
-        old_num = (2 * M - 1) ** 2 + 3
+        old_num = (2 * self.pretrain_window - 1) ** 2 + 3
         table = self.param(
             "relative_position_bias_table", nn.initializers.zeros,
             (old_num, self.num_heads),
         )
-        new_h, new_w = 2 * gh - 1, 2 * gw - 1
-        if (gh, gw) != (M, M):
-            sub = table[: old_num - 3].reshape(2 * M - 1, 2 * M - 1, self.num_heads)
-            sub = resize(sub.astype(jnp.float32), (new_h, new_w), mode="bilinear")
-            table_new = jnp.concatenate(
-                [sub.reshape(new_h * new_w, self.num_heads),
-                 table[old_num - 3:].astype(jnp.float32)], axis=0
-            ).astype(table.dtype)
-        else:
-            table_new = table
-        index = _relative_position_index(gh, gw)
-        n = gh * gw + 1
-        bias = jnp.take(table_new, jnp.asarray(index), axis=0)  # [(N+1)², H]
-        return bias.reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        return build_rel_pos_bias(table, gh, gw, self.pretrain_window,
+                                  self.num_heads)
 
 
 class BeitLayer(nn.Module):
@@ -102,16 +129,18 @@ class BeitLayer(nn.Module):
     layer_norm_eps: float = 1e-12
 
     @nn.compact
-    def __call__(self, x: jax.Array, gh: int, gw: int) -> jax.Array:
+    def __call__(self, x: jax.Array, gh: int, gw: int,
+                 bias: Optional[jax.Array] = None) -> jax.Array:
         B, N, D = x.shape
         hd = D // self.num_heads
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1", dtype=x.dtype)(x)
         q = nn.Dense(D, name="query", dtype=h.dtype)(h)
         k = nn.Dense(D, use_bias=False, name="key", dtype=h.dtype)(h)
         v = nn.Dense(D, name="value", dtype=h.dtype)(h)
-        bias = BeitRelativePositionBias(
-            self.num_heads, self.pretrain_window, name="relative_position_bias",
-        )(gh, gw)
+        if bias is None:  # parity/init path; the frame program precomputes
+            bias = BeitRelativePositionBias(
+                self.num_heads, self.pretrain_window, name="relative_position_bias",
+            )(gh, gw)
 
         def heads(t):
             return t.reshape(B, N, self.num_heads, hd)
@@ -142,7 +171,7 @@ class BeitEncoder(nn.Module):
     patch_size: int = 16
 
     @nn.compact
-    def __call__(self, pixels: jax.Array):
+    def __call__(self, pixels: jax.Array, biases=None):
         B, H, W, C = pixels.shape
         p = self.patch_size
         gh, gw = H // p, W // p
@@ -163,7 +192,8 @@ class BeitEncoder(nn.Module):
         want = set(self.out_indices)
         for i in range(self.num_layers):
             x = BeitLayer(D, self.num_heads, self.mlp_dim, self.pretrain_window,
-                          name=f"layer_{i}")(x, gh, gw)
+                          name=f"layer_{i}")(
+                x, gh, gw, None if biases is None else biases[i])
             if i in want:
                 feats.append(x)
         return feats, gh, gw
@@ -183,13 +213,13 @@ class DPTBEiT(nn.Module):
                    fusion_channels=spec.fusion_channels, patch_size=spec.patch_size)
 
     @nn.compact
-    def __call__(self, pixels: jax.Array) -> jax.Array:
+    def __call__(self, pixels: jax.Array, biases=None) -> jax.Array:
         hidden, layers, heads, mlp, out_idx, window = BEIT_PRESETS[self.preset]
         feats, gh, gw = BeitEncoder(
             hidden_size=hidden, num_layers=layers, num_heads=heads, mlp_dim=mlp,
             out_indices=out_idx, pretrain_window=window,
             patch_size=self.patch_size, name="backbone",
-        )(pixels)
+        )(pixels, biases=biases)
         return ClassicDPTDecoder(
             hidden_size=hidden, neck_channels=self.neck_channels,
             fusion_channels=self.fusion_channels, name="decoder",
@@ -217,3 +247,24 @@ def build_dpt_beit(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         return model.apply(p, pixels)
 
     return apply, params, spec
+
+
+def make_beit_stream_fns(model, spec: ModelSpec, preset_key: str):
+    """(first, step) carrying the per-shape rel-pos biases as model state —
+    computed once per capture shape, reused every frame (the per-frame
+    gather construction costs ~7 ms/frame on v5e for BEiT-L)."""
+    hidden, layers, heads, mlp, out_idx, window = BEIT_PRESETS.get(
+        preset_key, BEIT_PRESETS.get("zoedepth"))
+    del hidden, mlp, out_idx
+    ps = spec.patch_size
+
+    def first(p, x):
+        gh, gw = x.shape[1] // ps, x.shape[2] // ps
+        biases = compute_rel_pos_biases(
+            p["params"]["backbone"], gh, gw, window, layers, heads)
+        return model.apply(p, x, biases=biases), tuple(biases)
+
+    def step(p, x, s):
+        return model.apply(p, x, biases=list(s)), s
+
+    return first, step

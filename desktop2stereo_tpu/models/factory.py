@@ -155,5 +155,33 @@ def build_bound(
         _, first, step = make_vda_fns(model)
         return BoundModel(params=params, first=first, step=step), spec
 
+    if spec.family == "dpt_beit":
+        # BEiT's per-layer rel-pos bias construction costs ~0.3 ms/layer on
+        # device; compute once per capture shape and carry as model state.
+        from desktop2stereo_tpu.models.beit import (
+            DPTBEiT,
+            build_dpt_beit,
+            make_beit_stream_fns,
+        )
+
+        _, params, spec = build_dpt_beit(spec, checkpoint, param_dtype,
+                                         rng_seed, init_size)
+        model = DPTBEiT.from_spec(spec)
+        first, step = make_beit_stream_fns(model, spec, spec.name)
+        return BoundModel(params=params, first=first, step=step), spec
+
+    if spec.family == "zoedepth":
+        from desktop2stereo_tpu.models.zoedepth import (
+            ZoeDepth,
+            build_zoedepth,
+            make_zoe_stream_fns,
+        )
+
+        _, params, spec = build_zoedepth(spec, checkpoint, param_dtype,
+                                         rng_seed, init_size)
+        model = ZoeDepth.from_spec(spec)
+        first, step = make_zoe_stream_fns(model, spec)
+        return BoundModel(params=params, first=first, step=step), spec
+
     apply_fn, params, spec = build_model(name, checkpoint, param_dtype, rng_seed, init_size)
     return BoundModel.stateless(apply_fn, params), spec

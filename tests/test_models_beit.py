@@ -76,3 +76,22 @@ def test_dpt_beit_parity_offgrid_window(torch):
     """96x96 → 6x6 window vs 4x4 pretrain: exercises the MiDaS-v3.1
     relative-position-table interpolation."""
     run_parity(torch, 96, 96)
+
+
+def test_beit_stream_fns_precomputed_bias_parity():
+    """first/step (bias carried as model state) ≡ the in-graph-bias apply —
+    the per-shape precompute must not change numerics."""
+    from desktop2stereo_tpu.models.beit import DPTBEiT
+    from desktop2stereo_tpu.models.factory import build_bound
+
+    bound, spec = build_bound("dpt-beit-base-384", init_size=64)
+    x = jnp.asarray(np.random.default_rng(3).standard_normal((1, 96, 128, 3)),
+                    jnp.float32)
+    out1, state = bound.first(bound.params, x)
+    out2, state2 = bound.step(bound.params, x, state)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=1e-5, rtol=1e-5)
+    ref = DPTBEiT.from_spec(spec).apply(bound.params, x)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
+    assert len(state) == 12  # one bias per layer
