@@ -58,8 +58,15 @@ def test_settings_resolves_auto(tmp_path):
 
 
 def test_force_fp32_quirk_in_registry():
-    from desktop2stereo_tpu.core.registry import get_spec
+    """The quirk field exists for models whose whole graph needs f32
+    (reference FORCE_FP32_KEYWORDS, utils.py:234-238).  ZoeDepth used to
+    carry it, but its metric-bins head now promotes itself to f32
+    internally (models/zoedepth.py) so the BEiT trunk rides bf16 — the
+    registry must NOT force the whole model anymore."""
+    from desktop2stereo_tpu.core.registry import MODEL_REGISTRY, get_spec
 
-    assert get_spec("zoedepth-nyu").force_fp32
-    assert get_spec("zoedepth-kitti").force_fp32
+    assert not get_spec("zoedepth-nyu").force_fp32
+    assert not get_spec("zoedepth-kitti").force_fp32
     assert not get_spec("Depth-Anything-V2-Small").force_fp32
+    # the mechanism stays available for future quirked checkpoints
+    assert all(hasattr(s, "force_fp32") for s in MODEL_REGISTRY.values())
