@@ -68,14 +68,29 @@ def make_golden(width: int = 1920, height: int = 1080) -> np.ndarray:
     d.ellipse([width * 0.42, height * 0.62, width * 0.58, height * 0.95],
               fill=(230, 230, 235), outline=(30, 30, 30), width=5)
 
-    # film-style letterbox bars exercise the crop detector
     return np.asarray(img, np.uint8)
 
 
+def letterbox(scene: np.ndarray, bar_frac: float = 0.12) -> np.ndarray:
+    """Film-style black bars around the scene — the input that exercises the
+    letterbox crop detector (reference xr_viewer/crop.py auto mode)."""
+    h, w = scene.shape[:2]
+    bar = int(h * bar_frac)
+    out = np.zeros_like(scene)
+    inner = np.asarray(
+        Image.fromarray(scene).resize((w, h - 2 * bar), Image.BILINEAR)
+    )
+    out[bar:h - bar] = inner
+    return out
+
+
 def main() -> None:
-    out = os.path.join(os.path.dirname(__file__), "golden.png")
-    Image.fromarray(make_golden()).save(out)
-    print(f"wrote {out}")
+    here = os.path.dirname(__file__)
+    scene = make_golden()
+    Image.fromarray(scene).save(os.path.join(here, "golden.png"))
+    Image.fromarray(letterbox(scene)).save(
+        os.path.join(here, "golden_letterbox.png"))
+    print(f"wrote {here}/golden.png and golden_letterbox.png")
 
 
 if __name__ == "__main__":

@@ -173,6 +173,12 @@ def run(args=None) -> int:
     if overrides:
         settings = settings.replace(**overrides)
 
+    if args.streams > 1 and args.crop and args.crop != "off":
+        # crop wraps the program in a (frame)-only closure; the multi-stream
+        # engine calls program(frame, stream=i).  Per-stream crop state is a
+        # real feature, not a wrapper hack — reject loudly until it exists.
+        raise SystemExit("--streams > 1 does not support --crop yet")
+
     source, program, sink, settings = make_components(args, settings)
 
     if args.streams > 1:
@@ -219,6 +225,8 @@ def run(args=None) -> int:
         print(f"[d2s] compiling for frame shape {probe.shape} ...")
         program.warmup(probe.shape)
         print(f"[d2s] compiled in {time.perf_counter() - t0:.1f}s")
+    if probe is not None:
+        engine.preload(probe)  # the shape probe is frame 0, not a casualty
 
     try:
         engine.start()
@@ -235,7 +243,10 @@ def run(args=None) -> int:
             if args.stats_every and now - last_stats >= args.stats_every:
                 s = engine.stats()
                 lat = ", ".join(f"{k}={v*1000:.1f}ms" for k, v in s["latency"].items())
-                print(f"[d2s] fps={s['fps']:.1f} (1%low={s['fps_1pct_low']:.1f}) {lat}")
+                print(
+                    f"[d2s] fps={s['fps']:.1f} (1%low={s['fps_1pct_low']:.1f}) "
+                    f"dropped={s['dropped']} {lat}"
+                )
                 last_stats = now
             time.sleep(0.05)
     finally:
@@ -259,8 +270,8 @@ def run(args=None) -> int:
 
     final = engine.stats_final()
     print(
-        f"[d2s] done: {final.frames} frames, avg {final.fps:.1f} FPS, "
-        f"1% low {final.fps_1pct_low:.1f}"
+        f"[d2s] done: {final.frames} frames ({final.dropped} dropped), "
+        f"avg {final.fps:.1f} FPS, 1% low {final.fps_1pct_low:.1f}"
     )
     return 0
 
@@ -331,6 +342,8 @@ def _run_multi(args, settings, source0, program, sink0) -> int:
 
     engine = MultiStreamEngine(sources, program, sinks,
                                target_fps=settings.fps, shutdown=shutdown)
+    if probe is not None:
+        engine.preload(probe, stream=0)  # don't lose stream 0's first frame
     try:
         stats = engine.run(duration=args.duration)
     finally:

@@ -37,9 +37,13 @@ class Mailbox:
         self._cond = threading.Condition()
         self._item: Any = None
         self._seq = 0
+        self._taken_seq = 0
+        self.dropped = 0  # latest-wins overwrites of a never-consumed item
 
     def put(self, item: Any) -> None:
         with self._cond:
+            if self._item is not None and self._seq > self._taken_seq:
+                self.dropped += 1
             self._item = item
             self._seq += 1
             self._cond.notify_all()
@@ -54,6 +58,7 @@ class Mailbox:
                 if remaining is not None and remaining <= 0:
                     return None, last_seq
                 self._cond.wait(remaining)
+            self._taken_seq = max(self._taken_seq, self._seq)
             return self._item, self._seq
 
     @property
@@ -93,7 +98,6 @@ class FrameEngine:
         self.latency = StageLatency()
         self.fps = FpsCounter()
         self.frames = 0
-        self.dropped = 0
         self._threads: list[threading.Thread] = []
         self._error: Optional[BaseException] = None
         self.capture_done = threading.Event()  # source exhausted (drain, don't kill)
@@ -179,6 +183,17 @@ class FrameEngine:
 
     # ---- lifecycle ---------------------------------------------------------
 
+    @property
+    def dropped(self) -> int:
+        """Latest-wins drops across both mailboxes (the reference surfaces
+        the same pressure via FPS/1%-low, reference main.py:1202-1230)."""
+        return self.raw_box.dropped + self.out_box.dropped
+
+    def preload(self, frame, t0: Optional[float] = None) -> None:
+        """Enqueue a frame captured before start() (e.g. the CLI's shape
+        probe) so it is processed rather than lost."""
+        self.raw_box.put((frame, t0 if t0 is not None else time.perf_counter()))
+
     def start(self) -> None:
         for name, fn in (
             ("capture", self._capture_loop),
@@ -228,6 +243,8 @@ class FrameEngine:
     def stats(self) -> dict:
         s = self.fps.stats()
         s["latency"] = self.latency.snapshot()
+        s["frames"] = self.frames
+        s["dropped"] = self.dropped
         return s
 
     def stats_final(self) -> EngineStats:

@@ -58,7 +58,9 @@ class FpsCounter:
         if not deltas:
             return {"fps": 0.0, "fps_1pct_low": 0.0, "frame_ms": 0.0}
         avg = sum(deltas) / len(deltas)
-        worst = sorted(deltas)[max(0, int(len(deltas) * 0.99) - 1)]
+        # 1%-low = fps at the 99th-percentile (slowest-tail) frame interval;
+        # clamp into range so small windows pick the single worst delta.
+        worst = sorted(deltas)[min(len(deltas) - 1, int(len(deltas) * 0.99))]
         return {
             "fps": 1.0 / avg,
             "fps_1pct_low": 1.0 / worst if worst > 0 else 0.0,

@@ -139,6 +139,11 @@ class MultiStreamEngine:
 
     # ---- lifecycle ---------------------------------------------------------
 
+    def preload(self, frame: Any, stream: int = 0) -> None:
+        """Enqueue a frame captured before start() (the CLI's shape probe)
+        into a stream's raw mailbox so it is processed, not lost."""
+        self.streams[stream].raw.put((frame, time.perf_counter()))
+
     def start(self) -> None:
         for st in self.streams:
             for name, fn in (("capture", self._capture_loop),

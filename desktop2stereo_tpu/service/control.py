@@ -149,7 +149,11 @@ function syncRes(){{
  if(!menu) return;
  const cur=parseInt(sel.value);
  sel.innerHTML=menu.map(r=>`<option ${{r===cur?'selected':''}}>${{r}}</option>`).join('');
- if(!menu.includes(cur)) sel.value=menu[menu.length-1];
+ if(!menu.includes(cur)){{
+  // nearest menu entry to the old value, not a jump to max resolution
+  const near=menu.reduce((a,b)=>Math.abs(b-cur)<Math.abs(a-cur)?b:a);
+  sel.value=near;
+ }}
 }}
 async function tick(){{
  const s=await (await fetch('/status')).json();

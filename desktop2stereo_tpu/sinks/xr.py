@@ -24,10 +24,18 @@ class XrSink:
         self.frames = FrameServer()
         self._net = FrameNetServer(self.frames, host=host, port=port).start()
         self.port = self._net.port
+        self.host = host
 
     @property
     def url(self) -> str:
-        return f"tcp://{'127.0.0.1'}:{self.port} (xr frame protocol)"
+        # 0.0.0.0 is a bind address, not something a remote client can dial;
+        # report the machine's hostname for the remote-workstation use case.
+        host = self.host
+        if host in ("0.0.0.0", ""):
+            import socket
+
+            host = socket.gethostname()
+        return f"tcp://{host}:{self.port} (xr frame protocol)"
 
     def push(self, sbs_u8: np.ndarray, depth: Optional[np.ndarray],
              stats: dict) -> None:

@@ -53,11 +53,10 @@ class SyntheticSource:
         f[wy : wy + 24, wx : wx + 380, :3] = 60  # title bar
         # second, farther window
         f[self.h // 4 : self.h // 4 + 200, self.w // 8 : self.w // 8 + 300, :3] = 180
-        # texture patch so the image is not flat
-        th, tw = self._noise.shape
-        f[: th, self.w - tw :, 0] = self._noise
-        f[: th, self.w - tw :, 1] = self._noise
-        f[: th, self.w - tw :, 2] = self._noise
+        # texture patch so the image is not flat (clamped for tiny frames)
+        th = min(self._noise.shape[0], self.h)
+        tw = min(self._noise.shape[1], self.w)
+        f[:th, self.w - tw :, :3] = self._noise[:th, :tw, None]
         return f
 
     def close(self) -> None:

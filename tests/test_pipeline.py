@@ -138,6 +138,58 @@ def test_engine_end_to_end_synthetic():
     assert "depth+compose" in stats.latency
 
 
+def test_mailbox_counts_drops():
+    box = Mailbox()
+    for i in range(5):
+        box.put(i)           # 4 overwritten unconsumed
+    assert box.dropped == 4
+    _item, seq = box.get(timeout=0.1)
+    box.put(5)               # previous was consumed: no drop
+    assert box.dropped == 4
+    box.put(6)               # 5 never consumed: drop
+    assert box.dropped == 5
+
+
+def test_engine_dropped_stat_nonzero_when_source_outpaces_compute():
+    """latest-wins drops are the design's central mechanism; the stat must
+    reflect them (round-1 verdict: the counter was dead)."""
+    class SlowProgram:
+        def __call__(self, frame):
+            time.sleep(0.03)
+            f = np.asarray(frame)[..., :3]
+            return f, f[..., 0].astype(np.float32)
+
+    source = SyntheticSource(size=(32, 48), max_frames=40)
+    engine = FrameEngine(source, SlowProgram(), NullSink(), target_fps=500.0)
+    stats = engine.run(duration=10.0)
+    assert stats.frames + stats.dropped >= 35   # nearly all accounted for
+    assert stats.dropped > 0
+    assert engine.stats()["dropped"] == stats.dropped
+
+
+def test_engine_preload_processes_probe_frame():
+    """A frame grabbed before start() (the CLI's shape probe) must be
+    processed, not lost."""
+    class Identity:
+        def __call__(self, frame):
+            f = np.asarray(frame)[..., :3]
+            return f, f[..., 0].astype(np.float32)
+
+    class EmptySource:
+        def grab(self):
+            return None     # exhausted immediately
+
+        def close(self):
+            pass
+
+    sink = NullSink()
+    engine = FrameEngine(EmptySource(), Identity(), sink, target_fps=0.0)
+    engine.preload(np.zeros((16, 24, 4), np.uint8))
+    stats = engine.run(duration=5.0)
+    assert stats.frames == 1
+    assert sink.frames == 1
+
+
 def test_engine_propagates_stage_errors():
     class BadSource:
         def grab(self):
