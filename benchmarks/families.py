@@ -23,6 +23,7 @@ CONFIGS = [
     ("dpt-hybrid-midas", 384),
     ("dpt-beit-base-384", 384),
     ("zoedepth-nyu", 384),
+    ("DepthPro-Large", 1536),
 ]
 if len(sys.argv) > 1:
     CONFIGS = [c for c in CONFIGS if c[0] in sys.argv[1:]]

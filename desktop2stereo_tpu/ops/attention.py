@@ -56,16 +56,20 @@ def multi_head_attention(
     (ops/pallas/flash_attention.py); otherwise the XLA path.  Both paths are
     numerically equivalent within bf16 tolerance.
 
-    The flash kernel only pays above ~1k tokens: its per-block pipeline
-    overhead loses to XLA's fused softmax at ViT-frame sizes (778 tokens for
-    DA-V2 @518: +1.4 ms/frame measured on v5e), while at 8k tokens XLA's
-    materialized N² logits fall off a cliff (450 ms vs 5.5 ms).
+    Dispatch is by total logits volume, not just sequence length: XLA's
+    materialized B·H·N² f32 logits are the bottleneck, so a big BATCH of
+    short sequences (DepthPro's 36-tile pyramid: 36×16×730² → 4.1 ms/layer
+    XLA vs 2.3 ms flash) needs the kernel as much as one long sequence
+    (N=5548: 130 ms XLA vs 2.1 ms flash).  Below ~32M logits both paths are
+    sub-ms and XLA's fused softmax wins slightly.
     """
     if use_flash is None:
         use_flash = FORCE_FLASH
     if use_flash is None:
+        B, N, H, _ = q.shape
         use_flash = (
-            _platform() == "tpu" and bias is None and q.shape[1] >= 1024
+            _platform() == "tpu" and bias is None
+            and (N >= 1024 or B * H * N * N >= 32_000_000)
         )
     if use_flash and bias is None:
         try:
