@@ -96,6 +96,23 @@ def load() -> Optional[ctypes.CDLL]:
         lib.d2s_x11_grab.restype = ctypes.c_int
         lib.d2s_x11_grab.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                      ctypes.c_int, ctypes.c_int]
+        lib.d2s_x11_grab_rect.restype = ctypes.c_int
+        lib.d2s_x11_grab_rect.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int]
+        lib.d2s_x11_find_window.restype = ctypes.c_uint64
+        lib.d2s_x11_find_window.argtypes = [ctypes.c_void_p, ctypes.c_char_p]
+        lib.d2s_x11_window_rect.restype = ctypes.c_int
+        lib.d2s_x11_window_rect.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.d2s_x11_cursor.restype = ctypes.c_int
+        lib.d2s_x11_cursor.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
         lib.d2s_x11_close.argtypes = [ctypes.c_void_p]
 
         lib.d2s_now_ns.restype = ctypes.c_uint64
@@ -183,6 +200,57 @@ class X11Capture:
         if rc != 0:
             return None
         return self._buf  # BGRA; callers copy if they keep it
+
+    def grab_rect(self, x: int, y: int, w: int, h: int) -> Optional[np.ndarray]:
+        """Region-of-desktop grab (window mode), BGRA [h,w,4]."""
+        sh, sw = self.size
+        x = max(0, min(x, max(sw - w, 0)))
+        y = max(0, min(y, max(sh - h, 0)))
+        w = min(w, sw)
+        h = min(h, sh)
+        buf = np.empty((h, w, 4), np.uint8)
+        rc = self._lib.d2s_x11_grab_rect(
+            self._h, buf.ctypes.data_as(ctypes.c_void_p), x, y, w, h)
+        if rc != 0:
+            return None
+        return buf
+
+    def find_window(self, title_substr: str) -> int:
+        """Case-insensitive title-substring window search; 0 = not found
+        (the reference's window-title mode, reference capture.py:39-247)."""
+        return int(self._lib.d2s_x11_find_window(
+            self._h, title_substr.encode()))
+
+    def window_rect(self, window: int) -> Optional[Tuple[int, int, int, int]]:
+        """(x, y, w, h) of a window in root coordinates, or None."""
+        x = ctypes.c_int(); y = ctypes.c_int()
+        w = ctypes.c_int(); h = ctypes.c_int()
+        rc = self._lib.d2s_x11_window_rect(
+            self._h, window, ctypes.byref(x), ctypes.byref(y),
+            ctypes.byref(w), ctypes.byref(h))
+        if rc != 0 or w.value <= 0 or h.value <= 0:
+            return None
+        return x.value, y.value, w.value, h.value
+
+    _CURSOR_CAP = 256 * 256
+
+    def cursor(self) -> Optional[Tuple[np.ndarray, int, int]]:
+        """XFixes cursor snapshot: (argb [h,w] u32, root_x, root_y) with the
+        hotspot already subtracted, or None if XFixes is unavailable
+        (the reference composites the cursor the same way on macOS/mss,
+        reference capture.py:864-1340, 1385-1501)."""
+        buf = np.empty(self._CURSOR_CAP, np.uint32)
+        x = ctypes.c_int(); y = ctypes.c_int()
+        xh = ctypes.c_int(); yh = ctypes.c_int()
+        w = ctypes.c_int(); h = ctypes.c_int()
+        rc = self._lib.d2s_x11_cursor(
+            self._h, buf.ctypes.data_as(ctypes.c_void_p), self._CURSOR_CAP,
+            ctypes.byref(x), ctypes.byref(y), ctypes.byref(xh),
+            ctypes.byref(yh), ctypes.byref(w), ctypes.byref(h))
+        if rc != 0 or w.value <= 0 or h.value <= 0:
+            return None
+        img = buf[: w.value * h.value].reshape(h.value, w.value)
+        return img, x.value - xh.value, y.value - yh.value
 
     def close(self) -> None:
         if self._h:

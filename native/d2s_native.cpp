@@ -238,14 +238,48 @@ typedef XImageLike* (*XGetImageFn)(void*, unsigned long, int, int,
                                    unsigned int, unsigned int, unsigned long,
                                    int);
 typedef int (*XDestroyImageFn)(XImageLike*);
+typedef int (*XQueryTreeFn)(void*, unsigned long, unsigned long*,
+                            unsigned long*, unsigned long**, unsigned int*);
+typedef int (*XFetchNameFn)(void*, unsigned long, char**);
+typedef int (*XFreeFn)(void*);
+typedef unsigned long (*XInternAtomFn)(void*, const char*, int);
+typedef int (*XGetWindowPropertyFn)(void*, unsigned long, unsigned long, long,
+                                    long, int, unsigned long, unsigned long*,
+                                    int*, unsigned long*, unsigned long*,
+                                    unsigned char**);
+typedef int (*XGetWindowAttributesFn)(void*, unsigned long, void*);
+typedef int (*XTranslateCoordinatesFn)(void*, unsigned long, unsigned long,
+                                       int, int, int*, int*, unsigned long*);
+
+// XFixesGetCursorImage result (prefix-compatible with Xfixes.h; on LP64 the
+// per-pixel elements are unsigned LONG with ARGB in the low 32 bits).
+struct XFixesCursorImageLike {
+  short x, y;
+  unsigned short width, height;
+  unsigned short xhot, yhot;
+  unsigned long cursor_serial;
+  unsigned long* pixels;
+  unsigned long atom;
+  const char* name;
+};
+typedef XFixesCursorImageLike* (*XFixesGetCursorImageFn)(void*);
 
 struct X11Cap {
   void* lib;
+  void* xfixes_lib;  // may be null
   void* dpy;
   unsigned long root;
   int width, height;
   XGetImageFn get_image;
   XDestroyImageFn destroy_image;
+  XQueryTreeFn query_tree;
+  XFetchNameFn fetch_name;
+  XFreeFn x_free;
+  XInternAtomFn intern_atom;
+  XGetWindowPropertyFn get_property;
+  XGetWindowAttributesFn get_attributes;
+  XTranslateCoordinatesFn translate;
+  XFixesGetCursorImageFn get_cursor;
 };
 
 void* d2s_x11_open(const char* display_name) {
@@ -278,7 +312,154 @@ void* d2s_x11_open(const char* display_name) {
   cap->height = disp_h ? disp_h(dpy, screen) : 0;
   cap->get_image = get_image;
   cap->destroy_image = destroy_image;
+  cap->query_tree = (XQueryTreeFn)dlsym(lib, "XQueryTree");
+  cap->fetch_name = (XFetchNameFn)dlsym(lib, "XFetchName");
+  cap->x_free = (XFreeFn)dlsym(lib, "XFree");
+  cap->intern_atom = (XInternAtomFn)dlsym(lib, "XInternAtom");
+  cap->get_property = (XGetWindowPropertyFn)dlsym(lib, "XGetWindowProperty");
+  cap->get_attributes =
+      (XGetWindowAttributesFn)dlsym(lib, "XGetWindowAttributes");
+  cap->translate =
+      (XTranslateCoordinatesFn)dlsym(lib, "XTranslateCoordinates");
+  cap->xfixes_lib = dlopen("libXfixes.so.3", RTLD_LAZY | RTLD_LOCAL);
+  if (!cap->xfixes_lib)
+    cap->xfixes_lib = dlopen("libXfixes.so", RTLD_LAZY | RTLD_LOCAL);
+  cap->get_cursor =
+      cap->xfixes_lib
+          ? (XFixesGetCursorImageFn)dlsym(cap->xfixes_lib,
+                                          "XFixesGetCursorImage")
+          : nullptr;
   return cap;
+}
+
+// Case-insensitive substring window search over the tree (the reference's
+// window-title mode, reference capture.py:39-247).  Checks _NET_WM_NAME
+// (UTF-8) then WM_NAME.  Returns the window id or 0.
+static bool name_matches(const char* name, const char* needle_lower) {
+  if (!name || !needle_lower[0]) return false;
+  size_t nl = strlen(name), ql = strlen(needle_lower);
+  if (ql > nl) return false;
+  for (size_t i = 0; i + ql <= nl; ++i) {
+    size_t j = 0;
+    for (; j < ql; ++j) {
+      char c = name[i + j];
+      if (c >= 'A' && c <= 'Z') c += 32;
+      if (c != needle_lower[j]) break;
+    }
+    if (j == ql) return true;
+  }
+  return false;
+}
+
+static unsigned long find_window_rec(X11Cap* cap, unsigned long win,
+                                     const char* needle_lower,
+                                     unsigned long net_wm_name,
+                                     unsigned long utf8, int depth) {
+  if (depth > 12) return 0;
+  // _NET_WM_NAME first (modern WMs), then legacy WM_NAME
+  if (cap->get_property) {
+    unsigned long type = 0, nitems = 0, after = 0;
+    int fmt = 0;
+    unsigned char* prop = nullptr;
+    if (cap->get_property(cap->dpy, win, net_wm_name, 0, 1024, 0, utf8,
+                          &type, &fmt, &nitems, &after, &prop) == 0 &&
+        prop) {
+      bool hit = name_matches(reinterpret_cast<char*>(prop), needle_lower);
+      cap->x_free(prop);
+      if (hit) return win;
+    }
+  }
+  if (cap->fetch_name) {
+    char* name = nullptr;
+    if (cap->fetch_name(cap->dpy, win, &name) && name) {
+      bool hit = name_matches(name, needle_lower);
+      cap->x_free(name);
+      if (hit) return win;
+    }
+  }
+  if (!cap->query_tree) return 0;
+  unsigned long root = 0, parent = 0;
+  unsigned long* children = nullptr;
+  unsigned int n = 0;
+  if (!cap->query_tree(cap->dpy, win, &root, &parent, &children, &n))
+    return 0;
+  unsigned long found = 0;
+  for (unsigned int i = 0; i < n && !found; ++i)
+    found = find_window_rec(cap, children[i], needle_lower, net_wm_name,
+                            utf8, depth + 1);
+  if (children) cap->x_free(children);
+  return found;
+}
+
+uint64_t d2s_x11_find_window(void* handle, const char* title_substr) {
+  X11Cap* cap = reinterpret_cast<X11Cap*>(handle);
+  if (!cap->query_tree || !cap->x_free || !title_substr || !title_substr[0])
+    return 0;
+  char needle[256];
+  size_t n = strlen(title_substr);
+  if (n >= sizeof(needle)) n = sizeof(needle) - 1;
+  for (size_t i = 0; i < n; ++i) {
+    char c = title_substr[i];
+    needle[i] = (c >= 'A' && c <= 'Z') ? c + 32 : c;
+  }
+  needle[n] = 0;
+  unsigned long net_wm_name = 0, utf8 = 0;
+  if (cap->intern_atom) {
+    net_wm_name = cap->intern_atom(cap->dpy, "_NET_WM_NAME", 1);
+    utf8 = cap->intern_atom(cap->dpy, "UTF8_STRING", 1);
+  }
+  return find_window_rec(cap, cap->root, needle, net_wm_name, utf8, 0);
+}
+
+// Window geometry in root coordinates (XGetWindowAttributes size +
+// XTranslateCoordinates origin).  Returns 0 on ok; rect is clamped to the
+// screen by the caller.
+int d2s_x11_window_rect(void* handle, uint64_t window, int* x, int* y,
+                        int* w, int* h) {
+  X11Cap* cap = reinterpret_cast<X11Cap*>(handle);
+  if (!cap->get_attributes || !cap->translate) return -1;
+  // XWindowAttributes: x, y, width, height lead the struct; allocate
+  // generously for the rest (the real struct is ~136 bytes on LP64).
+  struct {
+    int x, y, width, height;
+    char pad[192];
+  } attrs;
+  memset(&attrs, 0, sizeof(attrs));
+  if (!cap->get_attributes(cap->dpy, window, &attrs)) return -2;
+  int rx = 0, ry = 0;
+  unsigned long child = 0;
+  if (!cap->translate(cap->dpy, window, cap->root, 0, 0, &rx, &ry, &child))
+    return -3;
+  *x = rx;
+  *y = ry;
+  *w = attrs.width;
+  *h = attrs.height;
+  return 0;
+}
+
+// Cursor snapshot via XFixes: ARGB pixels + hotspot + root position.
+// Returns 0 on ok, <0 if XFixes is unavailable or the image doesn't fit.
+int d2s_x11_cursor(void* handle, uint32_t* out_argb, uint32_t cap_pixels,
+                   int* x, int* y, int* xhot, int* yhot, int* w, int* h) {
+  X11Cap* cap = reinterpret_cast<X11Cap*>(handle);
+  if (!cap->get_cursor) return -1;
+  XFixesCursorImageLike* img = cap->get_cursor(cap->dpy);
+  if (!img) return -2;
+  uint32_t n = (uint32_t)img->width * img->height;
+  if (n > cap_pixels) {
+    if (cap->x_free) cap->x_free(img);
+    return -3;
+  }
+  for (uint32_t i = 0; i < n; ++i)
+    out_argb[i] = (uint32_t)(img->pixels[i] & 0xffffffffu);
+  *x = img->x;
+  *y = img->y;
+  *xhot = img->xhot;
+  *yhot = img->yhot;
+  *w = img->width;
+  *h = img->height;
+  if (cap->x_free) cap->x_free(img);
+  return 0;
 }
 
 int d2s_x11_size(void* handle, int* width, int* height) {
@@ -288,13 +469,16 @@ int d2s_x11_size(void* handle, int* width, int* height) {
   return 0;
 }
 
-// Grab the root window as BGRA into out (w*h*4 bytes).  Returns 0 on ok.
-int d2s_x11_grab(void* handle, uint8_t* out, int w, int h) {
+// Grab a root-window region as BGRA into out (w*h*4 bytes).  Returns 0 on
+// ok.  Window mode = region-of-desktop at the tracked window's rect
+// (the reference re-targets its desktop grabber the same way, reference
+// capture.py:159-217).
+int d2s_x11_grab_rect(void* handle, uint8_t* out, int x, int y, int w, int h) {
   X11Cap* cap = reinterpret_cast<X11Cap*>(handle);
   const unsigned long kAllPlanes = ~0UL;
   const int kZPixmap = 2;
   XImageLike* img =
-      cap->get_image(cap->dpy, cap->root, 0, 0, (unsigned)w, (unsigned)h,
+      cap->get_image(cap->dpy, cap->root, x, y, (unsigned)w, (unsigned)h,
                      kAllPlanes, kZPixmap);
   if (!img) return -1;
   if (img->bits_per_pixel == 32) {
@@ -322,10 +506,16 @@ int d2s_x11_grab(void* handle, uint8_t* out, int w, int h) {
   return 0;
 }
 
+// Full-screen grab (back-compat entry point).
+int d2s_x11_grab(void* handle, uint8_t* out, int w, int h) {
+  return d2s_x11_grab_rect(handle, out, 0, 0, w, h);
+}
+
 void d2s_x11_close(void* handle) {
   X11Cap* cap = reinterpret_cast<X11Cap*>(handle);
   auto close_display = (XCloseDisplayFn)dlsym(cap->lib, "XCloseDisplay");
   if (close_display) close_display(cap->dpy);
+  if (cap->xfixes_lib) dlclose(cap->xfixes_lib);
   dlclose(cap->lib);
   delete cap;
 }
