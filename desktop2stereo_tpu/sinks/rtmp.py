@@ -8,11 +8,32 @@ window, no screen grab — and ffmpeg encodes/publishes to the given URL.
 
 from __future__ import annotations
 
+import os
 import shutil
 import subprocess
-from typing import Optional
+from typing import List, Optional
 
 import numpy as np
+
+
+def detect_audio_source() -> Optional[List[str]]:
+    """ffmpeg input args for the system audio monitor, or None.
+
+    The reference records system audio into its macOS RTMP pipeline
+    (reference main.py:661-755, avfoundation); the Linux counterparts are
+    PulseAudio/PipeWire (`-f pulse -i default` captures the default sink's
+    monitor when configured) and ALSA as a last resort."""
+    runtime = os.environ.get("XDG_RUNTIME_DIR", "")
+    has_pulse = bool(
+        shutil.which("pactl")
+        or os.path.exists(os.path.join(runtime, "pulse", "native"))
+        or os.path.exists(os.path.join(runtime, "pipewire-0"))
+    )
+    if has_pulse:
+        return ["-f", "pulse", "-i", "default"]
+    if os.path.exists("/dev/snd"):
+        return ["-f", "alsa", "-i", "default"]
+    return None
 
 
 class RtmpSink:
@@ -25,12 +46,17 @@ class RtmpSink:
         ffmpeg: Optional[str] = None,
         serve: bool = False,
         mediamtx: Optional[str] = None,
+        audio: str = "auto",
     ) -> None:
         """`serve=True` also spawns a local mediamtx media server (if the
         binary is on PATH) so players/headsets can PULL the stream from
         this host over RTMP/RTSP/SRT/HLS — the reference runs the same
         sidecar (reference main.py:993-1017).  Publishing still works
-        against any external server when mediamtx is absent."""
+        against any external server when mediamtx is absent.
+
+        `audio`: "auto" captures system audio (pulse/pipewire/alsa) when a
+        device is present, "none" disables it, anything else is passed to
+        ffmpeg as an explicit pulse device name."""
         self.url = url
         self.fps = fps
         self.crf = crf
@@ -38,6 +64,12 @@ class RtmpSink:
         self._ffmpeg = ffmpeg or shutil.which("ffmpeg")
         if self._ffmpeg is None:
             raise RuntimeError("ffmpeg binary not found; RTMP sink unavailable")
+        if audio == "none":
+            self.audio_args: Optional[List[str]] = None
+        elif audio == "auto":
+            self.audio_args = detect_audio_source()
+        else:
+            self.audio_args = ["-f", "pulse", "-i", audio]
         self._proc: Optional[subprocess.Popen] = None
         self._shape = None
         self._server: Optional[subprocess.Popen] = None
@@ -53,9 +85,17 @@ class RtmpSink:
         cmd = [
             self._ffmpeg, "-y", "-f", "rawvideo", "-pix_fmt", "rgb24",
             "-s", f"{w}x{h}", "-r", str(self.fps), "-i", "-",
-            "-c:v", "libx264", "-preset", self.preset, "-tune", "zerolatency",
-            "-crf", str(self.crf), "-pix_fmt", "yuv420p", "-f", fmt, self.url,
         ]
+        if self.audio_args:
+            cmd += self.audio_args
+        cmd += [
+            "-c:v", "libx264", "-preset", self.preset, "-tune", "zerolatency",
+            "-crf", str(self.crf), "-pix_fmt", "yuv420p",
+        ]
+        if self.audio_args:
+            # aac for flv/mpegts; resample to a broadcast-safe rate
+            cmd += ["-c:a", "aac", "-b:a", "160k", "-ar", "44100"]
+        cmd += ["-f", fmt, self.url]
         self._proc = subprocess.Popen(
             cmd, stdin=subprocess.PIPE, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL
         )

@@ -130,6 +130,44 @@ def test_rtmp_sink_mediamtx_sidecar(tmp_path):
     assert sink._server is None
 
 
+def test_rtmp_sink_audio_args(tmp_path, monkeypatch):
+    """Audio passthrough (reference records system audio into its RTMP
+    pipeline, reference main.py:661-755): explicit device → pulse input +
+    aac encode in the ffmpeg command; 'none' → video-only."""
+    import stat
+
+    from desktop2stereo_tpu.sinks import rtmp as R
+
+    p = tmp_path / "ffmpeg"
+    p.write_text("#!/bin/sh\ncat > /dev/null\n")
+    p.chmod(p.stat().st_mode | stat.S_IEXEC)
+
+    captured = {}
+    real_popen = R.subprocess.Popen
+
+    def spy(cmd, **kw):
+        captured["cmd"] = cmd
+        return real_popen(cmd if cmd[0] != str(p) else [str(p)], **kw)
+
+    monkeypatch.setattr(R.subprocess, "Popen", spy)
+
+    sink = R.RtmpSink("rtmp://127.0.0.1/live", ffmpeg=str(p),
+                      audio="mysink.monitor")
+    sink.push(np.zeros((16, 32, 3), np.uint8), None, {})
+    cmd = captured["cmd"]
+    assert ["-f", "pulse", "-i", "mysink.monitor"] == cmd[cmd.index("pulse") - 1: cmd.index("pulse") + 3]
+    assert "aac" in cmd
+    sink.shutdown()
+
+    sink = R.RtmpSink("rtmp://127.0.0.1/live", ffmpeg=str(p), audio="none")
+    sink.push(np.zeros((16, 32, 3), np.uint8), None, {})
+    assert "pulse" not in captured["cmd"] and "aac" not in captured["cmd"]
+    sink.shutdown()
+
+    # auto mode never raises, whatever the host has
+    assert R.detect_audio_source() is None or "-i" in R.detect_audio_source()
+
+
 def test_rtmp_sink_serve_without_mediamtx(tmp_path):
     """serve=True degrades gracefully when no mediamtx binary exists."""
     import stat
