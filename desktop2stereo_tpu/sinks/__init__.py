@@ -31,6 +31,10 @@ def make_sink(kind: str, **kw):
         from desktop2stereo_tpu.sinks.viewer import StereoWindow
 
         return StereoWindow(**kw)
+    if kind == "window":
+        from desktop2stereo_tpu.sinks.window import WindowSink
+
+        return WindowSink(**kw)
     if kind == "xr":
         from desktop2stereo_tpu.sinks.xr import XrSink
 

@@ -1,0 +1,90 @@
+"""Local window sink: on-host presentation of the composed stereo frames.
+
+The reference's primary output is a GLFW/moderngl window with hot-keys and
+a stats title bar (reference viewer.py:1323-2933, main.py:1233-1251).  On a
+TPU host the heavy lifting (DIBR, display-mode composition) already happened
+on-device, so the window's only job is to blit frames — an OpenCV HighGUI
+window does that everywhere a display exists, with the reference's title-bar
+stats and the basic key set:
+
+    q / ESC   quit (stops the whole pipeline via the engine's error path)
+    f         toggle fullscreen
+    s         save a screenshot PNG next to the working dir
+
+Headless hosts keep using the MJPEG viewer facade (sinks/viewer.py).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+
+class WindowCloseRequested(Exception):
+    """Raised out of push() so FrameEngine's error propagation performs the
+    shutdown (the reference's window_should_close loop, main.py:1194)."""
+
+
+class WindowSink:
+    def __init__(self, title: str = "desktop2stereo (TPU)",
+                 screenshot_dir: str = "."):
+        import cv2  # hard dependency for this sink; cli surfaces the error
+
+        if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")
+                or os.name == "nt"):
+            raise RuntimeError(
+                "no display available for the window sink; use --sink mjpeg")
+        self._cv = cv2
+        self.title = title
+        self.screenshot_dir = screenshot_dir
+        self._fullscreen = False
+        self._created = False
+        self._last_title = 0.0
+        self.frames = 0
+
+    def _ensure_window(self) -> None:
+        if not self._created:
+            self._cv.namedWindow(self.title, self._cv.WINDOW_NORMAL)
+            self._created = True
+
+    def push(self, sbs_u8: np.ndarray, depth: Optional[np.ndarray],
+             stats: dict) -> None:
+        cv = self._cv
+        self._ensure_window()
+        cv.imshow(self.title, sbs_u8[..., ::-1])  # RGB → BGR
+        now = time.monotonic()
+        if now - self._last_title > 0.5 and stats:
+            # the reference's title-bar stats (main.py:1233-1251)
+            fps = stats.get("fps", 0.0)
+            low = stats.get("fps_1pct_low", 0.0)
+            dropped = stats.get("dropped", 0)
+            cv.setWindowTitle(
+                self.title,
+                f"{self.title}  {fps:.1f} FPS (1% low {low:.1f}, "
+                f"dropped {dropped})")
+            self._last_title = now
+        self.frames += 1
+        key = cv.waitKey(1) & 0xFF
+        if key in (27, ord("q")):
+            raise WindowCloseRequested("window closed by user")
+        if key == ord("f"):
+            self._fullscreen = not self._fullscreen
+            cv.setWindowProperty(
+                self.title, cv.WND_PROP_FULLSCREEN,
+                cv.WINDOW_FULLSCREEN if self._fullscreen else cv.WINDOW_NORMAL)
+        elif key == ord("s"):
+            path = os.path.join(self.screenshot_dir,
+                                f"d2s_screenshot_{int(time.time())}.png")
+            cv.imwrite(path, sbs_u8[..., ::-1])
+            print(f"[window] saved {path}")
+
+    def close(self) -> None:
+        if self._created:
+            try:
+                self._cv.destroyWindow(self.title)
+            except Exception:
+                pass
+            self._created = False

@@ -1,0 +1,91 @@
+"""WindowSink logic with a fake cv2 (CI has no display)."""
+
+from __future__ import annotations
+
+import types
+
+import numpy as np
+import pytest
+
+from desktop2stereo_tpu.sinks.window import WindowCloseRequested, WindowSink
+
+
+class FakeCv:
+    WINDOW_NORMAL = 0
+    WINDOW_FULLSCREEN = 1
+    WND_PROP_FULLSCREEN = 2
+
+    def __init__(self):
+        self.shown = []
+        self.titles = []
+        self.props = []
+        self.key_queue = []
+        self.saved = []
+
+    def namedWindow(self, *a):
+        pass
+
+    def imshow(self, title, img):
+        self.shown.append(img.copy())
+
+    def setWindowTitle(self, _t, new):
+        self.titles.append(new)
+
+    def setWindowProperty(self, _t, prop, val):
+        self.props.append((prop, val))
+
+    def waitKey(self, _ms):
+        return self.key_queue.pop(0) if self.key_queue else 255
+
+    def imwrite(self, path, img):
+        self.saved.append(path)
+        return True
+
+    def destroyWindow(self, _t):
+        pass
+
+
+def make_sink(monkeypatch):
+    fake = FakeCv()
+    sink = WindowSink.__new__(WindowSink)
+    sink._cv = fake
+    sink.title = "t"
+    sink.screenshot_dir = "."
+    sink._fullscreen = False
+    sink._created = False
+    sink._last_title = 0.0
+    sink.frames = 0
+    return sink, fake
+
+
+def test_push_blits_bgr_and_updates_title(monkeypatch):
+    sink, fake = make_sink(monkeypatch)
+    rgb = np.zeros((4, 6, 3), np.uint8)
+    rgb[..., 0] = 200  # red channel
+    sink.push(rgb, None, {"fps": 59.9, "fps_1pct_low": 48.2, "dropped": 3})
+    assert fake.shown[0][..., 2].max() == 200  # BGR flip happened
+    assert "59.9 FPS" in fake.titles[0] and "dropped 3" in fake.titles[0]
+
+
+def test_quit_key_raises_for_engine_shutdown(monkeypatch):
+    sink, fake = make_sink(monkeypatch)
+    fake.key_queue = [ord("q")]
+    with pytest.raises(WindowCloseRequested):
+        sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+
+
+def test_fullscreen_and_screenshot_keys(monkeypatch, tmp_path):
+    sink, fake = make_sink(monkeypatch)
+    sink.screenshot_dir = str(tmp_path)
+    fake.key_queue = [ord("f"), ord("s")]
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    assert fake.props[-1] == (FakeCv.WND_PROP_FULLSCREEN, FakeCv.WINDOW_FULLSCREEN)
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    assert len(fake.saved) == 1
+
+
+def test_headless_construction_fails_cleanly(monkeypatch):
+    monkeypatch.delenv("DISPLAY", raising=False)
+    monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
+    with pytest.raises((RuntimeError, ImportError)):
+        WindowSink()
