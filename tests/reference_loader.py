@@ -85,6 +85,49 @@ def load_reference_da3():
     return types.SimpleNamespace(vt=vt, dualdpt=dualdpt, dpt=dpt, cam_dec=cam_dec)
 
 
+def load_reference_functions(relpath, names, globals_extra=None):
+    """Extract top-level functions (and assignments, e.g. kernel caches) by
+    name from a reference source file via AST and exec ONLY those nodes in a
+    namespace with torch/F/np plus any supplied globals.
+
+    This turns the reference's own source into the test oracle without
+    importing the module (reference depth.py loads a model at import time,
+    reference depth.py:1784-1789) — so the oracle cannot drift from the
+    file it mirrors."""
+    import ast
+
+    import numpy as np
+    import torch
+    import torch.nn.functional as F
+
+    path = os.path.join(REFERENCE_ROOT, relpath)
+    if not os.path.exists(path):
+        pytest.skip("reference tree not available")
+    tree = ast.parse(open(path, encoding="utf-8").read())
+    wanted = []
+    found = set()
+    for node in tree.body:
+        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) \
+                and node.name in names:
+            wanted.append(node)
+            found.add(node.name)
+        elif isinstance(node, ast.Assign) and any(
+                isinstance(t, ast.Name) and t.id in names
+                for t in node.targets):
+            wanted.append(node)
+            found.add(node.targets[0].id)
+    missing = set(names) - found
+    if missing:
+        raise AssertionError(
+            f"{relpath} no longer defines {sorted(missing)} at top level — "
+            "update the parity tests to match the reference")
+    ns = {"torch": torch, "F": F, "np": np, **(globals_extra or {})}
+    mod = ast.Module(body=wanted, type_ignores=[])
+    ast.fix_missing_locations(mod)
+    exec(compile(mod, path, "exec"), ns)
+    return ns
+
+
 def load_reference_vda():
     """Returns the reference's VideoDepthAnything class, or skips."""
     if not os.path.isdir(os.path.join(REFERENCE_ROOT, "models", "video_depth_anything")):

@@ -1,5 +1,10 @@
-"""Depth post-processing parity vs a torch oracle built from the reference's
-documented math (percentile clip, gamma, foreground scale, Gaussian AA, EMA)."""
+"""Depth post-processing parity, two tiers:
+
+1. against a torch oracle rebuilt from the reference's documented math
+   (fast, self-contained), and
+2. against the reference's ACTUAL functions, AST-extracted from
+   /root/reference/depth.py at test time (reference_loader.
+   load_reference_functions) — the oracle that cannot drift."""
 
 import numpy as np
 import pytest
@@ -116,3 +121,50 @@ def test_post_process_chain_range(rng):
     out = np.asarray(post_process_depth(jnp.asarray(d), foreground_scale=0.05, aa_strength=2.0))
     assert out.shape == (128, 160)
     assert out.min() >= -1e-6 and out.max() <= 1.0 + 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: the reference's OWN functions as the oracle (AST-extracted from
+# /root/reference/depth.py, so this parity cannot drift from upstream).
+# ---------------------------------------------------------------------------
+
+def _ref_post_ns(metric: bool, fg: float, aa: float):
+    from tests.reference_loader import load_reference_functions
+
+    return load_reference_functions(
+        "depth.py",
+        ["post_process_depth", "normalize", "apply_gamma",
+         "apply_foreground_scale", "anti_alias", "_aa_kernel_cache",
+         "_percentile_bounds_no_lerp", "_percentile_bounds_sort"],
+        globals_extra={"is_metric": lambda: metric,
+                       "FOREGROUND_SCALE": fg, "AA_STRENGTH": aa},
+    )
+
+
+@pytest.mark.parametrize("metric", [False, True])
+@pytest.mark.parametrize("fg,aa", [(0.0, 1.0), (0.1, 2.0)])
+def test_full_chain_vs_actual_reference_source(rng, metric, fg, aa):
+    ns = _ref_post_ns(metric, fg, aa)
+    d = (rng.random((120, 160)) * (20.0 if metric else 3.0)).astype(np.float32)
+    if metric:
+        d[d < 1.0] = 0.0  # invalid pixels exercise the valid-mask path
+
+    want = ns["post_process_depth"](torch.from_numpy(d.copy()))
+    want = np.asarray(want.detach().numpy())
+    got = np.asarray(post_process_depth(
+        jnp.asarray(d), metric=metric, foreground_scale=fg, aa_strength=aa))
+    assert got.shape == want.shape
+    if metric:
+        # valid-compaction vs strided-subsample ordering differs (documented
+        # in normalize_depth); bound the mean, not the max
+        assert np.abs(got - want).mean() < 2e-2
+    else:
+        assert np.abs(got - want).max() < 1e-4
+
+
+def test_normalize_vs_actual_reference_source(rng):
+    ns = _ref_post_ns(False, 0.0, 1.0)
+    d = (rng.random((300, 400)) * 10 + 0.5).astype(np.float32)
+    want = ns["normalize"](torch.from_numpy(d.copy())).numpy()
+    got = np.asarray(normalize_depth(jnp.asarray(d), metric=False))
+    assert np.abs(got - want).max() < 1e-5

@@ -48,6 +48,24 @@ def test_resize_2d_and_3d_layouts(rng):
     assert np.allclose(out2, out3, atol=1e-6)
 
 
+def test_resize_patch_aligned_vs_actual_reference_source(rng):
+    """Oracle = the reference's own _resize_patch_aligned_t, AST-extracted
+    from /root/reference/depth.py (CUDA branch: bicubic+antialias)."""
+    from tests.reference_loader import load_reference_functions
+
+    ns = load_reference_functions(
+        "depth.py", ["_resize_patch_aligned_t"],
+        globals_extra={"IS_XPU": False, "IS_CUDA": True, "DEVICE": "cpu"})
+
+    x = rng.standard_normal((1, 360, 640, 3)).astype(np.float32)
+    want = ns["_resize_patch_aligned_t"](
+        torch.from_numpy(x).permute(0, 3, 1, 2), 252, 14
+    ).permute(0, 2, 3, 1).numpy()
+    got = np.asarray(resize_patch_aligned(jnp.asarray(x), 252, 14))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() < 5e-4
+
+
 def test_patch_aligned_size_matches_reference_geometry():
     # 1080p → target 384, patch 14 (reference depth.py:676-695 math):
     # scale 0.2 → (216, 384) → nearest 14-multiples (210, 378)
