@@ -29,8 +29,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--source", default="synthetic",
                    choices=["synthetic", "image", "video", "screen", "shm"])
     p.add_argument("--input", help="path for image/video sources")
+    p.add_argument("--window-title",
+                   help="screen source: capture the window whose title "
+                        "contains this substring (tracked on move/resize)")
+    p.add_argument("--no-cursor", action="store_true",
+                   help="screen source: do not composite the mouse cursor")
+    p.add_argument("--audio", default="auto",
+                   help="rtmp sink: 'auto' (system audio if present), "
+                        "'none', or an explicit pulse device name")
     p.add_argument("--sink", default="mjpeg",
-                   choices=["mjpeg", "png", "video", "null", "rtmp", "viewer", "xr"])
+                   choices=["mjpeg", "png", "video", "null", "rtmp", "viewer",
+                            "window", "xr"])
     p.add_argument("--show-fps", action="store_true",
                    help="green FPS overlay on the output (viewer sink)")
     p.add_argument("--out", help="output path/dir for png/video/rtmp sinks")
@@ -120,6 +129,11 @@ def make_components(args, settings):
         src_kw = {"size": (h, w)}
         if args.frames:
             src_kw["max_frames"] = args.frames
+    elif args.source == "screen":
+        src_kw = {"window_title": args.window_title,
+                  "with_cursor": not args.no_cursor}
+        if args.frames:
+            src_kw["max_frames"] = args.frames
     elif args.source == "shm":
         src_kw = {"name": args.input or "/d2s_frames"}
         if args.frames:
@@ -144,7 +158,8 @@ def make_components(args, settings):
                    "fps": settings.fps, "quality": settings.stream_quality,
                    "show_fps": args.show_fps or settings.show_fps}
     elif args.sink == "rtmp":
-        sink_kw = {"url": args.out or "rtmp://127.0.0.1/live", "fps": settings.fps}
+        sink_kw = {"url": args.out or "rtmp://127.0.0.1/live",
+                   "fps": settings.fps, "audio": args.audio}
     elif args.sink == "viewer":
         sink_kw = {"port": args.port or settings.streamer_port,
                    "fps": settings.fps, "show_fps": args.show_fps or settings.show_fps}
