@@ -230,6 +230,9 @@ def run(args=None) -> int:
         source, program, sink, target_fps=settings.fps, shutdown=shutdown
     )
 
+    if hasattr(sink, "mode_switcher") and hasattr(program, "set_display_mode"):
+        sink.mode_switcher = program  # live display-mode hot-keys
+
     if getattr(sink, "url", None):
         print(f"[d2s] streaming at {sink.url}")
 

@@ -366,24 +366,74 @@ class ProgramCache:
 
     def __init__(self, cfg: ProgramConfig, model_apply, spec=None, compute_dtype=jnp.bfloat16):
         self.cfg = cfg
+        self._model_apply = model_apply
+        self._spec = spec
+        self._compute_dtype = compute_dtype
         if isinstance(model_apply, BoundModel):
             self._stateful = model_apply.stateful
         else:
             self._stateful = hasattr(model_apply, "first") and hasattr(model_apply, "step")
-        self._step = build_frame_step(cfg, model_apply, spec, compute_dtype)
+        self._step, self._first = self._build_steps(cfg)
+        # live display-mode switching (the reference's viewer hot-keys,
+        # reference viewer.py:2304): step variants per mode, lazily compiled;
+        # the carried state (EMA, temporal caches) is mode-independent and
+        # survives the switch
+        self._variants: Dict[str, Tuple[Callable, Callable]] = {
+            cfg.display_mode: (self._step, self._first)
+        }
+        self._pending_mode: Optional[str] = None
+        self._states: Dict[Tuple[int, int, int], FrameState] = {}
+
+    def _build_steps(self, cfg: ProgramConfig):
+        step = build_frame_step(cfg, self._model_apply, self._spec,
+                                self._compute_dtype)
         # Stateless models share one program; stateful ones need a distinct
         # first-frame program that builds the model carry.
-        self._first = (
-            build_first_step(cfg, model_apply, spec, compute_dtype,
-                             shared_stages=getattr(self._step, "stages", None))
-            if self._stateful else self._step
+        first = (
+            build_first_step(cfg, self._model_apply, self._spec,
+                             self._compute_dtype,
+                             shared_stages=getattr(step, "stages", None))
+            if self._stateful else step
         )
-        self._states: Dict[Tuple[int, int, int], FrameState] = {}
+        return step, first
+
+    def set_display_mode(self, mode: str) -> None:
+        """Request a display-mode switch; applied atomically at the next
+        frame (safe to call from any thread, e.g. a sink's key handler)."""
+        from desktop2stereo_tpu.core.config import DISPLAY_MODES
+
+        if mode not in DISPLAY_MODES:
+            raise ValueError(f"unknown display mode {mode!r}")
+        self._pending_mode = mode
+
+    def cycle_display_mode(self, delta: int = 1) -> str:
+        """Step through DISPLAY_MODES (viewer hot-key behavior); returns the
+        newly requested mode."""
+        from desktop2stereo_tpu.core.config import DISPLAY_MODES
+
+        cur = self._pending_mode or self.cfg.display_mode
+        idx = (DISPLAY_MODES.index(cur) + delta) % len(DISPLAY_MODES)
+        self.set_display_mode(DISPLAY_MODES[idx])
+        return DISPLAY_MODES[idx]
+
+    def _apply_pending_mode(self) -> None:
+        mode = self._pending_mode
+        if mode is None or mode == self.cfg.display_mode:
+            self._pending_mode = None
+            return
+        if mode not in self._variants:
+            cfg = dataclasses.replace(self.cfg, display_mode=mode)
+            self._variants[mode] = self._build_steps(cfg)
+        self.cfg = dataclasses.replace(self.cfg, display_mode=mode)
+        self._step, self._first = self._variants[mode]
+        self._pending_mode = None
 
     def __call__(self, frame_u8: jax.Array, stream: int = 0):
         """`stream` keys the carried state (EMA depth, temporal caches) so
         several concurrent feeds — dual-display capture, multi-client
         serving — share the compiled programs without sharing state."""
+        if self._pending_mode is not None:
+            self._apply_pending_mode()
         h, w = frame_u8.shape[0], frame_u8.shape[1]
         oh, ow = process_frame_size(h, w, self.cfg.output_height)
         key = (stream, oh, ow)

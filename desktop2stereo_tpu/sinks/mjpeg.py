@@ -51,6 +51,10 @@ class MjpegSink:
         self._conn_count = 0
         self._conn_lock = threading.Lock()
         self._shutdown = threading.Event()
+        # set by the CLI to the live ProgramCache: enables GET /mode?set=…
+        # (the HTTP analog of the reference viewer's 1-9 hot-keys,
+        # reference viewer.py:2304)
+        self.mode_switcher = None
 
         sink = self
 
@@ -67,6 +71,37 @@ class MjpegSink:
                     self.send_header("Content-Length", str(len(_PAGE)))
                     self.end_headers()
                     self.wfile.write(_PAGE)
+                    return
+                if self.path.startswith("/mode"):
+                    import json as _json
+                    from urllib.parse import parse_qs, urlparse
+
+                    from desktop2stereo_tpu.core.config import DISPLAY_MODES
+
+                    q = parse_qs(urlparse(self.path).query)
+                    body: bytes
+                    if sink.mode_switcher is None:
+                        self.send_response(503)
+                        body = b'{"error": "no live pipeline attached"}'
+                    elif "set" in q:
+                        mode = q["set"][0]
+                        try:
+                            sink.mode_switcher.set_display_mode(mode)
+                            self.send_response(200)
+                            body = _json.dumps({"mode": mode}).encode()
+                        except ValueError as e:
+                            self.send_response(400)
+                            body = _json.dumps({"error": str(e)}).encode()
+                    else:
+                        self.send_response(200)
+                        body = _json.dumps({
+                            "mode": sink.mode_switcher.cfg.display_mode,
+                            "available": list(DISPLAY_MODES),
+                        }).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
                     return
                 if self.path != "/stream":
                     self.send_response(404)

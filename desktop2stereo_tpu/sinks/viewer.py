@@ -86,3 +86,12 @@ class StereoWindow:
     @property
     def url(self) -> str:
         return self._mjpeg.url
+
+    @property
+    def mode_switcher(self):
+        return self._mjpeg.mode_switcher
+
+    @mode_switcher.setter
+    def mode_switcher(self, program) -> None:
+        # the facade's "key bindings": GET /mode?set=… on the MJPEG server
+        self._mjpeg.mode_switcher = program

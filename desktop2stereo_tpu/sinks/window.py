@@ -10,6 +10,9 @@ stats and the basic key set:
     q / ESC   quit (stops the whole pipeline via the engine's error path)
     f         toggle fullscreen
     s         save a screenshot PNG next to the working dir
+    m / 1-9   cycle / select the display mode live (the reference's viewer
+              hot-keys, reference viewer.py:2304; the pipeline re-targets a
+              lazily-compiled program variant at the next frame)
 
 Headless hosts keep using the MJPEG viewer facade (sinks/viewer.py).
 """
@@ -44,6 +47,8 @@ class WindowSink:
         self._created = False
         self._last_title = 0.0
         self.frames = 0
+        # set by the CLI to the live ProgramCache: enables the m/1-9 keys
+        self.mode_switcher = None
 
     def _ensure_window(self) -> None:
         if not self._created:
@@ -80,6 +85,17 @@ class WindowSink:
                                 f"d2s_screenshot_{int(time.time())}.png")
             cv.imwrite(path, sbs_u8[..., ::-1])
             print(f"[window] saved {path}")
+        elif self.mode_switcher is not None:
+            if key == ord("m"):
+                print(f"[window] display mode → "
+                      f"{self.mode_switcher.cycle_display_mode()}")
+            elif ord("1") <= key <= ord("9"):
+                from desktop2stereo_tpu.core.config import DISPLAY_MODES
+
+                idx = key - ord("1")
+                if idx < len(DISPLAY_MODES):
+                    self.mode_switcher.set_display_mode(DISPLAY_MODES[idx])
+                    print(f"[window] display mode → {DISPLAY_MODES[idx]}")
 
     def close(self) -> None:
         if self._created:

@@ -138,6 +138,39 @@ def test_engine_end_to_end_synthetic():
     assert "depth+compose" in stats.latency
 
 
+def test_program_cache_live_display_mode_switch():
+    """set_display_mode re-targets a lazily-compiled variant at the next
+    frame while carried state survives (the reference's viewer hot-keys,
+    reference viewer.py:2304)."""
+    cfg = make_cfg()
+    program = ProgramCache(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    frame = np.zeros((72, 128, 4), np.uint8)
+
+    sbs_a, _ = program(frame)
+    h, w = np.asarray(sbs_a).shape[:2]
+
+    program.set_display_mode("Full-SBS")
+    sbs_b, _ = program(frame)
+    hb, wb = np.asarray(sbs_b).shape[:2]
+    assert wb == 2 * w and hb == h          # Full-SBS doubles the width
+    assert program.cfg.display_mode == "Full-SBS"
+    # EMA state survived the switch: the state key still holds an array
+    assert program._states, "carried state was dropped on mode switch"
+
+    # cycle returns to a known mode and bad names are rejected
+    mode = program.cycle_display_mode()
+    assert mode in __import__(
+        "desktop2stereo_tpu.core.config", fromlist=["DISPLAY_MODES"]
+    ).DISPLAY_MODES
+    with pytest.raises(ValueError):
+        program.set_display_mode("Nope")
+
+    # switching back reuses the cached variant (no rebuild)
+    program.set_display_mode(cfg.display_mode)
+    sbs_c, _ = program(frame)
+    assert np.asarray(sbs_c).shape == np.asarray(sbs_a).shape
+
+
 def test_mailbox_counts_drops():
     box = Mailbox()
     for i in range(5):

@@ -88,6 +88,52 @@ def test_mjpeg_sink_serves_stream():
         sink.close()
 
 
+def test_mjpeg_mode_endpoint():
+    """GET /mode: the HTTP analog of the viewer's display-mode hot-keys."""
+    import json
+
+    class FakeProgram:
+        def __init__(self):
+            from desktop2stereo_tpu.pipeline.programs import ProgramConfig
+            from desktop2stereo_tpu.core.config import Settings
+
+            self.cfg = ProgramConfig.from_settings(Settings())
+            self.calls = []
+
+        def set_display_mode(self, m):
+            from desktop2stereo_tpu.core.config import DISPLAY_MODES
+
+            if m not in DISPLAY_MODES:
+                raise ValueError(m)
+            self.calls.append(m)
+
+    sink = MjpegSink(port=0, host="127.0.0.1")
+    try:
+        def get(path):
+            conn = http.client.HTTPConnection("127.0.0.1", sink.port, timeout=5)
+            conn.request("GET", path)
+            r = conn.getresponse()
+            body = r.read()
+            conn.close()
+            return r.status, json.loads(body)
+
+        status, _ = get("/mode")
+        assert status == 503  # no pipeline attached yet
+
+        prog = FakeProgram()
+        sink.mode_switcher = prog
+        status, body = get("/mode")
+        assert status == 200 and "available" in body
+
+        status, body = get("/mode?set=Anaglyph")
+        assert status == 200 and prog.calls == ["Anaglyph"]
+
+        status, body = get("/mode?set=Bogus")
+        assert status == 400 and "error" in body
+    finally:
+        sink.close()
+
+
 def test_null_sink():
     s = NullSink()
     s.push(np.zeros((4, 4, 3), np.uint8), None, {})

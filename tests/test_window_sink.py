@@ -55,6 +55,7 @@ def make_sink(monkeypatch):
     sink._created = False
     sink._last_title = 0.0
     sink.frames = 0
+    sink.mode_switcher = None
     return sink, fake
 
 
@@ -82,6 +83,30 @@ def test_fullscreen_and_screenshot_keys(monkeypatch, tmp_path):
     assert fake.props[-1] == (FakeCv.WND_PROP_FULLSCREEN, FakeCv.WINDOW_FULLSCREEN)
     sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
     assert len(fake.saved) == 1
+
+
+def test_display_mode_hotkeys(monkeypatch):
+    sink, fake = make_sink(monkeypatch)
+
+    class FakeProgram:
+        def __init__(self):
+            self.calls = []
+
+        def set_display_mode(self, m):
+            self.calls.append(m)
+
+        def cycle_display_mode(self, delta=1):
+            self.calls.append(("cycle", delta))
+            return "Full-SBS"
+
+    prog = FakeProgram()
+    sink.mode_switcher = prog
+    fake.key_queue = [ord("m"), ord("5")]
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    from desktop2stereo_tpu.core.config import DISPLAY_MODES
+
+    assert prog.calls == [("cycle", 1), DISPLAY_MODES[4]]
 
 
 def test_headless_construction_fails_cleanly(monkeypatch):
