@@ -49,7 +49,8 @@ class WorkerManager:
     def running(self) -> bool:
         return self.proc is not None and self.proc.poll() is None
 
-    def start(self, settings: Settings, source: str, sink: str) -> int:
+    def start(self, settings: Settings, source: str, sink: str,
+              extra_args: "list[str] | None" = None) -> int:
         with self.lock:
             if self.running:
                 raise RuntimeError("worker already running")
@@ -63,7 +64,7 @@ class WorkerManager:
                 "--settings", self.settings_path,
                 "--source", source, "--sink", sink,
                 "--stop-file", STOP_FILE,
-            ]
+            ] + (extra_args or [])
             self.proc = subprocess.Popen(
                 cmd, stdout=log, stderr=subprocess.STDOUT,
                 start_new_session=True,
@@ -135,7 +136,10 @@ button{{margin-top:1em;padding:.5em 2em}}#log{{white-space:pre-wrap;font-family:
 <label>Depth Strength</label><input name="depth_strength" value="{settings.depth_strength}">
 <label>IPD</label><input name="ipd" value="{settings.ipd}">
 <label>Source</label><select name="source"><option>synthetic</option><option>screen</option><option>video</option><option>image</option></select>
-<label>Sink</label><select name="sink"><option>mjpeg</option><option>png</option><option>video</option><option>null</option><option>rtmp</option></select>
+<label>Window Title</label><input name="window_title" placeholder="(whole screen)">
+<label>Cursor</label><select name="cursor"><option value="on">on</option><option value="off">off</option></select>
+<label>Sink</label><select name="sink"><option>mjpeg</option><option>window</option><option>png</option><option>video</option><option>null</option><option>rtmp</option><option>xr</option></select>
+<label>Audio (rtmp)</label><select name="audio"><option>auto</option><option>none</option></select>
 <button type="submit">Run</button>
 </form>
 <form method="post" action="/stop"><button type="submit">Stop</button></form>
@@ -225,8 +229,16 @@ def serve(port: int = 8700, settings_path: str = "settings.yaml") -> ThreadingHT
                     depth_strength=float(val("depth_strength", base.depth_strength)),
                     ipd=float(val("ipd", base.ipd)),
                 )
+                extra = []
+                if val("window_title", ""):
+                    extra += ["--window-title", val("window_title", "")]
+                if val("cursor", "on") == "off":
+                    extra += ["--no-cursor"]
+                if val("audio", "auto") != "auto":
+                    extra += ["--audio", val("audio", "auto")]
                 try:
-                    manager.start(settings, val("source", "synthetic"), val("sink", "mjpeg"))
+                    manager.start(settings, val("source", "synthetic"),
+                                  val("sink", "mjpeg"), extra_args=extra)
                 except RuntimeError as e:
                     self._send(409, str(e).encode())
                     return
