@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "contains this substring (tracked on move/resize)")
     p.add_argument("--no-cursor", action="store_true",
                    help="screen source: do not composite the mouse cursor")
+    p.add_argument("--monitor", type=int, default=0,
+                   help="screen source: capture this monitor index "
+                        "(0 = primary/whole root)")
     p.add_argument("--audio", default="auto",
                    help="rtmp sink: 'auto' (system audio if present), "
                         "'none', or an explicit pulse device name")
@@ -131,7 +134,8 @@ def make_components(args, settings):
             src_kw["max_frames"] = args.frames
     elif args.source == "screen":
         src_kw = {"window_title": args.window_title,
-                  "with_cursor": not args.no_cursor}
+                  "with_cursor": not args.no_cursor,
+                  "monitor_index": args.monitor}
         if args.frames:
             src_kw["max_frames"] = args.frames
     elif args.source == "shm":

@@ -42,6 +42,41 @@ def _xrandr_modes() -> list:
     return modes
 
 
+def list_monitors() -> list:
+    """[(name, x, y, w, h)] from `xrandr --listmonitors` — the per-monitor
+    rects inside the X11 root window (the reference's monitor enumeration +
+    clamp, reference capture.py:_choose_monitor_and_rect, utils.py mss
+    monitors).  Empty on headless hosts."""
+    try:
+        out = subprocess.run(
+            ["xrandr", "--listmonitors"], capture_output=True, text=True,
+            timeout=3,
+        ).stdout
+    except Exception:
+        return []
+    mons = []
+    for line in out.splitlines():
+        # " 0: +*eDP-1 1920/309x1080/173+0+0  eDP-1"
+        m = re.match(
+            r"\s*\d+:\s+\S+\s+(\d+)/\d+x(\d+)/\d+\+(\d+)\+(\d+)\s+(\S+)", line)
+        if m:
+            w, h, x, y, name = (int(m.group(1)), int(m.group(2)),
+                                int(m.group(3)), int(m.group(4)), m.group(5))
+            mons.append((name, x, y, w, h))
+    return mons
+
+
+def monitor_rect(monitor_index: int) -> Optional[Tuple[int, int, int, int]]:
+    """(x, y, w, h) of the indexed monitor in root coordinates, or None if
+    enumeration fails / index is out of range (callers fall back to the
+    whole root, matching the reference's best-monitor clamp)."""
+    mons = list_monitors()
+    if 0 <= monitor_index < len(mons):
+        _name, x, y, w, h = mons[monitor_index]
+        return x, y, w, h
+    return None
+
+
 def _drm_modes() -> list:
     """[(width, height)] from /sys/class/drm/*/modes (no rates exposed)."""
     sizes = []

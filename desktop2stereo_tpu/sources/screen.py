@@ -59,6 +59,7 @@ class ScreenSource:
         self._failures = 0
         self._window: int = 0
         self._rect: Optional[Tuple[int, int, int, int]] = None
+        self._mon_rect: Optional[Tuple[int, int, int, int]] = None
         try:
             from desktop2stereo_tpu.native import X11Capture
 
@@ -69,6 +70,12 @@ class ScreenSource:
                     raise RuntimeError(
                         f"no window matching {window_title!r} found")
                 self._rect = self._native.window_rect(self._window)
+            elif monitor_index:
+                # per-monitor region of the root (reference
+                # capture.py:_choose_monitor_and_rect); None → whole root
+                from desktop2stereo_tpu.core.display import monitor_rect
+
+                self._mon_rect = monitor_rect(monitor_index)
             return
         except Exception:
             if window_title and self._native is not None:
@@ -124,6 +131,9 @@ class ScreenSource:
                 return None
             frame = self._native.grab_rect(*rect)
             origin = (rect[0], rect[1])
+        elif self._mon_rect is not None:
+            frame = self._native.grab_rect(*self._mon_rect)
+            origin = (self._mon_rect[0], self._mon_rect[1])
         else:
             frame = self._native.grab()
             origin = (0, 0)

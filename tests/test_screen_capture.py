@@ -104,6 +104,7 @@ def make_source(fake, title="editor", cursor=True):
     src._failures = 0
     src._window = fake.find_window(title) if title else 0
     src._rect = fake.window_rect(src._window) if src._window else None
+    src._mon_rect = None
     return src
 
 
@@ -167,6 +168,36 @@ def test_cursor_composited_into_window_frame():
     # window origin (10, 20) → cursor at frame (2, 2); BGRA green
     assert tuple(f[2, 2, :3]) == (0, 255, 0)
     assert tuple(f[10, 10, :3]) == (7, 0, 0)      # untouched elsewhere
+
+
+def test_list_monitors_parses_xrandr(monkeypatch):
+    import desktop2stereo_tpu.core.display as display
+
+    sample = (
+        "Monitors: 2\n"
+        " 0: +*eDP-1 1920/309x1080/173+0+0  eDP-1\n"
+        " 1: +HDMI-1 2560/597x1440/336+1920+0  HDMI-1\n"
+    )
+
+    class R:
+        stdout = sample
+
+    monkeypatch.setattr(display.subprocess, "run", lambda *a, **k: R())
+    mons = display.list_monitors()
+    assert mons == [("eDP-1", 0, 0, 1920, 1080),
+                    ("HDMI-1", 1920, 0, 2560, 1440)]
+    assert display.monitor_rect(1) == (1920, 0, 2560, 1440)
+    assert display.monitor_rect(5) is None
+
+
+def test_monitor_rect_grab_path():
+    fake = FakeX11()
+    src = make_source(fake, title=None)
+    src._window = 0
+    src._mon_rect = (30, 10, 80, 50)
+    f = src.grab()
+    assert f.shape == (50, 80, 4)
+    assert fake.grab_calls[-1] == (30, 10, 80, 50)
 
 
 def test_fullscreen_cursor_via_cli_no_cursor_flag():
