@@ -97,25 +97,29 @@ def make_components(args, settings):
 
     if args.crop and args.crop != "off":
         # letterbox crop between capture and the frame program (reference
-        # xr_viewer/crop.py); a changed rect re-specializes via ProgramCache
+        # xr_viewer/crop.py); a changed rect re-specializes via ProgramCache.
+        # Crop state is per stream (each feed detects its own letterbox).
         from desktop2stereo_tpu.pipeline.crop import (
             FULL, CropController, apply_crop)
 
         base_program = program
         if args.crop == "auto":
-            controller = CropController()
+            controllers: dict = {}
 
-            def program(frame):  # noqa: F811 — deliberate wrap
+            def program(frame, stream: int = 0):  # noqa: F811 — deliberate wrap
+                ctl = controllers.get(stream)
+                if ctl is None:
+                    ctl = controllers[stream] = CropController()
                 # stats read RGB luma; capture frames are BGRA
-                crop = controller.update(frame[..., 2::-1])
-                return base_program(apply_crop(frame, crop))
+                crop = ctl.update(frame[..., 2::-1])
+                return base_program(apply_crop(frame, crop), stream=stream)
         else:
             rect = tuple(float(v) for v in args.crop.split(","))
             if len(rect) != 4:
                 raise SystemExit("--crop expects 'auto' or u0,v0,uw,vh")
 
-            def program(frame):  # noqa: F811
-                return base_program(apply_crop(frame, rect))
+            def program(frame, stream: int = 0):  # noqa: F811
+                return base_program(apply_crop(frame, rect), stream=stream)
 
             def _warm(shape, steps=2):
                 h = max(1, int(round(rect[3] * shape[0])))
@@ -125,6 +129,7 @@ def make_components(args, settings):
             program.warmup = _warm
         if args.crop == "auto":
             program.warmup = base_program.warmup  # crop starts full-frame
+        program.base = base_program  # mode switching targets the cache
 
     src_kw = {}
     if args.source == "synthetic":
@@ -192,12 +197,6 @@ def run(args=None) -> int:
     if overrides:
         settings = settings.replace(**overrides)
 
-    if args.streams > 1 and args.crop and args.crop != "off":
-        # crop wraps the program in a (frame)-only closure; the multi-stream
-        # engine calls program(frame, stream=i).  Per-stream crop state is a
-        # real feature, not a wrapper hack — reject loudly until it exists.
-        raise SystemExit("--streams > 1 does not support --crop yet")
-
     source, program, sink, settings = make_components(args, settings)
 
     if args.streams > 1:
@@ -234,8 +233,9 @@ def run(args=None) -> int:
         source, program, sink, target_fps=settings.fps, shutdown=shutdown
     )
 
-    if hasattr(sink, "mode_switcher") and hasattr(program, "set_display_mode"):
-        sink.mode_switcher = program  # live display-mode hot-keys
+    mode_target = getattr(program, "base", program)
+    if hasattr(sink, "mode_switcher") and hasattr(mode_target, "set_display_mode"):
+        sink.mode_switcher = mode_target  # live display-mode hot-keys
 
     if getattr(sink, "url", None):
         print(f"[d2s] streaming at {sink.url}")
