@@ -24,21 +24,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from desktop2stereo_tpu.core.runtime import DATA_AXIS, MODEL_AXIS
 
 
-def _tp_spec_for(path: str, shape: Tuple[int, ...]) -> P:
-    """Megatron TP rule for a DepthAnything param leaf."""
-    if "attention" in path:
-        if "qkv" in path:
-            # fused qkv: kernel (D, 3D) → shard heads (columns); bias (3D,)
-            return P(None, MODEL_AXIS) if len(shape) == 2 else P(MODEL_AXIS)
-        if "proj" in path:
-            # row-parallel: kernel (D, D) shard input rows; bias replicated
-            return P(MODEL_AXIS, None) if len(shape) == 2 else P()
-    if "mlp" in path:
-        if "fc1" in path or "weights_in" in path:
-            return P(None, MODEL_AXIS) if len(shape) == 2 else P(MODEL_AXIS)
-        if "fc2" in path or "weights_out" in path:
-            return P(MODEL_AXIS, None) if len(shape) == 2 else P()
-    # neck/head convs, norms, embeddings: replicated
+def _parent_role(parent: str) -> "str | None":
+    """Megatron role of a Dense by its module name, across every family:
+    column-parallel (shard output features) for qkv/q/k/v and the first MLP
+    matmul (DA fc1/weights_in, DA3 w12, InfiniDepth w1/w2, ZoeDepth fc1_*),
+    row-parallel (shard input features) for proj and the second MLP matmul.
+    Anything else replicates.  GSPMD guarantees correctness for ANY spec —
+    these choices only steer the collectives to one all-reduce pair per
+    block."""
+    if parent in ("w1", "w2"):
+        return "col"
+    if parent.startswith(("qkv", "query", "key", "value", "fc1",
+                          "weights_in", "w12")):
+        return "col"
+    if parent == "w3" or parent.startswith(("proj", "fc2", "weights_out")):
+        return "row"
+    return None
+
+
+def _tp_spec_for(path: str, shape: Tuple[int, ...],
+                 parent: "str | None" = None) -> P:
+    """TP rule for a param leaf.  `parent` is the leaf's module name; when
+    absent it is recovered from the bracketed keystr path."""
+    if parent is None:
+        import re
+
+        names = re.findall(r"\['([^']+)'\]", path)
+        parent = names[-2] if len(names) >= 2 else ""
+    role = _parent_role(parent)
+    if role == "col":
+        return P(None, MODEL_AXIS) if len(shape) == 2 else P(MODEL_AXIS)
+    if role == "row" and len(shape) == 2:
+        return P(MODEL_AXIS, None)
+    # convs, norms, embeddings, biases of row-parallel matmuls: replicated
     return P()
 
 

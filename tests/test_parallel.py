@@ -42,11 +42,17 @@ def _pix(batch, rng_seed=0):
     return jnp.asarray(rng.standard_normal((batch, 56, 56, 3)), jnp.float32)
 
 
-def test_tp_sharded_matches_unsharded(small_model):
-    apply_fn, params, _ = small_model
+@pytest.mark.parametrize("name,size", [
+    ("Depth-Anything-V2-Small", 56),     # fused qkv + fc1/fc2
+    ("DA3-SMALL", 56),                   # qkv + RoPE + DualDPT decoder
+])
+def test_tp_sharded_matches_unsharded(name, size):
+    apply_fn, params, _ = build_model(name, init_size=size)
     mesh = make_mesh(num_data=1, num_model=8)
 
-    pixels = _pix(1)
+    pixels = jnp.asarray(
+        np.random.default_rng(0).standard_normal((1, size, size, 3)),
+        jnp.float32)
     ref = np.asarray(apply_fn(params, pixels))
 
     sharded = shard_params(params, mesh)
