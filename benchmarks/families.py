@@ -16,6 +16,7 @@ policy = detect_policy()
 
 CONFIGS = [
     ("Depth-Anything-V2-Small", 518),
+    ("Depth-Anything-V2-Base", 518),   # BASELINE configs[1] class
     ("Video-Depth-Anything-Small", 518),
     ("DA3-SMALL", 504),
     ("InfiniDepth-Small", 512),
