@@ -145,6 +145,14 @@ class FrameEngine:
                 t1 = time.perf_counter()
                 dev_frame = jax.device_put(frame)          # async host→HBM
                 sbs, depth = self.program(dev_frame)        # async dispatch
+                # start the d2h copy the moment compute finishes so the
+                # np.asarray in _finish() only synchronizes (the PBO-ring
+                # readback overlap, reference viewer.py:2504-2549)
+                if hasattr(sbs, "copy_to_host_async"):
+                    try:
+                        sbs.copy_to_host_async()
+                    except Exception:
+                        pass
                 # One-frame software pipeline: finish frame N-1 while N runs.
                 if pending is not None:
                     self._finish(pending)
