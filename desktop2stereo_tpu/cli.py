@@ -279,7 +279,16 @@ def run(args=None) -> int:
         watchdog.daemon = True
         watchdog.start()
         try:
-            engine.stop()
+            try:
+                engine.stop()
+            except Exception as e:
+                # a user quit from the window sink is a NORMAL shutdown,
+                # not an error — don't traceback out of a 'q' keypress
+                from desktop2stereo_tpu.sinks.window import WindowCloseRequested
+
+                if not isinstance(e, WindowCloseRequested):
+                    raise
+                print("[d2s] window closed")
         finally:
             for obj in (sink, source):
                 try:

@@ -37,7 +37,11 @@ def _parent_role(parent: str) -> "str | None":
     if parent.startswith(("qkv", "query", "key", "value", "fc1",
                           "weights_in", "w12")):
         return "col"
-    if parent == "w3" or parent.startswith(("proj", "fc2", "weights_out")):
+    # "proj" must be EXACT: VDA's temporal proj_in/proj_out are module
+    # entry/exit projections whose neighbors are replicated — row-sharding
+    # them would insert collectives with nothing sharded in between
+    if parent == "proj" or parent == "w3" \
+            or parent.startswith(("fc2", "weights_out")):
         return "row"
     return None
 

@@ -78,8 +78,11 @@ class ScreenSource:
                 self._mon_rect = monitor_rect(monitor_index)
             return
         except Exception:
-            if window_title and self._native is not None:
-                raise  # window mode needs the native path; surface the error
+            if window_title:
+                # window mode needs the native path regardless of whether
+                # construction or window lookup failed — falling through to
+                # mss would silently capture the WHOLE desktop instead
+                raise
             self._native = None
         try:
             import mss
@@ -124,16 +127,29 @@ class ScreenSource:
         self._rect = rect
         return rect
 
+    def _clamp_rect(self, rect):
+        """Clamp a root-coordinate rect to the screen so the grab origin and
+        the cursor-composite origin agree for partially offscreen windows."""
+        sh, sw = self._native.size
+        x, y, w, h = rect
+        w = min(w, sw)
+        h = min(h, sh)
+        x = max(0, min(x, sw - w))
+        y = max(0, min(y, sh - h))
+        return x, y, w, h
+
     def _grab_native(self) -> Optional[np.ndarray]:
         if self._window:
             rect = self._track_window()
             if rect is None:
                 return None
+            rect = self._clamp_rect(rect)
             frame = self._native.grab_rect(*rect)
             origin = (rect[0], rect[1])
         elif self._mon_rect is not None:
-            frame = self._native.grab_rect(*self._mon_rect)
-            origin = (self._mon_rect[0], self._mon_rect[1])
+            rect = self._clamp_rect(self._mon_rect)
+            frame = self._native.grab_rect(*rect)
+            origin = (rect[0], rect[1])
         else:
             frame = self._native.grab()
             origin = (0, 0)

@@ -188,6 +188,8 @@ def render_stereo(
         left = warp_eye(rgb, depth, -ipd / 2, depth_strength, convergence)
         right = warp_eye(rgb, depth, +ipd / 2, depth_strength, convergence)
     if mode == "Half-SBS":
+        if left.shape[1] % 2:  # odd width (window capture): drop last col
+            left, right = left[:, :-1], right[:, :-1]
         left = (left[:, 0::2] + left[:, 1::2]) * 0.5
         right = (right[:, 0::2] + right[:, 1::2]) * 0.5
     sbs = np.concatenate([left, right], axis=1)
@@ -228,6 +230,11 @@ class CvPresenter:
     def __init__(self, title: str = "desktop2stereo XR client"):
         import cv2
 
+        if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")
+                or os.name == "nt"):
+            # fail HERE so --present auto falls through to the png
+            # presenter on headless hosts (imshow would only fail later)
+            raise RuntimeError("no display for the OpenCV presenter")
         self._cv = cv2
         self.title = title
 

@@ -230,6 +230,15 @@ struct XImageLike {  // prefix-compatible with Xlib's XImage
 
 typedef void* (*XOpenDisplayFn)(const char*);
 typedef int (*XCloseDisplayFn)(void*);
+typedef int (*XErrorHandlerFn)(void*, void*);
+typedef XErrorHandlerFn (*XSetErrorHandlerFn)(XErrorHandlerFn);
+
+// Xlib's default error handler EXITS the process on async errors like
+// BadWindow — which a tracked window produces the instant it is closed,
+// making screen.py's "window gone → re-find" path unreachable.  Swallow
+// errors instead; calls after a failure return 0/None and the Python layer
+// recovers (reference capture.py handles device-lost the same way).
+static int d2s_ignore_x_error(void*, void*) { return 0; }
 typedef unsigned long (*XDefaultRootWindowFn)(void*);
 typedef int (*XDefaultScreenFn)(void*);
 typedef int (*XDisplayWidthFn)(void*, int);
@@ -250,6 +259,27 @@ typedef int (*XGetWindowPropertyFn)(void*, unsigned long, unsigned long, long,
 typedef int (*XGetWindowAttributesFn)(void*, unsigned long, void*);
 typedef int (*XTranslateCoordinatesFn)(void*, unsigned long, unsigned long,
                                        int, int, int*, int*, unsigned long*);
+
+// XWindowAttributes prefix (stable public Xlib ABI) up to map_state, which
+// distinguishes hidden windows (apps keep unmapped same-titled auxiliaries;
+// matching one captures a stale/zero rect).  IsViewable == 2.
+struct XWindowAttributesLike {
+  int x, y;
+  int width, height;
+  int border_width;
+  int depth;
+  void* visual;
+  unsigned long root;
+  int win_class;
+  int bit_gravity, win_gravity, backing_store;
+  unsigned long backing_planes, backing_pixel;
+  int save_under;
+  unsigned long colormap;
+  int map_installed;
+  int map_state;
+  char tail[96];  // event masks, do-not-propagate, override, screen ptr
+};
+static const int kIsViewable = 2;
 
 // XFixesGetCursorImage result (prefix-compatible with Xfixes.h; on LP64 the
 // per-pixel elements are unsigned LONG with ARGB in the low 32 bits).
@@ -303,6 +333,8 @@ void* d2s_x11_open(const char* display_name) {
     dlclose(lib);
     return nullptr;
   }
+  auto set_err = (XSetErrorHandlerFn)dlsym(lib, "XSetErrorHandler");
+  if (set_err) set_err(d2s_ignore_x_error);
   X11Cap* cap = new X11Cap();
   cap->lib = lib;
   cap->dpy = dpy;
@@ -351,12 +383,22 @@ static bool name_matches(const char* name, const char* needle_lower) {
   return false;
 }
 
+static bool window_viewable(X11Cap* cap, unsigned long win) {
+  if (!cap->get_attributes) return true;  // can't tell — accept
+  XWindowAttributesLike attrs;
+  memset(&attrs, 0, sizeof(attrs));
+  if (!cap->get_attributes(cap->dpy, win, &attrs)) return false;
+  return attrs.map_state == kIsViewable && attrs.width > 1 && attrs.height > 1;
+}
+
 static unsigned long find_window_rec(X11Cap* cap, unsigned long win,
                                      const char* needle_lower,
                                      unsigned long net_wm_name,
                                      unsigned long utf8, int depth) {
   if (depth > 12) return 0;
-  // _NET_WM_NAME first (modern WMs), then legacy WM_NAME
+  // _NET_WM_NAME first (modern WMs), then legacy WM_NAME; only VIEWABLE
+  // windows count — apps keep hidden same-titled auxiliaries whose rects
+  // are stale (finding 7 of the round-2 review).
   if (cap->get_property) {
     unsigned long type = 0, nitems = 0, after = 0;
     int fmt = 0;
@@ -366,7 +408,7 @@ static unsigned long find_window_rec(X11Cap* cap, unsigned long win,
         prop) {
       bool hit = name_matches(reinterpret_cast<char*>(prop), needle_lower);
       cap->x_free(prop);
-      if (hit) return win;
+      if (hit && window_viewable(cap, win)) return win;
     }
   }
   if (cap->fetch_name) {
@@ -374,7 +416,7 @@ static unsigned long find_window_rec(X11Cap* cap, unsigned long win,
     if (cap->fetch_name(cap->dpy, win, &name) && name) {
       bool hit = name_matches(name, needle_lower);
       cap->x_free(name);
-      if (hit) return win;
+      if (hit && window_viewable(cap, win)) return win;
     }
   }
   if (!cap->query_tree) return 0;
@@ -418,14 +460,10 @@ int d2s_x11_window_rect(void* handle, uint64_t window, int* x, int* y,
                         int* w, int* h) {
   X11Cap* cap = reinterpret_cast<X11Cap*>(handle);
   if (!cap->get_attributes || !cap->translate) return -1;
-  // XWindowAttributes: x, y, width, height lead the struct; allocate
-  // generously for the rest (the real struct is ~136 bytes on LP64).
-  struct {
-    int x, y, width, height;
-    char pad[192];
-  } attrs;
+  XWindowAttributesLike attrs;
   memset(&attrs, 0, sizeof(attrs));
   if (!cap->get_attributes(cap->dpy, window, &attrs)) return -2;
+  if (attrs.map_state != kIsViewable) return -4;  // hidden → treat as gone
   int rx = 0, ry = 0;
   unsigned long child = 0;
   if (!cap->translate(cap->dpy, window, cap->root, 0, 0, &rx, &ry, &child))
