@@ -151,7 +151,26 @@ def run_kernel_parity() -> str:
         # math should agree to ~1e-2 in 0..255 units
         if dibr_err > 5e-1:
             return f"FAIL dibr_render_pair maxdiff {dibr_err:.2e}"
-        return f"ok (attn {att_err:.1e}, dibr {dibr_err:.1e})"
+
+        # the PRODUCTION fused path: planar → half_sbs_u8 in one kernel
+        # must equal eyes → area-squeeze → quantize (±1 LSB at the
+        # round-half-up boundary)
+        from desktop2stereo_tpu.ops.pallas.dibr import (
+            dibr_render_pair_planar, pad_planar)
+
+        rgbp, depp = pad_planar(rgb, depth)
+        fused = np.asarray(dibr_render_pair_planar(
+            rgbp, depp, W, ipd=0.064, depth_strength=2.0, convergence=0.01,
+            out_mode="half_sbs_u8")).transpose(1, 2, 0)[:H, :W]
+        sbs = np.concatenate([np.asarray(left), np.asarray(right)], axis=1)
+        want = np.clip((sbs[:, 0::2] + sbs[:, 1::2]) * 0.5 + 0.5,
+                       0.0, 255.0).astype(np.uint8)
+        fused_err = int(np.abs(fused.astype(np.int32)
+                               - want.astype(np.int32)).max())
+        if fused_err > 1:
+            return f"FAIL fused half_sbs_u8 maxdiff {fused_err}"
+        return (f"ok (attn {att_err:.1e}, dibr {dibr_err:.1e}, "
+                f"fused_u8 {fused_err} LSB)")
     except Exception as e:  # never wedge the benchmark
         return f"ERROR {type(e).__name__}: {e}"
 
