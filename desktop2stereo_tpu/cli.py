@@ -68,6 +68,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="serve N concurrent feeds through one compiled "
                         "pipeline (per-stream state; png/video/mjpeg sinks "
                         "get per-stream suffixes)")
+    p.add_argument("--batched", action="store_true",
+                   help="with --streams N: stack the streams into ONE "
+                        "device batch per launch (stateless models only)")
     return p
 
 
@@ -93,7 +96,16 @@ def make_components(args, settings):
         compute_dtype = jnp.float32
 
     cfg = ProgramConfig.from_settings(settings, quality=args.quality)
-    program = ProgramCache(cfg, bound, spec, compute_dtype=compute_dtype)
+    if args.streams > 1 and getattr(args, "batched", False):
+        if args.crop and args.crop != "off":
+            raise SystemExit("--batched does not support --crop")
+        from desktop2stereo_tpu.pipeline.programs import BatchedProgramCache
+
+        program = BatchedProgramCache(cfg, bound, spec,
+                                      compute_dtype=compute_dtype,
+                                      num_streams=args.streams)
+    else:
+        program = ProgramCache(cfg, bound, spec, compute_dtype=compute_dtype)
 
     if args.crop and args.crop != "off":
         # letterbox crop between capture and the frame program (reference
@@ -310,7 +322,8 @@ def run(args=None) -> int:
 def _run_multi(args, settings, source0, program, sink0) -> int:
     """--streams N: N sources → MultiStreamEngine → N sinks, one compiled
     pipeline with per-stream carried state (pipeline/multi.py)."""
-    from desktop2stereo_tpu.pipeline.multi import MultiStreamEngine
+    from desktop2stereo_tpu.pipeline.multi import (
+        BatchedStreamEngine, MultiStreamEngine)
     from desktop2stereo_tpu.sinks import make_sink
     from desktop2stereo_tpu.sources import make_source
 
@@ -371,8 +384,10 @@ def _run_multi(args, settings, source0, program, sink0) -> int:
         program.warmup(probe.shape)
         print(f"[d2s] compiled in {time.perf_counter() - t0:.1f}s")
 
-    engine = MultiStreamEngine(sources, program, sinks,
-                               target_fps=settings.fps, shutdown=shutdown)
+    engine_cls = (BatchedStreamEngine if getattr(args, "batched", False)
+                  else MultiStreamEngine)
+    engine = engine_cls(sources, program, sinks,
+                        target_fps=settings.fps, shutdown=shutdown)
     if probe is not None:
         engine.preload(probe, stream=0)  # don't lose stream 0's first frame
     try:

@@ -180,3 +180,61 @@ class MultiStreamEngine:
             f"stream{st.idx}": {"frames": st.frames, **st.fps.stats()}
             for st in self.streams
         }
+
+
+class BatchedStreamEngine(MultiStreamEngine):
+    """N sources → ONE vmapped device batch per launch → N sinks.
+
+    Instead of round-robining batch-1 programs, each launch stacks the
+    newest frame of every stream into a [S,H,W,C] batch for a
+    BatchedProgramCache — S frames of MXU work per dispatch (BASELINE
+    configs[4]).  Latest-wins per stream is preserved: a stream with no
+    fresh frame re-submits its previous frame (its EMA advances — the same
+    thing the reference's viewer does when re-rendering a stale frame) but
+    its sink is NOT pushed a duplicate."""
+
+    def _compute_loop(self) -> None:
+        import jax as _jax
+
+        last = [None] * len(self.streams)     # last frame per stream
+        fresh = [False] * len(self.streams)
+        pending = None                        # (sbs, depth, fresh_mask, t0s)
+        try:
+            while not self.shutdown.is_set():
+                if all(st.done.is_set() for st in self.streams):
+                    break
+                got_any = False
+                t0s = [0.0] * len(self.streams)
+                for st in self.streams:
+                    item, st.raw_seq = st.raw.get(timeout=0.0, last_seq=st.raw_seq)
+                    if item is not None:
+                        last[st.idx], t0s[st.idx] = item
+                        fresh[st.idx] = True
+                        got_any = True
+                if not got_any or any(f is None for f in last):
+                    if pending is not None:
+                        self._finish_batch(pending)
+                        pending = None
+                    time.sleep(0.001)
+                    continue
+                batch = np.stack(last)
+                sbs, depth = self.program(_jax.device_put(batch))
+                if pending is not None:
+                    self._finish_batch(pending)
+                pending = (sbs, depth, list(fresh), t0s)
+                fresh = [False] * len(self.streams)
+            if pending is not None:
+                self._finish_batch(pending)
+        except BaseException as e:
+            self._error = e
+            self.shutdown.set()
+
+    def _finish_batch(self, pending) -> None:
+        sbs, depth, fresh_mask, t0s = pending
+        sbs_np = np.asarray(sbs)              # blocks on the whole batch
+        for st in self.streams:
+            if not fresh_mask[st.idx]:
+                continue                      # no duplicate pushes
+            st.out.put((sbs_np[st.idx], depth[st.idx], t0s[st.idx]))
+            st.frames += 1
+            st.fps.tick()

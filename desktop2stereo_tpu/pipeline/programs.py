@@ -151,6 +151,7 @@ def build_frame_step(
     spec: Optional[ModelSpec] = None,
     compute_dtype=jnp.bfloat16,
     jit: bool = True,
+    batch: int = 0,
 ) -> Callable:
     """Returns jitted `step(frame_u8, state) -> (sbs_u8, depth, state)`.
 
@@ -161,7 +162,8 @@ def build_frame_step(
     returns the *streaming* step and `build_first_step` builds the carry.
     """
     bound = _as_bound(model_apply)
-    return _build_step(cfg, bound, bound.step, spec, compute_dtype, jit, first=False)
+    return _build_step(cfg, bound, bound.step, spec, compute_dtype, jit,
+                       first=False, batch=batch)
 
 
 def build_first_step(
@@ -192,6 +194,7 @@ def _build_step(
     jit: bool,
     first: bool,
     shared_stages=None,
+    batch: int = 0,
 ) -> Callable:
     """Builds the frame step as FOUR chained device programs.
 
@@ -325,6 +328,51 @@ def _build_step(
 
         return step_eager
 
+    if batch:
+        # Batched-stream mode (BASELINE configs[4]): every stage is vmapped
+        # over a leading stream axis BEFORE its jit, so S concurrent feeds
+        # run as ONE device program per stage (filling the MXU that a
+        # batch-1 frame leaves idle) while keeping the staged-compile
+        # property.  The model already takes a batch dim; stack streams
+        # into it instead of double-vmapping.
+        if getattr(bound, "stateful", False):
+            raise NotImplementedError(
+                "batched streams with streaming models (per-stream rolling "
+                "caches don't stack into the model batch dim)")
+        preprocess = jax.vmap(preprocess)
+
+        def batched_model(params, model_in, model_state):
+            # model_in [S,1,h,w,3] → [S,h,w,3] through the model's own batch
+            raw_b, new_state = model_call(params, model_in[:, 0], model_state)
+            return raw_b, new_state
+
+        post_stage_b = jax.vmap(post_stage)
+        stereo_stage_b = jax.vmap(stereo_stage)
+        post_stereo_b = jax.vmap(post_stereo_stage)
+
+        pre_j = jax.jit(preprocess)
+        model_j = jax.jit(batched_model) if first else jax.jit(
+            batched_model, donate_argnums=(2,))
+        if fused_stereo:
+            tail_j = jax.jit(post_stereo_b)
+
+            def step(frame_u8: jax.Array, state: FrameState):
+                rgb_pre, model_in = pre_j(frame_u8)
+                raw, mstate = model_j(bound.params, model_in, state.model)
+                sbs, depth = tail_j(raw, state.ema_depth, rgb_pre)
+                return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+        else:
+            post_j = jax.jit(post_stage_b)
+            stereo_j = jax.jit(stereo_stage_b)
+
+            def step(frame_u8: jax.Array, state: FrameState):
+                rgb, model_in = pre_j(frame_u8)
+                raw, mstate = model_j(bound.params, model_in, state.model)
+                depth = post_j(raw, state.ema_depth)
+                sbs = stereo_j(rgb, depth)
+                return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+        return step
+
     if shared_stages is not None:
         stages = shared_stages
     elif fused_stereo:
@@ -358,6 +406,47 @@ def _build_step(
 
     step.stages = stages  # share across first/stream builds
     return step
+
+
+class BatchedProgramCache:
+    """S concurrent streams through ONE vmapped program chain.
+
+    The sequential MultiStreamEngine round-robins batch-1 programs; this
+    variant stacks the streams into a device batch so the MXU sees S frames
+    per launch (BASELINE configs[4] "2-stream batched stereo").  Stateless
+    models only — streaming carries don't stack into the model batch dim.
+
+    __call__(frames [S,H,W,C] u8) → (sbs [S,...] u8, depth [S,...])."""
+
+    def __init__(self, cfg: ProgramConfig, model_apply, spec=None,
+                 compute_dtype=jnp.bfloat16, num_streams: int = 2):
+        self.cfg = cfg
+        self.num_streams = num_streams
+        self._step = build_frame_step(cfg, model_apply, spec, compute_dtype,
+                                      batch=num_streams)
+        self._states: Dict[Tuple[int, int, int], FrameState] = {}
+
+    def __call__(self, frames: jax.Array):
+        s, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+        oh, ow = process_frame_size(h, w, self.cfg.output_height)
+        key = (s, oh, ow)
+        state = self._states.get(key)
+        if state is None:
+            singles = [init_state(oh, ow) for _ in range(s)]
+            state = jax.tree.map(lambda *xs: jnp.stack(xs), *singles)
+        sbs, depth, new_state = self._step(frames, state)
+        self._states[key] = new_state
+        return sbs, depth
+
+    def reset(self) -> None:
+        self._states.clear()
+
+    def warmup(self, frame_shape: Tuple[int, ...], steps: int = 2) -> None:
+        dummy = jnp.zeros((self.num_streams,) + tuple(frame_shape), jnp.uint8)
+        for _ in range(max(1, steps)):
+            sbs, _ = self(dummy)
+        jax.block_until_ready(sbs)
+        self.reset()
 
 
 class ProgramCache:

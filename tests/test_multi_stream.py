@@ -77,6 +77,58 @@ def test_two_streams_independent_state():
     assert sinks[0].stats[-1]["stream"] == 0
 
 
+def test_batched_engine_matches_sequential():
+    """BatchedStreamEngine (one vmapped device batch per launch) must
+    produce the same frames as the sequential engine for fresh inputs."""
+    from desktop2stereo_tpu.pipeline.multi import BatchedStreamEngine
+    from desktop2stereo_tpu.pipeline.programs import BatchedProgramCache
+
+    rng = np.random.default_rng(1)
+    feeds = [
+        [rng.integers(0, 255, (48, 64, 4), np.uint8) for _ in range(4)]
+        for _ in range(2)
+    ]
+
+    # sequential reference, frame by frame through ProgramCache.
+    # temporal_smooth off so a latest-wins skip cannot diverge EMA history
+    cfg = make_cfg(output_height=48, temporal_smooth=False)
+    seq_prog = ProgramCache(cfg, fake_model, compute_dtype=jnp.float32)
+    want = {0: [], 1: []}
+    for i in range(4):
+        for s in range(2):
+            sbs, _ = seq_prog(jnp.asarray(feeds[s][i]), stream=s)
+            want[s].append(np.asarray(sbs))
+
+    prog = BatchedProgramCache(cfg, fake_model,
+                               compute_dtype=jnp.float32, num_streams=2)
+    sinks = [CollectSink(), CollectSink()]
+    eng = BatchedStreamEngine(
+        [ListSource([f.copy() for f in feeds[0]]),
+         ListSource([f.copy() for f in feeds[1]])],
+        prog, sinks, target_fps=30.0,
+    )
+    eng.run(duration=30.0)
+
+    for s in range(2):
+        assert sinks[s].frames, f"stream {s} produced nothing"
+        # every delivered frame must be bit-identical to SOME sequential
+        # frame of the same stream (latest-wins may skip, never invent)
+        for got in sinks[s].frames:
+            assert any(np.array_equal(got, w) for w in want[s]), \
+                f"stream {s} frame matches no sequential output"
+
+
+def test_batched_rejects_streaming_models():
+    from desktop2stereo_tpu.pipeline.programs import (
+        BatchedProgramCache, BoundModel)
+    import pytest
+
+    bound = BoundModel(params=(), first=lambda p, x: (x[..., 0], ()),
+                       step=lambda p, x, s: (x[..., 0], s), stateful=True)
+    with pytest.raises(NotImplementedError):
+        BatchedProgramCache(make_cfg(), bound, compute_dtype=jnp.float32)
+
+
 def test_stream_exhaustion_and_latest_wins():
     frames = [np.zeros((32, 64, 4), np.uint8) for _ in range(3)]
     program = ProgramCache(make_cfg(output_height=32), fake_model,
