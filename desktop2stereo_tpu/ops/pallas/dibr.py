@@ -425,7 +425,9 @@ def dibr_render_pair_planar(
     """
     _, hp, wp = rgbp.shape
     W = width
-    tile_h = 48 if wp >= 2048 else TILE_H
+    # tile_h comes from pair_tiling so the kernel and the upstream padding
+    # (programs.py preprocess) can never disagree on the rule
+    _, _, tile_h = pair_tiling(hp, wp)
     assert hp % tile_h == 0, (hp, tile_h)
     nt = hp // tile_h
     if out_mode == "half_sbs_u8":

@@ -115,9 +115,18 @@ class MultiStreamEngine:
                 for st in self.streams:
                     item, st.raw_seq = st.raw.get(timeout=0.0, last_seq=st.raw_seq)
                     if item is None:
+                        # an exhausted stream's final result must not wait
+                        # for OTHER streams to go idle
+                        if st.pending is not None and st.done.is_set():
+                            self._finish(st)
                         continue
                     frame, t0 = item
                     sbs, depth = self.program(jax.device_put(frame), stream=st.idx)
+                    if hasattr(sbs, "copy_to_host_async"):
+                        try:
+                            sbs.copy_to_host_async()  # overlap d2h w/ next
+                        except Exception:
+                            pass
                     # one-frame software pipeline per stream: finish the
                     # PREVIOUS result while this one executes on device
                     if st.pending is not None:
@@ -177,7 +186,11 @@ class MultiStreamEngine:
 
     def stats(self) -> dict:
         return {
-            f"stream{st.idx}": {"frames": st.frames, **st.fps.stats()}
+            f"stream{st.idx}": {
+                "frames": st.frames,
+                "dropped": st.raw.dropped + st.out.dropped,
+                **st.fps.stats(),
+            }
             for st in self.streams
         }
 
@@ -194,34 +207,52 @@ class BatchedStreamEngine(MultiStreamEngine):
     its sink is NOT pushed a duplicate."""
 
     def _compute_loop(self) -> None:
-        import jax as _jax
-
         last = [None] * len(self.streams)     # last frame per stream
         fresh = [False] * len(self.streams)
+        t0s = [0.0] * len(self.streams)       # persists across iterations
         pending = None                        # (sbs, depth, fresh_mask, t0s)
         try:
             while not self.shutdown.is_set():
                 if all(st.done.is_set() for st in self.streams):
                     break
                 got_any = False
-                t0s = [0.0] * len(self.streams)
                 for st in self.streams:
                     item, st.raw_seq = st.raw.get(timeout=0.0, last_seq=st.raw_seq)
                     if item is not None:
                         last[st.idx], t0s[st.idx] = item
                         fresh[st.idx] = True
                         got_any = True
+                # a stream that ended before producing ANY frame (empty
+                # video, dead shm producer) must not starve the batch: give
+                # it a stand-in from a live stream (never marked fresh, so
+                # its sink never sees the stand-in)
+                have = [f for f in last if f is not None]
+                if have and len(have) < len(last):
+                    for st in self.streams:
+                        if last[st.idx] is None and st.done.is_set():
+                            last[st.idx] = have[0]
                 if not got_any or any(f is None for f in last):
                     if pending is not None:
                         self._finish_batch(pending)
                         pending = None
                     time.sleep(0.001)
                     continue
+                shapes = {f.shape for f in last}
+                if len(shapes) > 1:
+                    raise RuntimeError(
+                        f"--batched requires uniform frame shapes across "
+                        f"streams, got {sorted(shapes)}; use plain --streams "
+                        f"for mixed resolutions")
                 batch = np.stack(last)
-                sbs, depth = self.program(_jax.device_put(batch))
+                sbs, depth = self.program(jax.device_put(batch))
+                if hasattr(sbs, "copy_to_host_async"):
+                    try:
+                        sbs.copy_to_host_async()
+                    except Exception:
+                        pass
                 if pending is not None:
                     self._finish_batch(pending)
-                pending = (sbs, depth, list(fresh), t0s)
+                pending = (sbs, depth, list(fresh), list(t0s))
                 fresh = [False] * len(self.streams)
             if pending is not None:
                 self._finish_batch(pending)

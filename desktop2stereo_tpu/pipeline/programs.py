@@ -152,6 +152,7 @@ def build_frame_step(
     compute_dtype=jnp.bfloat16,
     jit: bool = True,
     batch: int = 0,
+    shared_model_j=None,
 ) -> Callable:
     """Returns jitted `step(frame_u8, state) -> (sbs_u8, depth, state)`.
 
@@ -163,7 +164,7 @@ def build_frame_step(
     """
     bound = _as_bound(model_apply)
     return _build_step(cfg, bound, bound.step, spec, compute_dtype, jit,
-                       first=False, batch=batch)
+                       first=False, batch=batch, shared_model_j=shared_model_j)
 
 
 def build_first_step(
@@ -173,6 +174,7 @@ def build_first_step(
     compute_dtype=jnp.bfloat16,
     jit: bool = True,
     shared_stages=None,
+    shared_model_j=None,
 ) -> Callable:
     """First-frame variant: same signature, but the model carry in the input
     state is ignored and a fresh one is built (reference vda2_s.py:195-207)."""
@@ -182,7 +184,7 @@ def build_first_step(
         return bound.first(params, pixels)
 
     return _build_step(cfg, bound, first_call, spec, compute_dtype, jit, first=True,
-                       shared_stages=shared_stages)
+                       shared_stages=shared_stages, shared_model_j=shared_model_j)
 
 
 def _build_step(
@@ -195,6 +197,8 @@ def _build_step(
     first: bool,
     shared_stages=None,
     batch: int = 0,
+    shared_model_j=None,
+    allow_fused: bool = True,
 ) -> Callable:
     """Builds the frame step as FOUR chained device programs.
 
@@ -212,7 +216,7 @@ def _build_step(
     # DIBR pair kernel its native padded-planar f32 layout (no HWC→planar
     # glue in the hot loop), and depth-post + DIBR + Half-SBS squeeze +
     # u8 quantize run as ONE program (the kernel emits finished u8 rows).
-    fused_stereo = (jit and cfg.quality == "high"
+    fused_stereo = (jit and allow_fused and cfg.quality == "high"
                     and cfg.display_mode == "Half-SBS" and _stereo_on_tpu())
 
     def _shared_preprocess(frame_u8: jax.Array):
@@ -346,15 +350,11 @@ def _build_step(
             raw_b, new_state = model_call(params, model_in[:, 0], model_state)
             return raw_b, new_state
 
-        post_stage_b = jax.vmap(post_stage)
-        stereo_stage_b = jax.vmap(stereo_stage)
-        post_stereo_b = jax.vmap(post_stereo_stage)
-
         pre_j = jax.jit(preprocess)
         model_j = jax.jit(batched_model) if first else jax.jit(
             batched_model, donate_argnums=(2,))
         if fused_stereo:
-            tail_j = jax.jit(post_stereo_b)
+            tail_j = jax.jit(jax.vmap(post_stereo_stage))
 
             def step(frame_u8: jax.Array, state: FrameState):
                 rgb_pre, model_in = pre_j(frame_u8)
@@ -362,8 +362,8 @@ def _build_step(
                 sbs, depth = tail_j(raw, state.ema_depth, rgb_pre)
                 return sbs, depth, FrameState(ema_depth=depth, model=mstate)
         else:
-            post_j = jax.jit(post_stage_b)
-            stereo_j = jax.jit(stereo_stage_b)
+            post_j = jax.jit(jax.vmap(post_stage))
+            stereo_j = jax.jit(jax.vmap(stereo_stage))
 
             def step(frame_u8: jax.Array, state: FrameState):
                 rgb, model_in = pre_j(frame_u8)
@@ -383,16 +383,46 @@ def _build_step(
     else:
         stages = (jax.jit(preprocess), jax.jit(post_stage), jax.jit(stereo_stage))
     # the model carry is donated so streaming state updates in place;
-    # params ride as jit ARGUMENTS (see BoundModel docstring)
-    model_j = jax.jit(model_stage) if first else jax.jit(model_stage, donate_argnums=(2,))
+    # params ride as jit ARGUMENTS (see BoundModel docstring).  The model
+    # program is display-mode-independent, so mode variants share it
+    # (shared_model_j) instead of re-tracing a ViT per hot-key press.
+    if shared_model_j is not None:
+        model_j = shared_model_j
+    else:
+        model_j = (jax.jit(model_stage) if first
+                   else jax.jit(model_stage, donate_argnums=(2,)))
 
     if len(stages) == 2:
         pre_j, post_stereo_j = stages
 
+        # Runtime fallback (the reference's engine→PyTorch downgrade,
+        # reference depth.py:1620-1630): a Pallas lowering/VMEM failure at
+        # an untested resolution swaps in a generic jnp tail instead of
+        # killing the stream.  Tail-only so the (donated-carry) model step
+        # never re-runs for the same frame.
+        def _generic_tail(raw_depth, ema_prev, rgb_pre):
+            depth = post_stage(raw_depth, ema_prev)
+            oh, ow = depth.shape
+            rgb = rgb_pre
+            if rgb.ndim == 3 and rgb.shape[0] == 3 and rgb.shape[2] != 3:
+                rgb = rgb.transpose(1, 2, 0)[:oh, :ow]  # planar → HWC
+            return stereo_stage(rgb, depth), depth
+
+        fallback = {}
+
         def step(frame_u8: jax.Array, state: FrameState):
             rgb_pre, model_in = pre_j(frame_u8)
             raw, mstate = model_j(bound.params, model_in, state.model)
-            sbs, depth = post_stereo_j(raw, state.ema_depth, rgb_pre)
+            tail = fallback.get("tail")
+            if tail is None:
+                try:
+                    sbs, depth = post_stereo_j(raw, state.ema_depth, rgb_pre)
+                    return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+                except Exception as e:
+                    print(f"[programs] fused stereo tail failed "
+                          f"({type(e).__name__}); falling back to jnp tail")
+                    tail = fallback["tail"] = jax.jit(_generic_tail)
+            sbs, depth = tail(raw, state.ema_depth, rgb_pre)
             return sbs, depth, FrameState(ema_depth=depth, model=mstate)
     else:
         pre_j, post_j, stereo_j = stages
@@ -405,6 +435,7 @@ def _build_step(
             return sbs, depth, FrameState(ema_depth=depth, model=mstate)
 
     step.stages = stages  # share across first/stream builds
+    step.model_j = model_j  # share across display-mode variants
     return step
 
 
@@ -473,15 +504,24 @@ class ProgramCache:
         self._pending_mode: Optional[str] = None
         self._states: Dict[Tuple[int, int, int], FrameState] = {}
 
-    def _build_steps(self, cfg: ProgramConfig):
+    def _build_steps(self, cfg: ProgramConfig, share_from=None):
+        # the MODEL program is display-mode-independent: variants reuse it
+        # (share_from = (step, first) of an existing variant) so a hot-key
+        # mode switch never re-traces the ViT
+        model_step = model_first = None
+        if share_from is not None:
+            model_step = getattr(share_from[0], "model_j", None)
+            model_first = getattr(share_from[1], "model_j", None)
         step = build_frame_step(cfg, self._model_apply, self._spec,
-                                self._compute_dtype)
+                                self._compute_dtype,
+                                shared_model_j=model_step)
         # Stateless models share one program; stateful ones need a distinct
         # first-frame program that builds the model carry.
         first = (
             build_first_step(cfg, self._model_apply, self._spec,
                              self._compute_dtype,
-                             shared_stages=getattr(step, "stages", None))
+                             shared_stages=getattr(step, "stages", None),
+                             shared_model_j=model_first)
             if self._stateful else step
         )
         return step, first
@@ -512,7 +552,8 @@ class ProgramCache:
             return
         if mode not in self._variants:
             cfg = dataclasses.replace(self.cfg, display_mode=mode)
-            self._variants[mode] = self._build_steps(cfg)
+            self._variants[mode] = self._build_steps(
+                cfg, share_from=(self._step, self._first))
         self.cfg = dataclasses.replace(self.cfg, display_mode=mode)
         self._step, self._first = self._variants[mode]
         self._pending_mode = None

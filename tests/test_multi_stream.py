@@ -129,6 +129,69 @@ def test_batched_rejects_streaming_models():
         BatchedProgramCache(make_cfg(), bound, compute_dtype=jnp.float32)
 
 
+def test_batched_survives_empty_stream():
+    """A stream whose source never yields (empty video, dead producer) must
+    not starve the live streams' batches."""
+    from desktop2stereo_tpu.pipeline.multi import BatchedStreamEngine
+    from desktop2stereo_tpu.pipeline.programs import BatchedProgramCache
+
+    cfg = make_cfg(output_height=32, temporal_smooth=False)
+    prog = BatchedProgramCache(cfg, fake_model, compute_dtype=jnp.float32,
+                               num_streams=2)
+    sinks = [CollectSink(), CollectSink()]
+    frames = [np.zeros((32, 48, 4), np.uint8) for _ in range(3)]
+    eng = BatchedStreamEngine(
+        [ListSource(frames), ListSource([])], prog, sinks, target_fps=100.0)
+    eng.run(duration=20.0)
+    assert sinks[0].frames, "live stream starved by the empty one"
+    assert not sinks[1].frames  # stand-ins never reach the dead stream's sink
+
+
+def test_batched_rejects_mixed_shapes():
+    from desktop2stereo_tpu.pipeline.multi import BatchedStreamEngine
+    from desktop2stereo_tpu.pipeline.programs import BatchedProgramCache
+    import pytest
+
+    cfg = make_cfg(output_height=32, temporal_smooth=False)
+    prog = BatchedProgramCache(cfg, fake_model, compute_dtype=jnp.float32,
+                               num_streams=2)
+    eng = BatchedStreamEngine(
+        [ListSource([np.zeros((32, 48, 4), np.uint8)]),
+         ListSource([np.zeros((40, 64, 4), np.uint8)])],
+        prog, [CollectSink(), CollectSink()], target_fps=100.0)
+    with pytest.raises(RuntimeError, match="uniform frame shapes"):
+        eng.run(duration=15.0)
+
+
+def test_exhausted_stream_pending_flushes_while_other_runs():
+    """Stream A ends while stream B keeps the compute loop busy: A's final
+    frame must still reach its sink promptly (round-2 review finding)."""
+    class EndlessSource:
+        def __init__(self):
+            self.n = 0
+
+        def grab(self):
+            self.n += 1
+            return np.full((32, 48, 4), self.n % 255, np.uint8)
+
+    cfg = make_cfg(output_height=32, temporal_smooth=False)
+    prog = ProgramCache(cfg, fake_model, compute_dtype=jnp.float32)
+    sinks = [CollectSink(), CollectSink()]
+    eng = MultiStreamEngine(
+        [ListSource([np.zeros((32, 48, 4), np.uint8)]), EndlessSource()],
+        prog, sinks, target_fps=200.0)
+    eng.start()
+    import time as _t
+
+    t_end = _t.time() + 20
+    while _t.time() < t_end and not sinks[0].frames:
+        _t.sleep(0.05)
+    eng.shutdown.set()
+    for t in eng._threads:
+        t.join(timeout=5.0)
+    assert sinks[0].frames, "finite stream's last frame was withheld"
+
+
 def test_stream_exhaustion_and_latest_wins():
     frames = [np.zeros((32, 64, 4), np.uint8) for _ in range(3)]
     program = ProgramCache(make_cfg(output_height=32), fake_model,
