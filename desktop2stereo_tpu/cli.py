@@ -226,7 +226,17 @@ def run(args=None) -> int:
         except (ValueError, OSError):
             pass  # non-main thread (tests)
 
-    # stop.request file channel (reference main.py:343-357)
+    # stop.request file channel (reference main.py:343-357).  Clear any
+    # stale file from a previous session first — a leftover request (e.g.
+    # the old worker was SIGKILLed before consuming it) must not shut this
+    # fresh run down at the first 0.5 s poll.
+    if args.stop_file and os.path.exists(args.stop_file):
+        try:
+            os.remove(args.stop_file)
+            print("[d2s] cleared stale stop.request from a previous run")
+        except OSError:
+            pass
+
     def stop_file_watcher():
         while not shutdown.is_set():
             if args.stop_file and os.path.exists(args.stop_file):
@@ -358,13 +368,16 @@ def _run_multi(args, settings, source0, program, sink0) -> int:
                                    save_depth=True))
         elif args.sink == "video":
             base = args.out or "out.mp4"
-            root, dot, ext = base.rpartition(".")
-            path = f"{root}_{i}.{ext}" if dot else f"{base}_{i}"
+            # splitext, not rpartition: a dotted DIRECTORY name must not be
+            # mistaken for the extension ("results.v2/capture")
+            root, ext = os.path.splitext(base)
+            path = f"{root}_{i}{ext}"
             sinks.append(make_sink("video", path=path, fps=settings.fps))
         elif args.sink == "mjpeg":
             port = (args.port or settings.streamer_port) + i
             sinks.append(make_sink("mjpeg", port=port, fps=settings.fps,
-                                   quality=settings.stream_quality))
+                                   quality=settings.stream_quality,
+                                   show_fps=args.show_fps or settings.show_fps))
         elif args.sink == "null":
             sinks.append(make_sink("null"))
         else:

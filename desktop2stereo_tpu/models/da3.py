@@ -257,7 +257,8 @@ class DA3Backbone(nn.Module):
         x = x.reshape(B, S, N, D)
 
         # --- camera token replaces the cls token at alt_start (reference
-        # vision_transformer.py:323-342; view 0 = ref, others = src) ---
+        # vision_transformer.py:323-342; ref alone for S==1, mean(ref,src)
+        # broadcast to all views for S>1) ---
         if self.alt_start != -1:
             camera_token = self.param(
                 "camera_token", nn.initializers.normal(1.0), (1, 2, D)
@@ -289,12 +290,14 @@ class DA3Backbone(nn.Module):
                 use_swiglu=self.use_swiglu, name=f"layer_{i}",
             )
             if self.alt_start != -1 and i == self.alt_start:
-                ref = jnp.broadcast_to(camera_token[:, :1], (B, 1, D))
+                # Reference vision_transformer.py:324-342: S==1 uses the ref
+                # token alone; S>1 broadcasts mean(ref, src) to EVERY view's
+                # slot 0 (torch assigns a [B,1,D] cam_token into x[:, :, 0]).
                 if S > 1:
-                    src = jnp.broadcast_to(camera_token[:, 1:], (B, S - 1, D))
-                    cam = jnp.concatenate([ref, src], axis=1)
+                    cam = (camera_token[:, :1] + camera_token[:, 1:2]) / 2.0
                 else:
-                    cam = ref
+                    cam = camera_token[:, :1]
+                cam = jnp.broadcast_to(cam, (B, S, D))
                 x = x.at[:, :, 0, :].set(cam.astype(x.dtype))
 
             use_rope = self.rope_start != -1 and i >= self.rope_start
@@ -633,20 +636,24 @@ def sky_to_max_depth(
 ) -> jax.Array:
     """Mono sky post-processing (reference da3.py:164-190): set sky pixels to
     the 99th percentile of non-sky depth.  Static-shape formulation: masked
-    sort instead of boolean indexing."""
+    sort instead of boolean indexing.  Statistics are per batch element —
+    under device-batched multi-stream serving each row is an independent
+    stream and must not see another stream's depth distribution."""
+    B = depth.shape[0]
     non_sky = sky < threshold
-    flat = depth.reshape(-1)
-    mask = non_sky.reshape(-1)
-    n_valid = jnp.sum(mask)
-    ranked = jnp.sort(jnp.where(mask, flat, jnp.inf))
+    flat = depth.reshape(B, -1)
+    mask = non_sky.reshape(B, -1)
+    n_valid = jnp.sum(mask, axis=1)                              # [B]
+    ranked = jnp.sort(jnp.where(mask, flat, jnp.inf), axis=1)
     q_idx = jnp.clip(
         (quantile * (n_valid.astype(jnp.float32) - 1.0)).astype(jnp.int32),
-        0, flat.shape[0] - 1,
+        0, flat.shape[1] - 1,
     )
-    non_sky_max = ranked[q_idx]
-    enough = (n_valid > min_pixels) & ((flat.shape[0] - n_valid) > min_pixels)
-    filled = jnp.where(non_sky, depth, non_sky_max)
-    return jnp.where(enough, filled, depth)
+    non_sky_max = jnp.take_along_axis(ranked, q_idx[:, None], axis=1)[:, 0]
+    enough = (n_valid > min_pixels) & ((flat.shape[1] - n_valid) > min_pixels)
+    bshape = (B,) + (1,) * (depth.ndim - 1)
+    filled = jnp.where(non_sky, depth, non_sky_max.reshape(bshape))
+    return jnp.where(enough.reshape(bshape), filled, depth)
 
 
 def da3_depth_apply(model: DepthAnything3, apply_sky_post: bool = True):
@@ -696,14 +703,16 @@ def pose_encoding_to_extri_intri(pose_enc: jax.Array, image_hw: Tuple[int, int])
 
 
 def _masked_quantile(values: jax.Array, mask: jax.Array, q: float) -> jax.Array:
-    """Quantile over masked values, static-shape (inf-ranked sort)."""
-    flat = values.reshape(-1)
-    m = mask.reshape(-1)
-    n_valid = jnp.sum(m)
-    ranked = jnp.sort(jnp.where(m, flat, jnp.inf))
+    """Per-batch-element quantile over masked values, static-shape
+    (inf-ranked sort).  Reduces every axis but the first; returns [B]."""
+    B = values.shape[0]
+    flat = values.reshape(B, -1)
+    m = mask.reshape(B, -1)
+    n_valid = jnp.sum(m, axis=1)
+    ranked = jnp.sort(jnp.where(m, flat, jnp.inf), axis=1)
     idx = jnp.clip((q * (n_valid.astype(jnp.float32) - 1.0)).astype(jnp.int32),
-                   0, flat.shape[0] - 1)
-    return ranked[idx]
+                   0, flat.shape[1] - 1)
+    return jnp.take_along_axis(ranked, idx[:, None], axis=1)[:, 0]
 
 
 def nested_align(
@@ -725,18 +734,23 @@ def nested_align(
     focal = (intr[..., 0, 0] + intr[..., 1, 1]) / 2.0
     m_depth = m_depth * (focal[..., None, None] / 300.0)
 
+    # All statistics reduce per batch element (axis 0 = independent samples /
+    # streams): one stream's confidence median or least-squares scale must
+    # never touch another's metric depth.
+    B = depth.shape[0]
+    bshape = (B,) + (1,) * (depth.ndim - 1)
     non_sky = sky < 0.3
-    median_conf = _masked_quantile(conf, non_sky, 0.5)
+    median_conf = _masked_quantile(conf, non_sky, 0.5).reshape(bshape)
     align = (
         (conf >= median_conf) & non_sky & (m_depth > 1e-2) & (depth > 1e-3)
     )
-    a = jnp.where(align, m_depth, 0.0).reshape(-1)
-    b = jnp.where(align, depth, 0.0).reshape(-1)
-    scale = jnp.dot(a, b) / jnp.maximum(jnp.dot(b, b), 1e-12)
-    depth = depth * scale
+    a = jnp.where(align, m_depth, 0.0).reshape(B, -1)
+    b = jnp.where(align, depth, 0.0).reshape(B, -1)
+    scale = jnp.sum(a * b, axis=1) / jnp.maximum(jnp.sum(b * b, axis=1), 1e-12)
+    depth = depth * scale.reshape(bshape)
 
     non_sky_max = jnp.minimum(_masked_quantile(depth, non_sky, 0.99), sky_depth_cap)
-    return jnp.where(non_sky, depth, non_sky_max)
+    return jnp.where(non_sky, depth, non_sky_max.reshape(bshape))
 
 
 def build_da3(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,

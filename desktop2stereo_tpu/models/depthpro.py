@@ -253,8 +253,9 @@ class DepthPro(nn.Module):
                                    mode="bilinear"))
         for hid in self.hook_ids:
             pad = int(MERGE_PAD * (1 / SCALED_RATIOS[-1]))
-            # the full-res tiles are FIRST in the concatenated batch
-            merged = merge_patches(to_grid(by_layer[hid])[:n_tiles[-1] * B], B, pad)
+            # the full-res tiles are FIRST in the concatenated batch;
+            # n_tiles entries already include the batch factor
+            merged = merge_patches(to_grid(by_layer[hid])[:n_tiles[-1]], B, pad)
             size = base * 2 ** (len(SCALED_RATIOS) - 1)
             features.append(resize(merged, (size, size), mode="bilinear"))
 

@@ -17,7 +17,6 @@ import jax
 import jax.numpy as jnp
 
 from desktop2stereo_tpu.models.init_util import jit_init
-import numpy as np
 
 from desktop2stereo_tpu.core.registry import ModelSpec, get_spec
 

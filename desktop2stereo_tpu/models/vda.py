@@ -307,7 +307,10 @@ def make_vda_fns(model: VideoDepthAnything):
 
     apply(params, clip [T,H,W,3]) → depth [T,H,W] — batch mode: the leading
     dim is TIME and the whole clip self-attends (reference video_depth.py
-    batch inference; also the single-frame stateless view at T=1).
+    batch inference; also the single-frame stateless view at T=1).  Clips
+    are capped at INFER_LEN=32 frames — the reference's APE table and
+    temporal window end there too (motion_module.py:190-208); longer videos
+    go through the streaming first/step path.
     first(params, frame [1,H,W,3]) → (depth, VDAState) — reference
     vda2_s.py:195-207 first-frame path (cache replicated ×31).
     step(params, frame, state) → (depth, state') — streaming step with
@@ -315,6 +318,12 @@ def make_vda_fns(model: VideoDepthAnything):
     """
 
     def apply(params, pixels: jax.Array) -> jax.Array:
+        if pixels.shape[0] > INFER_LEN:
+            raise ValueError(
+                f"VDA batch mode takes clips of ≤{INFER_LEN} frames (the "
+                f"temporal window / APE table length); got {pixels.shape[0]}. "
+                "Use the streaming first/step path for longer videos."
+            )
         depth, _ = model.apply(params, pixels, pixels.shape[0], None)
         return depth
 
@@ -361,9 +370,8 @@ class StreamingVDA:
     Shape changes reset the stream (like the reference's first-frame path).
     """
 
-    def __init__(self, model: VideoDepthAnything, params):
+    def __init__(self, model: VideoDepthAnything):
         self.model = model
-        self.params = params
         self._state: Optional[VDAState] = None
         self._shape: Optional[Tuple[int, ...]] = None
         _, first, step = make_vda_fns(model)

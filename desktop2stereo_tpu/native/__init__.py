@@ -53,14 +53,25 @@ def load() -> Optional[ctypes.CDLL]:
         path = _lib_path()
         if not os.path.exists(path):
             os.makedirs(_LIB_DIR, exist_ok=True)
+            # per-process temp name: capture_agent and the pipeline often
+            # start together on a fresh cache, and two g++ runs writing the
+            # SAME .tmp would publish a corrupt .so via os.replace (then
+            # latch _load_failed for the process lifetime)
+            tmp = f"{path}.{os.getpid()}.tmp"
             cmd = ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                   "-o", path + ".tmp", src, "-ldl"]
+                   "-o", tmp, src, "-ldl"]
             try:
                 subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-                os.replace(path + ".tmp", path)
+                os.replace(tmp, path)  # atomic: last writer wins, both valid
             except Exception:
                 _load_failed = True
                 return None
+            finally:
+                if os.path.exists(tmp):
+                    try:
+                        os.remove(tmp)
+                    except OSError:
+                        pass
         try:
             lib = ctypes.CDLL(path)
         except OSError:

@@ -169,7 +169,8 @@ setInterval(tick, 2000); tick(); syncRes();
     return html.encode()
 
 
-def serve(port: int = 8700, settings_path: str = "settings.yaml") -> ThreadingHTTPServer:
+def serve(port: int = 8700, settings_path: str = "settings.yaml",
+          host: str = "127.0.0.1") -> ThreadingHTTPServer:
     manager = WorkerManager(settings_path)
 
     class Handler(BaseHTTPRequestHandler):
@@ -251,7 +252,7 @@ def serve(port: int = 8700, settings_path: str = "settings.yaml") -> ThreadingHT
             self.send_header("Location", "/")
             self.end_headers()
 
-    server = ThreadingHTTPServer(("0.0.0.0", port), Handler)
+    server = ThreadingHTTPServer((host, port), Handler)
     server.manager = manager  # for tests
     return server
 
@@ -260,9 +261,12 @@ def main() -> None:
     p = argparse.ArgumentParser(prog="d2s-control")
     p.add_argument("--port", type=int, default=8700)
     p.add_argument("--settings", default="settings.yaml")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address; the panel can start desktop capture, "
+                        "so exposing it (e.g. 0.0.0.0) is an explicit opt-in")
     args = p.parse_args()
-    server = serve(args.port, args.settings)
-    print(f"[control] panel at http://0.0.0.0:{args.port}/")
+    server = serve(args.port, args.settings, host=args.host)
+    print(f"[control] panel at http://{args.host}:{args.port}/")
     try:
         server.serve_forever()
     except KeyboardInterrupt:

@@ -41,6 +41,7 @@ class StereoWindow:
         self.show_fps = show_fps
         self._overlay = FpsOverlay()
         self._pending: Optional[np.ndarray] = None
+        self._last_presented: Optional[np.ndarray] = None
         self._lock = threading.Lock()
         self._closed = threading.Event()
         self.frame_count = 0
@@ -61,13 +62,17 @@ class StereoWindow:
             frame, self._pending = self._pending, None
         if frame is not None:
             self._mjpeg.push(frame, None, None)
+            with self._lock:
+                self._last_presented = frame
             self.frame_count += 1
 
     def capture_glfw_image(self) -> Optional[np.ndarray]:
-        """Last presented frame (the reference's readback path,
-        viewer.py:2518) — already host-resident here."""
+        """Last PRESENTED frame (the reference's readback path,
+        viewer.py:2518) — already host-resident here.  Reads the presented
+        slot, not the pending one: render() clears pending, so reading it
+        would return None at every moment except mid-push."""
         with self._lock:
-            return self._pending
+            return self._last_presented
 
     def should_close(self) -> bool:
         return self._closed.is_set()

@@ -108,11 +108,15 @@ class ScreenSource:
 
     def _track_window(self) -> Optional[Tuple[int, int, int, int]]:
         """Re-read the window rect; re-target only on moves > hysteresis or
-        any resize (reference capture.py:159-217)."""
-        rect = self._native.window_rect(self._window)
+        any resize (reference capture.py:159-217).  A lost window keeps
+        being re-searched by title every frame — window mode must never
+        degrade into capturing the whole desktop."""
+        rect = None
+        if self._window:
+            rect = self._native.window_rect(self._window)
         if rect is None:
-            # window gone: try to re-find it by title (it may have been
-            # recreated, e.g. an app restart)
+            # window gone (or never found): try to re-find it by title (it
+            # may have been recreated, e.g. an app restart)
             self._window = self._native.find_window(self.window_title or "")
             if self._window:
                 rect = self._native.window_rect(self._window)
@@ -139,7 +143,10 @@ class ScreenSource:
         return x, y, w, h
 
     def _grab_native(self) -> Optional[np.ndarray]:
-        if self._window:
+        # keyed on the MODE (a title was requested), not the current handle:
+        # a lost window (handle 0) must keep returning the last rect / None,
+        # never fall through to a whole-desktop grab
+        if self.window_title:
             rect = self._track_window()
             if rect is None:
                 return None

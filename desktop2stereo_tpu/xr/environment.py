@@ -256,8 +256,14 @@ def load_profile(room_dir: str) -> EnvironmentProfile:
         with open(path, "r", encoding="utf-8") as f:
             data = json.load(f)
     except UnicodeDecodeError:
-        with open(path, "r", encoding="gbk") as f:
-            data = json.load(f)
+        # The GBK retry can itself fail (bytes invalid in both codecs, or
+        # GBK-decoding to broken JSON); one bad profile must not kill the
+        # whole environment scan.
+        try:
+            with open(path, "r", encoding="gbk") as f:
+                data = json.load(f)
+        except (OSError, ValueError, UnicodeDecodeError):
+            return parse_profile({}, room_dir)
     except (OSError, json.JSONDecodeError):
         return parse_profile({}, room_dir)
     if not isinstance(data, dict):

@@ -56,6 +56,11 @@ class FrameServer:
         if timeout:
             deadline = time.monotonic() + timeout
             while True:
+                # Clear BEFORE reading the packet: a publish landing after
+                # the read re-sets the event, so wait() returns immediately
+                # instead of eating the notification and stalling a full
+                # timeout (lost-wakeup race).
+                self._new.clear()
                 with self._lock:
                     p = self._packet
                 if p is not None and p.seq != last_seen:
@@ -63,7 +68,6 @@ class FrameServer:
                 remaining = deadline - time.monotonic()
                 if remaining <= 0:
                     return None
-                self._new.clear()
                 self._new.wait(remaining)
         with self._lock:
             p = self._packet

@@ -86,7 +86,12 @@ def _accessor(gltf: dict, binary: bytes, index: int) -> np.ndarray:
     lanes = _TYPE_LANES[acc["type"]]
     dtype = np.dtype(_COMPONENT_DTYPES[acc["componentType"]]).newbyteorder("<")
     count = acc["count"]
-    view = gltf["bufferViews"][acc.get("bufferView", 0)]
+    if "bufferView" not in acc:
+        # glTF 2.0: an accessor without a bufferView is zero-filled (sparse
+        # base case) — never read view 0's unrelated bytes.
+        out = np.zeros((count, lanes), dtype)
+        return out[:, 0] if lanes == 1 else out
+    view = gltf["bufferViews"][acc["bufferView"]]
     start = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
     stride = view.get("byteStride", 0)
     item = dtype.itemsize * lanes

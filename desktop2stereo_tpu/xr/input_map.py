@@ -138,7 +138,9 @@ class ClickDragTracker:
         self._down = False
         self._down_pos = (0.0, 0.0)
         self._dragging = False
+        self._was_double = False
         self._last_click_t = -1e9
+        self._last_click_pos = (0.0, 0.0)
 
     def update(self, trigger: bool, x: float, y: float,
                now: Optional[float] = None) -> List[ClickEvent]:
@@ -148,10 +150,14 @@ class ClickDragTracker:
             self._down = True
             self._down_pos = (x, y)
             self._dragging = False
-            if now - self._last_click_t < self.double_click_s:
+            # "double" only when the previous gesture was a completed CLICK
+            # (drags don't arm it — see release path) nearby in space.
+            near = math.hypot(x - self._last_click_pos[0],
+                              y - self._last_click_pos[1]) < 2 * self.drag_start_px
+            self._was_double = near and now - self._last_click_t < self.double_click_s
+            if self._was_double:
                 events.append(ClickEvent("double", x, y))
             events.append(ClickEvent("press", x, y))
-            self._last_click_t = now
         elif trigger and self._down:
             dx = x - self._down_pos[0]
             dy = y - self._down_pos[1]
@@ -162,7 +168,15 @@ class ClickDragTracker:
                 events.append(ClickEvent("drag", x, y))
         elif not trigger and self._down:
             self._down = False
+            if not self._dragging and not self._was_double:
+                # completed plain click: arms double-click detection.  Drags
+                # and the double itself don't (no triple chaining).
+                self._last_click_t = now
+                self._last_click_pos = (x, y)
+            else:
+                self._last_click_t = -1e9
             self._dragging = False
+            self._was_double = False
             events.append(ClickEvent("release", x, y))
         return events
 

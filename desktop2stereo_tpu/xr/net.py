@@ -40,15 +40,20 @@ from desktop2stereo_tpu.xr.frame_server import FramePacket, FrameServer
 _U32 = struct.Struct("<I")
 
 
-def _encode_rgb(rgb: np.ndarray, encoding: str) -> bytes:
+def _encode_rgb(rgb: np.ndarray, encoding: str) -> tuple:
+    """→ (payload, encoding_actually_used).  The used encoding must travel
+    in the header: silently shipping raw bytes under a \"jpeg\" label makes
+    the client imdecode garbage and crash its poll loop."""
+    if rgb.dtype != np.uint8:
+        rgb = np.clip(rgb, 0, 255).astype(np.uint8)
     if encoding == "jpeg":
         import cv2
 
         ok, buf = cv2.imencode(".jpg", rgb[..., ::-1],
                                [int(cv2.IMWRITE_JPEG_QUALITY), 90])
         if ok:
-            return buf.tobytes()
-    return np.ascontiguousarray(rgb).tobytes()
+            return buf.tobytes(), "jpeg"
+    return np.ascontiguousarray(rgb).tobytes(), "raw"
 
 
 def _encode_depth(depth: Optional[np.ndarray]) -> bytes:
@@ -116,12 +121,12 @@ class FrameNetServer:
         if pkt is None:
             header = json.dumps({"seq": last_seen}).encode()
             return _U32.pack(len(header)) + header + _U32.pack(0) + _U32.pack(0)
-        rgb_b = _encode_rgb(pkt.rgb, encoding)
+        rgb_b, used_enc = _encode_rgb(pkt.rgb, encoding)
         dep_b = _encode_depth(pkt.depth)
         header = json.dumps({
             "seq": pkt.seq, "timestamp": pkt.timestamp,
             "h": int(pkt.rgb.shape[0]), "w": int(pkt.rgb.shape[1]),
-            "encoding": encoding,
+            "encoding": used_enc,
             "depth": pkt.depth is not None,
             "depth_encoding": "zu16" if pkt.depth is not None else "none",
         }).encode()

@@ -150,7 +150,13 @@ uint64_t d2s_ring_write(void* handle, const uint8_t* data, uint32_t width,
   if (bytes == 0 || bytes > r->hdr->max_bytes) return 0;
   uint64_t seq = r->hdr->seq.load(std::memory_order_relaxed) + 1;
   SlotHeader* s = slot_at(r, seq);
-  s->start_seq.store(seq, std::memory_order_release);
+  s->start_seq.store(seq, std::memory_order_relaxed);
+  // StoreStore fence: the field/payload writes below must not become
+  // visible before the slot is marked in-progress (start_seq != end_seq).
+  // A release STORE only orders PRIOR writes; on weakly-ordered hosts the
+  // memcpy could otherwise overtake it and a reader lapping this slot
+  // would validate a torn frame (Boehm seqlock writer idiom).
+  std::atomic_thread_fence(std::memory_order_release);
   s->width = width;
   s->height = height;
   s->channels = channels;
@@ -179,9 +185,14 @@ uint64_t d2s_ring_read_latest(void* handle, uint8_t* out, uint32_t out_cap,
     uint32_t w = s->width, h = s->height, c = s->channels;
     uint64_t ts = s->timestamp_ns;
     memcpy(out, reinterpret_cast<uint8_t*>(s) + sizeof(SlotHeader), bytes);
+    // LoadLoad fence: the payload copy above must complete before the
+    // validating re-reads below — without it the loads can be reordered
+    // past the checks and a torn copy passes validation (Boehm seqlock
+    // reader idiom: fence between data reads and the sequence re-read).
+    std::atomic_thread_fence(std::memory_order_acquire);
     // seqlock validate: the slot must not have been recycled mid-copy
-    if (s->start_seq.load(std::memory_order_acquire) == seq &&
-        s->end_seq.load(std::memory_order_acquire) == seq) {
+    if (s->start_seq.load(std::memory_order_relaxed) == seq &&
+        s->end_seq.load(std::memory_order_relaxed) == seq) {
       *width = w;
       *height = h;
       *channels = c;

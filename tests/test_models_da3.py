@@ -147,3 +147,43 @@ def test_sky_to_max_depth():
     sky_few = jnp.zeros((10, 10)).at[0, :].set(1.0)
     same = sky_to_max_depth(depth[None], sky_few[None])[0]
     np.testing.assert_allclose(np.asarray(same), np.asarray(depth))
+
+
+def test_sky_fill_is_per_batch_element():
+    """Device-batched multi-stream: one stream's depth stats must not set
+    another stream's sky fill (stats reduce per batch row)."""
+    rng = np.random.default_rng(0)
+    near = rng.uniform(0.5, 1.5, (12, 12)).astype(np.float32)    # stream A ~1
+    far = rng.uniform(90.0, 110.0, (12, 12)).astype(np.float32)  # stream B ~100
+    sky = np.zeros((12, 12), np.float32)
+    sky[:3, :] = 1.0  # 36 sky pixels each
+    depth = jnp.asarray(np.stack([near, far]))
+    fixed = np.asarray(sky_to_max_depth(depth, jnp.asarray(np.stack([sky, sky]))))
+    # stream A sky pixels filled from A's own q99 (~1.5), never B's ~110
+    assert fixed[0, :3].max() < 2.0
+    assert fixed[1, :3].min() > 90.0
+
+
+def test_nested_align_scale_is_per_batch_element():
+    from desktop2stereo_tpu.models.da3 import nested_align
+
+    rng = np.random.default_rng(1)
+    B, S, Hh, Ww = 2, 1, 12, 12
+    base = rng.uniform(1.0, 2.0, (Hh, Ww)).astype(np.float32)
+    # anyview depth identical across streams; metric branch says stream 0 is
+    # 10x closer than stream 1 → per-stream scales must differ ~10x
+    depth = jnp.asarray(np.stack([base, base]))[:, None]
+    m_depth = jnp.asarray(np.stack([base * 1.0, base * 10.0]))[:, None]
+    conf = jnp.ones((B, S, Hh, Ww), jnp.float32)
+    sky = jnp.zeros((B, S, Hh, Ww), jnp.float32)
+    # pose_enc with fov giving focal≈300 so metric scaling ≈ identity
+    fov = 2.0 * np.arctan((Hh / 2.0) / 300.0)
+    pose = np.zeros((B, S, 9), np.float32)
+    pose[..., 3:7] = [0, 0, 0, 1.0]
+    pose[..., 7] = fov
+    pose[..., 8] = 2.0 * np.arctan((Ww / 2.0) / 300.0)
+    out = {"depth": depth, "depth_conf": conf, "pose_enc": jnp.asarray(pose)}
+    m_out = {"depth": m_depth, "sky": sky}
+    aligned = np.asarray(nested_align(out, m_out, (Hh, Ww)))
+    ratio = aligned[1] / np.maximum(aligned[0], 1e-9)
+    np.testing.assert_allclose(ratio, 10.0, rtol=0.05)

@@ -400,3 +400,15 @@ def test_vda_streaming_rolls_cache():
     clip = jnp.concatenate([x0, x1], axis=0)
     dclip = apply(params, clip)
     assert dclip.shape == (2, 42, 42)
+
+
+def test_vda_batch_mode_rejects_clips_beyond_window():
+    """Batch mode caps clips at INFER_LEN=32 (the APE table / temporal
+    window length, reference motion_module.py:190-208); longer clips get a
+    clear error pointing at the streaming path, not a broadcast crash."""
+    from desktop2stereo_tpu.models.vda import INFER_LEN
+
+    apply, _, _ = make_vda_fns(tiny_vda())
+    clip = jnp.zeros((INFER_LEN + 1, 28, 28, 3), jnp.float32)
+    with pytest.raises(ValueError, match="streaming"):
+        apply(None, clip)

@@ -189,3 +189,22 @@ def test_frame_server_latest_wins_and_wakeup():
     t.join(timeout=3.0)
     assert got and got[0].seq == 6 and got[0].depth.dtype == np.float32
     assert fs.geometry_for(16 / 9).height == pytest.approx(4.0 / (16 / 9))
+
+
+def test_glb_accessor_without_bufferview_is_zero_filled():
+    """glTF 2.0: an accessor missing `bufferView` reads as zeros (sparse
+    base case) — never view 0's unrelated bytes."""
+    from desktop2stereo_tpu.xr.glb import _accessor
+
+    gltf = {
+        "accessors": [
+            {"componentType": 5126, "count": 4, "type": "VEC3"},
+            {"componentType": 5123, "count": 7, "type": "SCALAR"},
+        ],
+        "bufferViews": [{"buffer": 0, "byteOffset": 0, "byteLength": 4}],
+    }
+    binary = b"\xff" * 4  # would be garbage if misread as view 0
+    pos = _accessor(gltf, binary, 0)
+    assert pos.shape == (4, 3) and not pos.any()
+    idx = _accessor(gltf, binary, 1)
+    assert idx.shape == (7,) and not idx.any()

@@ -202,9 +202,32 @@ def test_click_drag_tracker():
     assert [e.kind for e in ev] == ["drag_start", "drag"]
     ev = tr.update(False, 110, 100, now=t + 0.1)
     assert [e.kind for e in ev] == ["release"]
-    # quick second press → double click
+    # a completed DRAG does not arm double-click: quick press after the drag
+    # is a plain press (a drag + a click is not a double-click gesture)
     ev = tr.update(True, 110, 100, now=t + 0.2)
+    assert [e.kind for e in ev] == ["press"]
+
+
+def test_click_click_is_double_but_only_nearby():
+    tr = ClickDragTracker()
+    t = 20.0
+    # click 1 (press+release, no drag)
+    tr.update(True, 50, 50, now=t)
+    tr.update(False, 50, 50, now=t + 0.05)
+    # quick nearby press → double
+    ev = tr.update(True, 51, 50, now=t + 0.2)
     assert [e.kind for e in ev] == ["double", "press"]
+    tr.update(False, 51, 50, now=t + 0.25)
+    # a third quick press must NOT chain another double off the double
+    ev = tr.update(True, 51, 50, now=t + 0.3)
+    assert [e.kind for e in ev] == ["press"]
+
+    # far-away second click is not a double even when fast
+    tr2 = ClickDragTracker()
+    tr2.update(True, 50, 50, now=t)
+    tr2.update(False, 50, 50, now=t + 0.05)
+    ev = tr2.update(True, 400, 300, now=t + 0.2)
+    assert [e.kind for e in ev] == ["press"]
 
 
 def test_scroll_accumulator_rates():

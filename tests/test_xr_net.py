@@ -62,3 +62,37 @@ def test_latest_wins_across_slow_client(served):
     assert pkt.rgb[0, 0, 0] == 160
     assert pkt.seq == 5
     c.close()
+
+
+def test_encode_rgb_reports_actual_encoding():
+    """The header must carry the encoding actually used: a failed/ skipped
+    jpeg encode shipping raw bytes under a 'jpeg' label crashes the client."""
+    from desktop2stereo_tpu.xr.net import _encode_rgb
+
+    rgb = np.zeros((8, 8, 3), np.uint8)
+    _, used = _encode_rgb(rgb, "raw")
+    assert used == "raw"
+    _, used = _encode_rgb(rgb, "jpeg")
+    assert used == "jpeg"
+    # non-uint8 frames are converted, not allowed to blow up imencode
+    payload, used = _encode_rgb(rgb.astype(np.float32) + 300.0, "jpeg")
+    assert used in ("jpeg", "raw") and payload
+
+
+def test_frame_server_wakes_promptly_on_publish():
+    """Lost-wakeup regression: a frame published while the consumer is
+    waiting must end the wait immediately, not after the full timeout."""
+    import threading
+    import time
+
+    fs = FrameServer()
+    fs.update_frame(np.zeros((4, 4, 3), np.uint8))
+    first = fs.latest()
+    t = threading.Timer(0.05,
+                        fs.update_frame, (np.ones((4, 4, 3), np.uint8),))
+    t.start()
+    t0 = time.monotonic()
+    pkt = fs.latest(last_seen=first.seq, timeout=5.0)
+    elapsed = time.monotonic() - t0
+    assert pkt is not None and pkt.seq == first.seq + 1
+    assert elapsed < 1.0, f"waited {elapsed:.2f}s for an already-arrived frame"
