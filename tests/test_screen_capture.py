@@ -206,3 +206,36 @@ def test_fullscreen_cursor_via_cli_no_cursor_flag():
     src._window = 0
     f = src.grab()
     assert f.shape == (100, 200, 4)
+
+
+def test_window_lost_never_degrades_to_desktop_grab():
+    """Privacy regression: once the tracked window is gone (handle lost, no
+    re-find), window mode must keep grabbing the last window rect — or fail
+    — but NEVER fall through to a whole-desktop grab."""
+    fake = FakeX11()
+    src = make_source(fake)
+    src.grab()
+    del fake.windows[7]
+    del fake.titles[7]
+    full_root_grabs = 0
+    orig_grab = fake.grab
+
+    def counting_grab():
+        nonlocal full_root_grabs
+        full_root_grabs += 1
+        return orig_grab()
+
+    fake.grab = counting_grab
+    # many frames with the window unfindable (handle now 0 after first miss)
+    for _ in range(5):
+        f = src.grab()
+        assert f is not None  # reuses last rect / last frame
+    assert full_root_grabs == 0
+    assert all(call == (10, 20, 64, 32) for call in fake.grab_calls)
+
+    # window comes back under a matching title → tracking resumes
+    fake.windows[11] = (2, 3, 50, 24)
+    fake.titles[11] = "Editor (restored)"
+    src.grab()
+    assert src._window == 11
+    assert fake.grab_calls[-1] == (2, 3, 50, 24)
