@@ -152,23 +152,32 @@ def run_kernel_parity() -> str:
         if dibr_err > 5e-1:
             return f"FAIL dibr_render_pair maxdiff {dibr_err:.2e}"
 
-        # the PRODUCTION fused path: planar → half_sbs_u8 in one kernel
-        # must equal eyes → area-squeeze → quantize (±1 LSB at the
-        # round-half-up boundary)
+        # the PRODUCTION fused tail: each eye renders at OUTPUT (half)
+        # width from a pair-mean-squeezed source, quantized in-kernel
+        # (eyes_u8).  Must equal the same-width f32 eyes run + quantize
+        # (±1 LSB at the round-half-up boundary).
         from desktop2stereo_tpu.ops.pallas.dibr import (
-            dibr_render_pair_planar, pad_planar)
+            dibr_render_pair, dibr_render_pair_planar, pad_planar)
 
-        rgbp, depp = pad_planar(rgb, depth)
-        fused = np.asarray(dibr_render_pair_planar(
-            rgbp, depp, W, ipd=0.064, depth_strength=2.0, convergence=0.01,
-            out_mode="half_sbs_u8")).transpose(1, 2, 0)[:H, :W]
-        sbs = np.concatenate([np.asarray(left), np.asarray(right)], axis=1)
-        want = np.clip((sbs[:, 0::2] + sbs[:, 1::2]) * 0.5 + 0.5,
-                       0.0, 255.0).astype(np.uint8)
-        fused_err = int(np.abs(fused.astype(np.int32)
+        half = W // 2
+        rgb_h = jnp.asarray(np.asarray(rgb).reshape(H, half, 2, 3).mean(2),
+                            jnp.float32)
+        dep_h = jnp.asarray(np.asarray(depth).reshape(H, half, 2).mean(2),
+                            jnp.float32)
+        rgbp, depp = pad_planar(rgb_h, dep_h)
+        lq, rq = dibr_render_pair_planar(
+            rgbp, depp, half, ipd=0.064, depth_strength=2.0,
+            convergence=0.01, out_mode="eyes_u8")
+        got = np.concatenate([np.asarray(lq)[:, :H, :half],
+                              np.asarray(rq)[:, :H, :half]], axis=2)
+        lf, rf = dibr_render_pair(rgb_h, dep_h, ipd=0.064,
+                                  depth_strength=2.0, convergence=0.01)
+        want_hwc = np.concatenate([np.asarray(lf), np.asarray(rf)], axis=1)
+        want = np.clip(want_hwc + 0.5, 0.0, 255.0).astype(np.uint8)
+        fused_err = int(np.abs(got.transpose(1, 2, 0).astype(np.int32)
                                - want.astype(np.int32)).max())
         if fused_err > 1:
-            return f"FAIL fused half_sbs_u8 maxdiff {fused_err}"
+            return f"FAIL fused eyes_u8 maxdiff {fused_err}"
         return (f"ok (attn {att_err:.1e}, dibr {dibr_err:.1e}, "
                 f"fused_u8 {fused_err} LSB)")
     except Exception as e:  # never wedge the benchmark

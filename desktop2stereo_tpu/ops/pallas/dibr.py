@@ -366,6 +366,20 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
             out_r_ref[c] = eye_out[1][c]
         return
 
+    if out_mode == "eyes_u8":
+        # quantized eyes: the half-width Half-SBS tail renders each eye at
+        # OUTPUT resolution (per-output-pixel like the reference viewer's
+        # per-eye viewports, viewer.py:1520-1544) so no squeeze happens —
+        # just fuse the clip/round/cast here where the rows are in VMEM.
+        # Mosaic has no f32→u8 cast; clip keeps the i32 round-trip exact.
+        out_l_ref, out_r_ref = out_refs
+        for c in range(3):
+            out_l_ref[c] = (jnp.clip(eye_out[0][c] + 0.5, 0.0, 255.0)
+                            .astype(jnp.int32).astype(jnp.uint8))
+            out_r_ref[c] = (jnp.clip(eye_out[1][c] + 0.5, 0.0, 255.0)
+                            .astype(jnp.int32).astype(jnp.uint8))
+        return
+
     # "half_sbs_u8": squeeze each eye x2 horizontally (area), place left eye
     # in cols [0, W/2), right eye at [W/2, W), quantize round-half-up to u8
     # — the whole compose_display("Half-SBS") + clip/cast stage fused here
@@ -419,6 +433,8 @@ def dibr_render_pair_planar(
     """Both stereo eyes in ONE fused pass over pre-padded planar inputs.
 
     out_mode "eyes": returns (left, right) planar f32 [3, hp, wp].
+    out_mode "eyes_u8": same, quantized u8 in the kernel (used by the
+    half-width Half-SBS tail, which concats the eyes without squeezing).
     out_mode "half_sbs_u8": returns ONE planar u8 [3, hp, wp] whose first
     `width` columns are the finished Half-SBS frame (left eye squeezed x2
     in [0, W/2), right eye in [W/2, W)) — the compose/quantize stage fused.
@@ -466,6 +482,10 @@ def dibr_render_pair_planar(
     if out_mode == "eyes":
         out_shape = (jax.ShapeDtypeStruct((3, hp, wp), jnp.float32),
                      jax.ShapeDtypeStruct((3, hp, wp), jnp.float32))
+        out_specs = (out_spec(), out_spec())
+    elif out_mode == "eyes_u8":
+        out_shape = (jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8),
+                     jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8))
         out_specs = (out_spec(), out_spec())
     else:
         out_shape = jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8)

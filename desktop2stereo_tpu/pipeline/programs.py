@@ -303,21 +303,44 @@ def _build_step(
 
     def post_stereo_stage(raw_depth: jax.Array, ema_prev: jax.Array,
                           rgb_pre: jax.Array):
-        """Fused tail: depth post → DIBR pair → Half-SBS u8, one program."""
+        """Fused tail: depth post → half-width DIBR pair → Half-SBS u8.
+
+        Each eye renders at its OUTPUT width (ow/2) from a pair-mean-
+        squeezed source — the reference viewer's own semantics: per-eye
+        viewports are half the window wide and the fragment shader samples
+        a mip-biased texture per OUTPUT pixel (reference viewer.py:
+        1520-1544, LOD bias frame.py:28-60).  Halves the DIBR kernel's
+        per-frame work vs warping full-width and squeezing after (the
+        disparity in output pixels is identical: shift·(W/2) here equals
+        the squeezed shift·W of the full-width path)."""
         depth = post_stage(raw_depth, ema_prev)
         oh, ow = depth.shape
         planar = rgb_pre.ndim == 3 and rgb_pre.shape[0] == 3 and rgb_pre.shape[2] != 3
         if planar:
-            from desktop2stereo_tpu.ops.pallas.dibr import dibr_render_pair_planar
+            from desktop2stereo_tpu.ops.pallas.dibr import (
+                dibr_render_pair_planar, pair_tiling)
 
-            hp, wp = rgb_pre.shape[1], rgb_pre.shape[2]
-            depp = jnp.pad(depth, ((0, hp - oh), (0, wp - ow)), mode="edge")[None]
-            chw_u8 = dibr_render_pair_planar(
-                rgb_pre, depp, ow,
+            half = ow // 2
+            # pair-mean via reduce_window: 0.14 ms at 4K on v5e vs 1.10 ms
+            # for the equivalent reshape(-1,2).mean (lane-shuffle bound)
+            rgb_h = jax.lax.reduce_window(
+                rgb_pre[:, :oh, :ow], 0.0, jax.lax.add,
+                (1, 1, 2), (1, 1, 2), "VALID") * 0.5
+            dep_h = jax.lax.reduce_window(
+                depth, 0.0, jax.lax.add, (1, 2), (1, 2), "VALID") * 0.5
+            hp2, wp2, _ = pair_tiling(oh, half)
+            rgb_h = jnp.pad(rgb_h, ((0, 0), (0, hp2 - oh), (0, wp2 - half)),
+                            mode="edge")
+            dep_h = jnp.pad(dep_h, ((0, hp2 - oh), (0, wp2 - half)),
+                            mode="edge")[None]
+            left, right = dibr_render_pair_planar(
+                rgb_h, dep_h, half,
                 ipd=cfg.ipd, depth_strength=cfg.depth_strength,
-                convergence=cfg.convergence, out_mode="half_sbs_u8",
+                convergence=cfg.convergence, out_mode="eyes_u8",
             )
-            sbs = chw_u8.transpose(1, 2, 0)[:oh, :ow]
+            sbs = jnp.concatenate(
+                [left[:, :oh, :half], right[:, :oh, :half]], axis=2
+            ).transpose(1, 2, 0)
         else:  # odd width etc. — generic path on HWC
             sbs = stereo_stage(rgb_pre, depth)
         return sbs, depth

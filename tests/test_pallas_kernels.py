@@ -105,3 +105,25 @@ def test_dibr_pair_fused_half_sbs_u8():
         # f32-associativity at the quantization boundary can flip one LSB
         np.testing.assert_allclose(
             got.astype(np.int32), want.astype(np.int32), atol=1)
+
+
+def test_dibr_pair_eyes_u8_quantizes_in_kernel():
+    """out_mode='eyes_u8' ≡ out_mode='eyes' → clip(+0.5)→u8 per eye (the
+    half-width Half-SBS tail's building block: each eye already renders at
+    output width, so no squeeze — just the fused quantize)."""
+    from desktop2stereo_tpu.ops.pallas.dibr import (
+        dibr_render_pair_planar, pad_planar,
+    )
+
+    rng = np.random.default_rng(5)
+    for H, W in ((96, 256), (50, 200)):
+        rgb = jnp.asarray(rng.random((H, W, 3)) * 255.0, jnp.float32)
+        depth = jnp.asarray(rng.random((H, W)), jnp.float32)
+        rgbp, depp = pad_planar(rgb, depth)
+        kw = dict(ipd=0.064, depth_strength=2.0, convergence=0.01,
+                  interpret=True)
+        lq, rq = dibr_render_pair_planar(rgbp, depp, W, out_mode="eyes_u8", **kw)
+        lf, rf = dibr_render_pair_planar(rgbp, depp, W, out_mode="eyes", **kw)
+        for q, f in ((lq, lf), (rq, rf)):
+            want = np.clip(np.asarray(f) + 0.5, 0.0, 255.0).astype(np.uint8)
+            np.testing.assert_array_equal(np.asarray(q), want)

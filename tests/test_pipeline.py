@@ -271,7 +271,25 @@ def test_fused_halfsbs_structure_matches_generic(monkeypatch):
 
     np.testing.assert_allclose(np.asarray(depth_f), np.asarray(depth_g),
                                atol=1e-5, rtol=1e-5)
-    # The generic CPU path uses the jnp DIBR fallback; the fused path runs
-    # the pallas kernel in interpret mode — equal up to quantization.
+    # The fused tail renders each eye at OUTPUT (half) width from a
+    # pair-mean-squeezed source (the reference viewer's per-eye-viewport
+    # semantics); the generic chain warps full-width and squeezes after.
+    # Check the fused output against its own jnp formulation: squeeze →
+    # per-eye jnp DIBR at half width → concat → quantize.
+    from desktop2stereo_tpu.ops import stereo as S
+
+    rgb_hwc = np.asarray(
+        jnp.asarray(frame[..., [2, 1, 0]], jnp.float32))  # BGRA→RGB, no resize
+    dep = np.asarray(depth_g)
+    oh, ow = dep.shape
+    half = ow // 2
+    rgb_h = jnp.asarray(rgb_hwc.reshape(oh, half, 2, 3).mean(2), jnp.float32)
+    dep_h = jnp.asarray(dep.reshape(oh, half, 2).mean(2), jnp.float32)
+    left = S.dibr_render(rgb_h, dep_h, -cfg.ipd / 2, cfg.depth_strength,
+                         cfg.convergence)
+    right = S.dibr_render(rgb_h, dep_h, +cfg.ipd / 2, cfg.depth_strength,
+                          cfg.convergence)
+    want = np.clip(np.concatenate([np.asarray(left), np.asarray(right)],
+                                  axis=1) + 0.5, 0, 255).astype(np.uint8)
     np.testing.assert_allclose(np.asarray(sbs_f).astype(np.int32),
-                               np.asarray(sbs_g).astype(np.int32), atol=1)
+                               want.astype(np.int32), atol=1)
