@@ -89,11 +89,9 @@ def make_components(args, settings):
 
     bound, spec = build_bound(settings.model, checkpoint=args.checkpoint)
 
-    compute_dtype = policy.compute_dtype
-    if spec.force_fp32 and compute_dtype != jnp.float32:
-        # model-quirk table (reference utils.py:234-238 FORCE_FP32_KEYWORDS)
-        print(f"[d2s] {spec.name}: forcing fp32 compute (model quirk)")
-        compute_dtype = jnp.float32
+    from desktop2stereo_tpu.core.registry import effective_compute_dtype
+
+    compute_dtype = effective_compute_dtype(spec, policy.compute_dtype)
 
     cfg = ProgramConfig.from_settings(settings, quality=args.quality)
     if args.streams > 1 and getattr(args, "batched", False):
@@ -193,6 +191,17 @@ def make_components(args, settings):
 def run(args=None) -> int:
     args = build_parser().parse_args(args)
 
+    # Clear any stale stop.request from a previous session FIRST — before
+    # model build/compile, so a stop requested DURING the (possibly
+    # minutes-long) init is a fresh request the watcher will honor, while a
+    # leftover from a SIGKILLed previous worker can't abort this run.
+    if args.stop_file and os.path.exists(args.stop_file):
+        try:
+            os.remove(args.stop_file)
+            print("[d2s] cleared stale stop.request from a previous run")
+        except OSError:
+            pass
+
     from desktop2stereo_tpu.core.config import Settings, load_settings
     from desktop2stereo_tpu.pipeline.engine import FrameEngine
 
@@ -226,17 +235,8 @@ def run(args=None) -> int:
         except (ValueError, OSError):
             pass  # non-main thread (tests)
 
-    # stop.request file channel (reference main.py:343-357).  Clear any
-    # stale file from a previous session first — a leftover request (e.g.
-    # the old worker was SIGKILLed before consuming it) must not shut this
-    # fresh run down at the first 0.5 s poll.
-    if args.stop_file and os.path.exists(args.stop_file):
-        try:
-            os.remove(args.stop_file)
-            print("[d2s] cleared stale stop.request from a previous run")
-        except OSError:
-            pass
-
+    # stop.request file channel (reference main.py:343-357); stale files
+    # were cleared at the very top of run(), before heavy init.
     def stop_file_watcher():
         while not shutdown.is_set():
             if args.stop_file and os.path.exists(args.stop_file):

@@ -211,3 +211,17 @@ def get_spec(name: str) -> ModelSpec:
 def is_metric(name: str) -> bool:
     """Mirrors the reference's keyword sniff (reference depth.py:666-669)."""
     return get_spec(name).metric
+
+
+def effective_compute_dtype(spec: ModelSpec, policy_dtype, quiet: bool = False):
+    """The model-quirk table applied to the runtime dtype policy (reference
+    utils.py:234-238 FORCE_FP32_KEYWORDS): force-fp32 models override the
+    platform's bf16 default.  Single source of truth for the CLI, the AOT
+    compiler, and the depth debug harness — their numbers must agree."""
+    import jax.numpy as jnp
+
+    if spec.force_fp32 and policy_dtype != jnp.float32:
+        if not quiet:
+            print(f"[d2s] {spec.name}: forcing fp32 compute (model quirk)")
+        return jnp.float32
+    return policy_dtype

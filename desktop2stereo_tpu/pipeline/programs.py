@@ -250,8 +250,6 @@ def _build_step(
         # instead of materializing an HWC float frame and re-transposing it
         # for the kernel — the HWC→CHW relayout of a 4K f32 frame alone
         # costs ~1.3 ms on v5e.
-        from desktop2stereo_tpu.ops.pallas.dibr import pair_tiling
-
         planar = bgra_to_rgb(frame_u8).transpose(2, 0, 1).astype(jnp.float32)
         if (oh, ow) != (h0, w0):
             planar = resize(planar[..., None], (oh, ow), mode="bilinear",
@@ -266,9 +264,10 @@ def _build_step(
         model_in = mi.transpose(1, 2, 0)[None] / 255.0  # tiny HWC relayout
         model_in = normalize_for_model(model_in, spec.norm_family)
 
-        hp, wp, _ = pair_tiling(oh, ow)
-        rgbp = jnp.pad(planar, ((0, 0), (0, hp - oh), (0, wp - ow)), mode="edge")
-        return rgbp, model_in.astype(compute_dtype)
+        # unpadded planar: the half-width tail squeezes first and pads to
+        # its OWN pair_tiling(oh, ow//2) — a full-width pad here would just
+        # be sliced off again (an extra padded 4K f32 buffer per frame)
+        return planar, model_in.astype(compute_dtype)
 
     def model_stage(params, model_in: jax.Array, model_state):
         raw_depth_b, new_model_state = model_call(params, model_in, model_state)

@@ -109,8 +109,11 @@ class ScreenSource:
     def _track_window(self) -> Optional[Tuple[int, int, int, int]]:
         """Re-read the window rect; re-target only on moves > hysteresis or
         any resize (reference capture.py:159-217).  A lost window keeps
-        being re-searched by title every frame — window mode must never
-        degrade into capturing the whole desktop."""
+        being re-searched by title every frame and the stream FREEZES on
+        the last captured frame meanwhile (returns None → grab() serves
+        self._last within the failure budget) — window mode must never
+        keep live-grabbing the stale desktop region, where whatever now
+        occupies that area would leak into the stream."""
         rect = None
         if self._window:
             rect = self._native.window_rect(self._window)
@@ -121,7 +124,7 @@ class ScreenSource:
             if self._window:
                 rect = self._native.window_rect(self._window)
             if rect is None:
-                return self._rect
+                return None
         if self._rect is not None:
             ox, oy, ow, oh = self._rect
             nx, ny, nw, nh = rect

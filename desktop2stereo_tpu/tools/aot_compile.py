@@ -51,11 +51,9 @@ def main(argv=None) -> int:
         display_mode=args.display_mode,
     )
     cfg = ProgramConfig.from_settings(settings, quality=args.quality)
-    compute = policy.compute_dtype
-    if spec.force_fp32:
-        import jax.numpy as jnp
+    from desktop2stereo_tpu.core.registry import effective_compute_dtype
 
-        compute = jnp.float32
+    compute = effective_compute_dtype(spec, policy.compute_dtype)
     cache = ProgramCache(cfg, bound, spec, compute_dtype=compute)
 
     for shape in args.shapes.split(","):

@@ -78,12 +78,11 @@ def main() -> None:
                         output_resolution=img.shape[0], temporal_smooth=False)
     bound, spec = build_bound(args.model, checkpoint=args.checkpoint)
     cfg = ProgramConfig.from_settings(settings)
-    compute_dtype = policy.compute_dtype
-    if spec.force_fp32 and compute_dtype != jnp.float32:
-        # match the production pipeline's quirk table (cli.py make_components)
-        # so this tool's numbers stay comparable with what the app computes
-        print(f"[depth] {spec.name}: forcing fp32 compute (model quirk)")
-        compute_dtype = jnp.float32
+    from desktop2stereo_tpu.core.registry import effective_compute_dtype
+
+    # same quirk table as the production CLI, so this tool's numbers stay
+    # comparable with what the app computes
+    compute_dtype = effective_compute_dtype(spec, policy.compute_dtype)
     program = ProgramCache(cfg, bound, spec, compute_dtype=compute_dtype)
 
     sbs, depth = program(jax.device_put(np.ascontiguousarray(frame_bgra)))

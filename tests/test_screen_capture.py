@@ -152,11 +152,14 @@ def test_window_gone_reuses_last_frame():
     fake = FakeX11()
     src = make_source(fake)
     first = src.grab()
+    calls_before = len(fake.grab_calls)
     del fake.windows[7]
     del fake.titles[7]
-    # rect lookup fails, re-find fails → previous rect reused (still grabs)
+    # rect lookup fails, re-find fails → the stream FREEZES on the last
+    # captured frame; no live grab of the stale desktop region happens
     again = src.grab()
     assert again is not None and again.shape == first.shape
+    assert len(fake.grab_calls) == calls_before
 
 
 def test_cursor_composited_into_window_frame():
@@ -210,11 +213,13 @@ def test_fullscreen_cursor_via_cli_no_cursor_flag():
 
 def test_window_lost_never_degrades_to_desktop_grab():
     """Privacy regression: once the tracked window is gone (handle lost, no
-    re-find), window mode must keep grabbing the last window rect — or fail
-    — but NEVER fall through to a whole-desktop grab."""
+    re-find), window mode FREEZES on the last captured frame — no live
+    grabs of the stale region (its new occupant would leak), and NEVER a
+    whole-desktop grab."""
     fake = FakeX11()
     src = make_source(fake)
     src.grab()
+    calls_before = len(fake.grab_calls)
     del fake.windows[7]
     del fake.titles[7]
     full_root_grabs = 0
@@ -229,9 +234,9 @@ def test_window_lost_never_degrades_to_desktop_grab():
     # many frames with the window unfindable (handle now 0 after first miss)
     for _ in range(5):
         f = src.grab()
-        assert f is not None  # reuses last rect / last frame
+        assert f is not None  # frozen on the last good frame
     assert full_root_grabs == 0
-    assert all(call == (10, 20, 64, 32) for call in fake.grab_calls)
+    assert len(fake.grab_calls) == calls_before  # zero live grabs while lost
 
     # window comes back under a matching title → tracking resumes
     fake.windows[11] = (2, 3, 50, 24)
