@@ -180,6 +180,11 @@ class MultiStreamEngine:
         finally:
             time.sleep(0.05)
             self.shutdown.set()
+            # join (bounded) before returning: letting the interpreter tear
+            # down while the compute/sink daemons are inside a device call
+            # aborts in the PJRT runtime ("terminate called ...") at exit
+            for t in self._threads:
+                t.join(timeout=5.0)
         if self._error is not None:
             raise self._error
         return self.stats()

@@ -212,12 +212,14 @@ def _build_step(
     """
     spec = spec or get_spec(cfg.model_name)
 
-    # Half-SBS on TPU runs the fully-fused stereo tail: preprocess hands the
-    # DIBR pair kernel its native padded-planar f32 layout (no HWC→planar
-    # glue in the hot loop), and depth-post + DIBR + Half-SBS squeeze +
-    # u8 quantize run as ONE program (the kernel emits finished u8 rows).
+    # Half-SBS / Half-TAB on TPU run the fully-fused stereo tail:
+    # preprocess hands the DIBR pair kernel its native planar f32 layout
+    # (no HWC→planar glue in the hot loop), and depth-post + pair-mean
+    # squeeze + DIBR at OUTPUT resolution + u8 quantize run as ONE program
+    # (the kernel emits finished u8 eye buffers).
     fused_stereo = (jit and allow_fused and cfg.quality == "high"
-                    and cfg.display_mode == "Half-SBS" and _stereo_on_tpu())
+                    and cfg.display_mode in ("Half-SBS", "Half-TAB")
+                    and _stereo_on_tpu())
 
     def _shared_preprocess(frame_u8: jax.Array):
         # BGRA→RGB + output-height downscale + model-input resize/normalize
@@ -242,7 +244,8 @@ def _build_step(
     def preprocess(frame_u8: jax.Array):
         h0, w0 = frame_u8.shape[0], frame_u8.shape[1]
         oh, ow = process_frame_size(h0, w0, cfg.output_height)
-        if not (fused_stereo and ow % 2 == 0):
+        even = ow % 2 == 0 if cfg.display_mode == "Half-SBS" else oh % 2 == 0
+        if not (fused_stereo and even):
             return _shared_preprocess(frame_u8)
 
         # Fused-stereo layout: go PLANAR [3,H,W] f32 straight from the u8
@@ -302,16 +305,18 @@ def _build_step(
 
     def post_stereo_stage(raw_depth: jax.Array, ema_prev: jax.Array,
                           rgb_pre: jax.Array):
-        """Fused tail: depth post → half-width DIBR pair → Half-SBS u8.
+        """Fused tail: depth post → output-res DIBR pair → Half-SBS/TAB u8.
 
-        Each eye renders at its OUTPUT width (ow/2) from a pair-mean-
-        squeezed source — the reference viewer's own semantics: per-eye
-        viewports are half the window wide and the fragment shader samples
-        a mip-biased texture per OUTPUT pixel (reference viewer.py:
-        1520-1544, LOD bias frame.py:28-60).  Halves the DIBR kernel's
-        per-frame work vs warping full-width and squeezing after (the
-        disparity in output pixels is identical: shift·(W/2) here equals
-        the squeezed shift·W of the full-width path)."""
+        Each eye renders at its OUTPUT size (ow/2 wide for Half-SBS, oh/2
+        tall for Half-TAB) from a pair-mean-squeezed source — the
+        reference viewer's own semantics: per-eye viewports are half the
+        window and the fragment shader samples a mip-biased texture per
+        OUTPUT pixel (reference viewer.py:1520-1544, LOD bias
+        frame.py:28-60).  Halves the DIBR kernel's per-frame work vs
+        warping full-size and squeezing after (the disparity in output
+        pixels is identical: for Half-SBS, shift·(W/2) here equals the
+        squeezed shift·W of the full-width path; Half-TAB keeps full
+        width, so disparity is untouched)."""
         depth = post_stage(raw_depth, ema_prev)
         oh, ow = depth.shape
         planar = rgb_pre.ndim == 3 and rgb_pre.shape[0] == 3 and rgb_pre.shape[2] != 3
@@ -319,28 +324,32 @@ def _build_step(
             from desktop2stereo_tpu.ops.pallas.dibr import (
                 dibr_render_pair_planar, pair_tiling)
 
-            half = ow // 2
-            # pair-mean via reduce_window: 0.14 ms at 4K on v5e vs 1.10 ms
-            # for the equivalent reshape(-1,2).mean (lane-shuffle bound)
+            tab = cfg.display_mode == "Half-TAB"
+            eh, ew = (oh // 2, ow) if tab else (oh, ow // 2)
+            # squeeze window along the halved axis; pair-mean via
+            # reduce_window: 0.14 ms at 4K on v5e vs 1.10 ms for the
+            # equivalent reshape(-1,2).mean (lane-shuffle bound)
+            rwin = (1, 2, 1) if tab else (1, 1, 2)
+            dwin = (2, 1) if tab else (1, 2)
             rgb_h = jax.lax.reduce_window(
-                rgb_pre[:, :oh, :ow], 0.0, jax.lax.add,
-                (1, 1, 2), (1, 1, 2), "VALID") * 0.5
+                rgb_pre[:, :oh, :ow], 0.0, jax.lax.add, rwin, rwin,
+                "VALID") * 0.5
             dep_h = jax.lax.reduce_window(
-                depth, 0.0, jax.lax.add, (1, 2), (1, 2), "VALID") * 0.5
-            hp2, wp2, _ = pair_tiling(oh, half)
-            rgb_h = jnp.pad(rgb_h, ((0, 0), (0, hp2 - oh), (0, wp2 - half)),
+                depth, 0.0, jax.lax.add, dwin, dwin, "VALID") * 0.5
+            hp2, wp2, _ = pair_tiling(eh, ew)
+            rgb_h = jnp.pad(rgb_h, ((0, 0), (0, hp2 - eh), (0, wp2 - ew)),
                             mode="edge")
-            dep_h = jnp.pad(dep_h, ((0, hp2 - oh), (0, wp2 - half)),
+            dep_h = jnp.pad(dep_h, ((0, hp2 - eh), (0, wp2 - ew)),
                             mode="edge")[None]
             left, right = dibr_render_pair_planar(
-                rgb_h, dep_h, half,
+                rgb_h, dep_h, ew,
                 ipd=cfg.ipd, depth_strength=cfg.depth_strength,
                 convergence=cfg.convergence, out_mode="eyes_u8",
             )
             sbs = jnp.concatenate(
-                [left[:, :oh, :half], right[:, :oh, :half]], axis=2
+                [left[:, :eh, :ew], right[:, :eh, :ew]], axis=1 if tab else 2
             ).transpose(1, 2, 0)
-        else:  # odd width etc. — generic path on HWC
+        else:  # odd halved axis etc. — generic path on HWC
             sbs = stereo_stage(rgb_pre, depth)
         return sbs, depth
 
