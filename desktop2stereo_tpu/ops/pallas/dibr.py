@@ -237,6 +237,9 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
     smooth = (dep_raw * 0.7 + htap(dep_raw, -1.5) * 0.15
               + htap(dep_raw, +1.5) * 0.15)
     cdi = -smooth
+    # shift commutes with the affine 1-x: precompute once instead of
+    # subtracting inside every sweep tap (24 full-tile ops saved)
+    inv_smooth = 1.0 - smooth
     jump = jnp.abs(htap(dep_raw, -2.0) - htap(dep_raw, +2.0))
     t_ = jnp.clip((jump - 0.04) / (0.10 - 0.04), 0.0, 1.0)
     conf_base = t_ * t_ * (3.0 - 2.0 * t_)
@@ -291,7 +294,7 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
         plw = jnp.zeros((th, wp), jnp.float32)
         for t in range(1, search_radius + 1):
             off = direction * t
-            s_depth_inv = 1.0 - _shift_cols_clamp(smooth, off)
+            s_depth_inv = _shift_cols_clamp(inv_smooth, off)
             is_bg = s_depth_inv > cdi + depth_tolerance
             s_rgb = [_shift_cols_clamp(rgb[c], off) for c in range(3)]
             w_dw = math.exp(-float(t) * 0.15) * (1.0 + (s_depth_inv - cdi) * 10.0)
