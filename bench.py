@@ -86,9 +86,12 @@ def main() -> None:
     # Downloads are NOT timed: the dev tunnel's d2h path stalls for minutes
     # under HBM pressure, which would wedge the benchmark while measuring
     # nothing about the framework.
+    # sync via a data-dependent scalar fetch — block_until_ready returns
+    # early on the tunnel (see the pipeline-rate NOTE above), which would
+    # report ~dispatch time instead of the actual transfer
     h_frame = np.zeros(frame_shape, np.uint8)
     t0 = time.time()
-    jax.block_until_ready(jax.device_put(h_frame))
+    float(scalar(jax.device_put(h_frame)))
     h2d_s = time.time() - t0
 
     kernel_parity = run_kernel_parity()
@@ -123,7 +126,8 @@ def run_kernel_parity() -> str:
     try:
         from desktop2stereo_tpu.ops.attention import xla_attention
         from desktop2stereo_tpu.ops.pallas.flash_attention import flash_attention
-        from desktop2stereo_tpu.ops.pallas.dibr import dibr_render_pair
+        from desktop2stereo_tpu.ops.pallas.dibr import (
+            dibr_render_pair, dibr_render_pair_planar, pad_planar)
         from desktop2stereo_tpu.ops import stereo as S
 
         rng = np.random.default_rng(0)
@@ -156,9 +160,6 @@ def run_kernel_parity() -> str:
         # width from a pair-mean-squeezed source, quantized in-kernel
         # (eyes_u8).  Must equal the same-width f32 eyes run + quantize
         # (±1 LSB at the round-half-up boundary).
-        from desktop2stereo_tpu.ops.pallas.dibr import (
-            dibr_render_pair, dibr_render_pair_planar, pad_planar)
-
         half = W // 2
         rgb_h = jnp.asarray(np.asarray(rgb).reshape(H, half, 2, 3).mean(2),
                             jnp.float32)

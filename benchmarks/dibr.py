@@ -20,19 +20,11 @@ hp, wp, _ = pair_tiling(H, W)
 rgbp = jax.device_put(rng.random((3, hp, wp), np.float32) * 255.0)
 depp = jax.device_put(rng.random((1, hp, wp), np.float32))
 
-scalar = jax.jit(lambda x: x.reshape(-1)[0].astype(jnp.float32))
+try:
+    from benchmarks._timing import timeit
+except ImportError:
+    from _timing import timeit
 
-def timeit(name, fn, *args, n1=20, n2=60):
-    def run(n):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        float(scalar(jax.tree_util.tree_leaves(out)[0]))
-        return time.perf_counter() - t0
-    fn(*args); run(4)
-    ms = (run(n2) - run(n1)) / (n2 - n1) * 1000
-    print(f"{name:42s} {ms:7.2f} ms")
-    return ms
 
 @jax.jit
 def old_path(r, d):

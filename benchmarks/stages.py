@@ -35,19 +35,11 @@ frame = jax.device_put(
     np.random.default_rng(0).integers(0, 255, (H, W, 4), dtype=np.uint8))
 state = jax.device_put(init_state(H, W))
 
-scalar = jax.jit(lambda x: x.reshape(-1)[0].astype(jnp.float32))
+try:
+    from benchmarks._timing import timeit
+except ImportError:
+    from _timing import timeit
 
-def timeit(name, fn, *args, n1=20, n2=60):
-    def run(n):
-        t0 = time.perf_counter()
-        for _ in range(n):
-            out = fn(*args)
-        float(scalar(jax.tree_util.tree_leaves(out)[0]))
-        return time.perf_counter() - t0
-    fn(*args); run(4)
-    ms = (run(n2) - run(n1)) / (n2 - n1) * 1000
-    print(f"{name:22s} {ms:7.2f} ms")
-    return ms
 
 total = 0.0
 if len(stages) == 2:

@@ -6,9 +6,20 @@ CPU so CI needs no TPU; the real chip is exercised by bench.py.
 """
 
 import os
+import sys
 
-# Must be set before jax initializes a backend.
-os.environ.setdefault("XLA_FLAGS", "--xla_force_host_platform_device_count=8")
+# Repo root on sys.path so `from tests.reference_loader import ...` works
+# under a bare `pytest` invocation (pytest prepends tests/, not the root).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Must be set before jax initializes a backend.  APPEND to any existing
+# XLA_FLAGS — setdefault would silently skip the virtual mesh when the
+# host exports unrelated flags, and every sharding test would then see
+# one device.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "--xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
 
 import jax  # noqa: E402

@@ -115,7 +115,10 @@ def load_reference_functions(relpath, names, globals_extra=None):
                 isinstance(t, ast.Name) and t.id in names
                 for t in node.targets):
             wanted.append(node)
-            found.add(node.targets[0].id)
+            # record every matching target (a chained `A = B = ...` might
+            # match on the second name only)
+            found.update(t.id for t in node.targets
+                         if isinstance(t, ast.Name) and t.id in names)
     missing = set(names) - found
     if missing:
         raise AssertionError(
