@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stereo path: DIBR+inpaint vs grid-shift")
     p.add_argument("--checkpoint", help="safetensors path (else cache/random)")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--quant", default="none", choices=["none", "int8"],
+                   help="int8 encoder matmuls (2x the bf16 MXU rate; "
+                        "Depth-Anything family; the TRT INT8 engine analog)")
     p.add_argument("--crop", default="off",
                    help="letterbox handling: off | auto (detected with "
                         "hysteresis) | u0,v0,uw,vh manual UV rect")
@@ -87,7 +90,8 @@ def make_components(args, settings):
     policy = detect_policy(prefer_fp32=args.fp32)
     print(f"[d2s] device: {policy.description}, compute dtype: {policy.compute_dtype.__name__}")
 
-    bound, spec = build_bound(settings.model, checkpoint=args.checkpoint)
+    bound, spec = build_bound(settings.model, checkpoint=args.checkpoint,
+                              quant=getattr(args, "quant", "none"))
 
     from desktop2stereo_tpu.core.registry import effective_compute_dtype
 

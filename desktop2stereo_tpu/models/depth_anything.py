@@ -34,9 +34,10 @@ class DepthAnything(nn.Module):
     use_swiglu: bool = False
     metric: bool = False
     max_depth: float = 1.0
+    quant: bool = False  # int8 encoder matmuls (ops/quant.py), opt-in
 
     @classmethod
-    def from_spec(cls, spec: ModelSpec) -> "DepthAnything":
+    def from_spec(cls, spec: ModelSpec, quant: bool = False) -> "DepthAnything":
         hidden, layers, heads, mlp = spec.dims
         return cls(
             hidden_size=hidden,
@@ -50,6 +51,7 @@ class DepthAnything(nn.Module):
             use_swiglu=(spec.variant == "vitg"),
             metric=spec.metric,
             max_depth=spec.max_depth,
+            quant=quant,
         )
 
     @nn.compact
@@ -65,6 +67,7 @@ class DepthAnything(nn.Module):
             out_layers=self.out_layers,
             patch_size=self.patch_size,
             use_swiglu=self.use_swiglu,
+            quant=self.quant,
             name="backbone",
         )(pixels)
 

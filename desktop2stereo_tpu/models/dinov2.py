@@ -99,15 +99,26 @@ class Dinov2Embeddings(nn.Module):
         return x + pos_full.astype(tokens.dtype)
 
 
+def _dense(features: int, name: str, dtype, quant: bool):
+    """nn.Dense, or the int8 QuantDense when the encoder runs quantized
+    (ops/quant.py; the reference's TRT INT8 engine analog)."""
+    if quant:
+        from desktop2stereo_tpu.ops.quant import QuantDense
+
+        return QuantDense(features, name=name)
+    return nn.Dense(features, name=name, dtype=dtype)
+
+
 class Mlp(nn.Module):
     hidden_size: int
     mlp_dim: int
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.Dense(self.mlp_dim, name="fc1", dtype=x.dtype)(x)
+        x = _dense(self.mlp_dim, "fc1", x.dtype, self.quant)(x)
         x = jax.nn.gelu(x, approximate=False)
-        return nn.Dense(self.hidden_size, name="fc2", dtype=x.dtype)(x)
+        return _dense(self.hidden_size, "fc2", x.dtype, self.quant)(x)
 
 
 class SwiGLU(nn.Module):
@@ -115,13 +126,14 @@ class SwiGLU(nn.Module):
 
     hidden_size: int
     mlp_dim: int
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         hidden = (int(self.mlp_dim * 2 / 3) + 7) // 8 * 8
-        x = nn.Dense(2 * hidden, name="weights_in", dtype=x.dtype)(x)
+        x = _dense(2 * hidden, "weights_in", x.dtype, self.quant)(x)
         x1, x2 = jnp.split(x, 2, axis=-1)
-        return nn.Dense(self.hidden_size, name="weights_out", dtype=x.dtype)(
+        return _dense(self.hidden_size, "weights_out", x.dtype, self.quant)(
             jax.nn.silu(x1) * x2
         )
 
@@ -129,11 +141,12 @@ class SwiGLU(nn.Module):
 class Attention(nn.Module):
     hidden_size: int
     num_heads: int
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         B, N, D = x.shape
-        qkv = nn.Dense(3 * D, name="qkv", dtype=x.dtype)(x)
+        qkv = _dense(3 * D, "qkv", x.dtype, self.quant)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = D // self.num_heads
 
@@ -142,7 +155,7 @@ class Attention(nn.Module):
 
         out = multi_head_attention(heads(q), heads(k), heads(v))
         out = out.reshape(B, N, D)
-        return nn.Dense(D, name="proj", dtype=x.dtype)(out)
+        return _dense(D, "proj", x.dtype, self.quant)(out)
 
 
 class Dinov2Layer(nn.Module):
@@ -151,19 +164,23 @@ class Dinov2Layer(nn.Module):
     mlp_dim: int
     use_swiglu: bool = False
     layer_norm_eps: float = 1e-6
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1", dtype=x.dtype)(x)
-        h = Attention(self.hidden_size, self.num_heads, name="attention")(h)
+        h = Attention(self.hidden_size, self.num_heads, quant=self.quant,
+                      name="attention")(h)
         ls1 = self.param("layer_scale1", nn.initializers.ones, (self.hidden_size,))
         x = x + h * ls1.astype(x.dtype)
 
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2", dtype=x.dtype)(x)
         if self.use_swiglu:
-            h = SwiGLU(self.hidden_size, self.mlp_dim, name="mlp")(h)
+            h = SwiGLU(self.hidden_size, self.mlp_dim, quant=self.quant,
+                       name="mlp")(h)
         else:
-            h = Mlp(self.hidden_size, self.mlp_dim, name="mlp")(h)
+            h = Mlp(self.hidden_size, self.mlp_dim, quant=self.quant,
+                    name="mlp")(h)
         ls2 = self.param("layer_scale2", nn.initializers.ones, (self.hidden_size,))
         return x + h * ls2.astype(x.dtype)
 
@@ -188,6 +205,9 @@ class Dinov2Encoder(nn.Module):
     # intermediate hooks consume RAW hidden states while the last hidden
     # state is normed — HF Dinov2Model semantics).
     final_norm_indices: Optional[Tuple[int, ...]] = None
+    # int8 block matmuls (ops/quant.py); params must have passed
+    # quantize_tree.  Opt-in via --quant int8.
+    quant: bool = False
 
     @nn.compact
     def __call__(self, pixels: jax.Array) -> Tuple[jax.Array, ...]:
@@ -202,7 +222,7 @@ class Dinov2Encoder(nn.Module):
             x = Dinov2Layer(
                 self.hidden_size, self.num_heads, self.mlp_dim,
                 use_swiglu=self.use_swiglu, layer_norm_eps=self.layer_norm_eps,
-                name=f"layer_{i}",
+                quant=self.quant, name=f"layer_{i}",
             )(x)
             if i in want:
                 outputs.append(x)

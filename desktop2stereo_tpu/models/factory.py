@@ -54,29 +54,51 @@ def build_model(
     param_dtype=jnp.float32,
     rng_seed: int = 0,
     init_size: Optional[int] = None,
+    quant: str = "none",
 ) -> Tuple[ApplyFn, Any, ModelSpec]:
     """Returns (apply_fn, params, spec).  apply_fn(pixels_nhwc) -> depth[B,h,w].
 
     Weights resolution order: explicit `checkpoint` → local caches → random
     init (benchmark/CI mode, prints a warning).
+
+    quant="int8" (Depth-Anything family only): encoder block matmuls run
+    int8×int8→int32 on the MXU (2× the bf16 rate on v5e) with weights
+    quantized at load — the reference's TRT INT8 engine analog
+    (reference depth.py:1049-1118 builder flags).
     """
     spec = get_spec(name)
+    if quant not in ("none", "int8"):
+        raise ValueError(f"unknown quant mode {quant!r} (none|int8)")
 
     if spec.family in ("depth_anything", "dpt_dinov2"):
         from desktop2stereo_tpu.models.depth_anything import DepthAnything
         from desktop2stereo_tpu.models.convert_hf import convert_depth_anything
 
-        model = DepthAnything.from_spec(spec)
+        use_quant = quant == "int8"
+        model = DepthAnything.from_spec(spec, quant=use_quant)
         ckpt = checkpoint or find_checkpoint(spec)
         if ckpt is not None:
             params = {"params": convert_depth_anything(ckpt, spec)}
         else:
             size = init_size or (spec.patch_size * 10)
-            params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
-                         rng_seed=rng_seed)
+            # init with the FLOAT model — quantize_tree produces the
+            # int8 kernel_q/scale structure the quant model consumes
+            float_model = DepthAnything.from_spec(spec) if use_quant else model
+            params = jit_init(float_model,
+                              jnp.zeros((1, size, size, 3), jnp.float32),
+                              rng_seed=rng_seed)
             print(f"[models] no checkpoint found for {name}; using random init")
         params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
+        if use_quant:
+            from desktop2stereo_tpu.ops.quant import quantize_tree
+
+            params = quantize_tree(params)
         return model.apply, params, spec
+
+    if quant != "none":
+        raise NotImplementedError(
+            f"--quant {quant} is only implemented for the Depth-Anything "
+            f"family; {name} is family {spec.family!r}")
 
     if spec.family == "vda":
         from desktop2stereo_tpu.models.vda import build_vda
@@ -129,6 +151,7 @@ def build_bound(
     param_dtype=jnp.float32,
     rng_seed: int = 0,
     init_size: Optional[int] = None,
+    quant: str = "none",
 ):
     """Registry name → (BoundModel, spec) for the frame program.
 
@@ -141,6 +164,11 @@ def build_bound(
     """
     spec = get_spec(name)
     from desktop2stereo_tpu.pipeline.programs import BoundModel
+
+    if quant != "none" and spec.family not in ("depth_anything", "dpt_dinov2"):
+        raise NotImplementedError(
+            f"--quant {quant} is only implemented for the Depth-Anything "
+            f"family; {name} is family {spec.family!r}")
 
     if spec.family == "vda":
         from desktop2stereo_tpu.models.vda import (
@@ -182,5 +210,6 @@ def build_bound(
         first, step = make_zoe_stream_fns(model, spec)
         return BoundModel(params=params, first=first, step=step), spec
 
-    apply_fn, params, spec = build_model(name, checkpoint, param_dtype, rng_seed, init_size)
+    apply_fn, params, spec = build_model(name, checkpoint, param_dtype,
+                                         rng_seed, init_size, quant=quant)
     return BoundModel.stateless(apply_fn, params), spec

@@ -1,0 +1,109 @@
+"""Int8 quantized inference (ops/quant.py + --quant int8 wiring).
+
+The reference ships INT8/FP8 as TensorRT engine options (reference
+depth.py:1049-1118); here the analog is int8 x int8 -> int32 MXU matmuls in
+the ViT blocks.  Random-weight fidelity is the strongest check the
+zero-egress environment allows: the quantized model must track the float
+model closely, and the machinery (tree transform, module wiring, CLI flag)
+must be exact.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from desktop2stereo_tpu.ops.quant import (
+    QuantDense,
+    dynamic_quantize,
+    quantize_tree,
+    quantize_weight,
+)
+
+
+def test_quantize_weight_roundtrip():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 32)) * 0.1, jnp.float32)
+    q, scale = quantize_weight(w)
+    assert q.dtype == jnp.int8 and scale.shape == (32,)
+    deq = q.astype(jnp.float32) * scale[None, :]
+    # symmetric per-channel: error bounded by half an LSB per channel
+    err = np.abs(np.asarray(deq - w))
+    assert err.max() <= float(np.asarray(scale).max()) * 0.5 + 1e-7
+
+
+def test_dynamic_quantize_range():
+    x = jnp.asarray([[-3.0, 0.0, 1.5]], jnp.float32)
+    q, s = dynamic_quantize(x)
+    assert q.dtype == jnp.int8
+    np.testing.assert_allclose(np.asarray(q), [[-127, 0, 64]], atol=1)
+    np.testing.assert_allclose(float(s) * 127.0, 3.0, rtol=1e-6)
+
+
+def test_quant_dense_tracks_float_dense():
+    import flax.linen as nn
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((2, 50, 96)), jnp.float32)
+    dense = nn.Dense(64)
+    fparams = dense.init(jax.random.PRNGKey(0), x)
+    want = dense.apply(fparams, x)
+
+    qtree = quantize_tree({"backbone": {"fc1": fparams["params"]}}
+                          )["backbone"]["fc1"]
+    got = QuantDense(64).apply({"params": qtree}, x)
+    denom = float(jnp.abs(want).max())
+    rel = float(jnp.abs(got - want).max()) / denom
+    assert rel < 0.02, f"int8 dense rel-err {rel:.4f}"
+
+
+def test_quantize_tree_scopes_to_backbone():
+    """Only qkv/proj/fc1/fc2/... UNDER the backbone subtree convert; a
+    decoder Dense sharing the name 'proj' must stay float."""
+    k = jnp.ones((8, 4), jnp.float32)
+    tree = {
+        "backbone": {"layer_0": {"attention": {
+            "qkv": {"kernel": k, "bias": jnp.zeros(4)},
+            "proj": {"kernel": k, "bias": jnp.zeros(4)}}}},
+        "neck": {"proj": {"kernel": k, "bias": jnp.zeros(4)}},
+        "head": {"fc1": {"kernel": k, "bias": jnp.zeros(4)}},
+    }
+    out = quantize_tree(tree)
+    assert out["backbone"]["layer_0"]["attention"]["qkv"]["kernel_q"].dtype == jnp.int8
+    assert out["backbone"]["layer_0"]["attention"]["proj"]["kernel_q"].dtype == jnp.int8
+    assert "kernel" in out["neck"]["proj"]          # untouched
+    assert "kernel" in out["head"]["fc1"]           # untouched
+
+
+def test_quantized_model_tracks_float_model():
+    """Full DA ViT-S: int8 model output must correlate >0.99 with the f32
+    model on random weights (the zero-egress stand-in for a real-weight
+    quality check)."""
+    from desktop2stereo_tpu.models.factory import build_model
+
+    apply_f, params_f, spec = build_model("Depth-Anything-V2-Small",
+                                          init_size=70, rng_seed=3)
+    apply_q, params_q, _ = build_model("Depth-Anything-V2-Small",
+                                       init_size=70, rng_seed=3, quant="int8")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((1, 70, 70, 3)), jnp.float32)
+    df = np.asarray(apply_f(params_f, x)).ravel()
+    dq = np.asarray(apply_q(params_q, x)).ravel()
+    corr = float(np.corrcoef(df, dq)[0, 1])
+    assert corr > 0.99, f"int8 model corr {corr:.4f}"
+    rel = np.abs(dq - df).max() / max(np.abs(df).max(), 1e-6)
+    assert rel < 0.1, f"int8 model rel-err {rel:.3f}"
+
+
+def test_quant_rejected_for_other_families():
+    from desktop2stereo_tpu.models.factory import build_bound
+
+    with pytest.raises(NotImplementedError, match="Depth-Anything"):
+        build_bound("dpt-large", quant="int8")
+
+
+def test_cli_has_quant_flag():
+    from desktop2stereo_tpu.cli import build_parser
+
+    args = build_parser().parse_args(["--quant", "int8"])
+    assert args.quant == "int8"
