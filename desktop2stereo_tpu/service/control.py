@@ -140,6 +140,7 @@ button{{margin-top:1em;padding:.5em 2em}}#log{{white-space:pre-wrap;font-family:
 <label>Cursor</label><select name="cursor"><option value="on">on</option><option value="off">off</option></select>
 <label>Sink</label><select name="sink"><option>mjpeg</option><option>window</option><option>png</option><option>video</option><option>null</option><option>rtmp</option><option>xr</option></select>
 <label>Audio (rtmp)</label><select name="audio"><option>auto</option><option>none</option></select>
+<label>Quantization</label><select name="quant"><option value="none">none (bf16)</option><option value="int8">int8 (DA family)</option></select>
 <button type="submit">Run</button>
 </form>
 <form method="post" action="/stop"><button type="submit">Stop</button></form>
@@ -237,6 +238,8 @@ def serve(port: int = 8700, settings_path: str = "settings.yaml",
                     extra += ["--no-cursor"]
                 if val("audio", "auto") != "auto":
                     extra += ["--audio", val("audio", "auto")]
+                if val("quant", "none") != "none":
+                    extra += ["--quant", val("quant", "none")]
                 try:
                     manager.start(settings, val("source", "synthetic"),
                                   val("sink", "mjpeg"), extra_args=extra)

@@ -29,6 +29,8 @@ def main(argv=None) -> int:
     ap.add_argument("--display-mode", default="Half-SBS")
     ap.add_argument("--quality", choices=("high", "fast"), default="high")
     ap.add_argument("--fp32", action="store_true")
+    ap.add_argument("--quant", default="none", choices=["none", "int8"],
+                    help="pre-compile the int8 encoder variant")
     ap.add_argument("--checkpoint", default=None)
     args = ap.parse_args(argv)
 
@@ -43,7 +45,7 @@ def main(argv=None) -> int:
     print(f"[aot] device: {policy.description}, dtype: {policy.compute_dtype.__name__}")
 
     bound, spec = build_bound(args.model, checkpoint=args.checkpoint,
-                              init_size=args.depth_res)
+                              init_size=args.depth_res, quant=args.quant)
     settings = Settings(
         model=args.model,
         depth_resolution=args.depth_res or (spec.resolutions or (384,))[0],
