@@ -340,3 +340,28 @@ def test_fused_halftab_structure_matches_jnp(monkeypatch):
                                   axis=0) + 0.5, 0, 255).astype(np.uint8)
     np.testing.assert_allclose(np.asarray(sbs_f).astype(np.int32),
                                want.astype(np.int32), atol=1)
+
+
+@pytest.mark.parametrize("shape", [
+    (3, 3), (1, 48), (48, 1), (17, 33),      # degenerate / odd
+    (33, 17),                                 # odd portrait
+    (720, 1280), (1080, 608),                 # landscape / tall portrait
+])
+def test_frame_step_degenerate_shapes(shape):
+    """The full frame step must survive tiny/odd/portrait captures (shift
+    saturation, patch-align floors, odd-width Half-SBS fallback) without
+    NaNs or crashes."""
+    h, w = shape
+    cfg = make_cfg()
+    step = build_frame_step(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    frame = jnp.asarray(
+        np.random.default_rng(h * 100 + w).integers(0, 255, (h, w, 4), np.uint8))
+    from desktop2stereo_tpu.ops.normalize import process_frame_size
+
+    oh, ow = process_frame_size(h, w, cfg.output_height)
+    sbs, depth, state = step(frame, init_state(oh, ow))
+    sbs = np.asarray(sbs)
+    depth = np.asarray(depth)
+    assert sbs.dtype == np.uint8 and sbs.ndim == 3
+    assert np.isfinite(depth).all()
+    assert not np.isnan(np.asarray(state.ema_depth)).any()
