@@ -175,6 +175,7 @@ def build_first_step(
     jit: bool = True,
     shared_stages=None,
     shared_model_j=None,
+    batch: int = 0,
 ) -> Callable:
     """First-frame variant: same signature, but the model carry in the input
     state is ignored and a fresh one is built (reference vda2_s.py:195-207)."""
@@ -184,7 +185,8 @@ def build_first_step(
         return bound.first(params, pixels)
 
     return _build_step(cfg, bound, first_call, spec, compute_dtype, jit, first=True,
-                       shared_stages=shared_stages, shared_model_j=shared_model_j)
+                       shared_stages=shared_stages, shared_model_j=shared_model_j,
+                       batch=batch)
 
 
 def _build_step(
@@ -370,10 +372,10 @@ def _build_step(
         # batch-1 frame leaves idle) while keeping the staged-compile
         # property.  The model already takes a batch dim; stack streams
         # into it instead of double-vmapping.
-        if getattr(bound, "stateful", False):
-            raise NotImplementedError(
-                "batched streams with streaming models (per-stream rolling "
-                "caches don't stack into the model batch dim)")
+        # Streaming models batch too: the VDA module's leading dim is B·T,
+        # so S streams at frames=1 are batch B=S and the rolling caches
+        # stack on their leading dim ([S, P, CACHE_LEN, C]) — each stream's
+        # temporal attention only sees its own cache rows.
         preprocess = jax.vmap(preprocess)
 
         def batched_model(params, model_in, model_state):
@@ -475,8 +477,9 @@ class BatchedProgramCache:
 
     The sequential MultiStreamEngine round-robins batch-1 programs; this
     variant stacks the streams into a device batch so the MXU sees S frames
-    per launch (BASELINE configs[4] "2-stream batched stereo").  Stateless
-    models only — streaming carries don't stack into the model batch dim.
+    per launch (BASELINE configs[4] "2-stream batched stereo").  Streaming
+    models (VDA) batch too: their rolling caches stack on the leading dim,
+    one cache row-block per stream, built by the first-frame program.
 
     __call__(frames [S,H,W,C] u8) → (sbs [S,...] u8, depth [S,...])."""
 
@@ -486,6 +489,10 @@ class BatchedProgramCache:
         self.num_streams = num_streams
         self._step = build_frame_step(cfg, model_apply, spec, compute_dtype,
                                       batch=num_streams)
+        bound = _as_bound(model_apply)
+        self._first = (build_first_step(cfg, model_apply, spec, compute_dtype,
+                                        batch=num_streams)
+                       if bound.stateful else None)
         self._states: Dict[Tuple[int, int, int], FrameState] = {}
 
     def __call__(self, frames: jax.Array):
@@ -496,6 +503,11 @@ class BatchedProgramCache:
         if state is None:
             singles = [init_state(oh, ow) for _ in range(s)]
             state = jax.tree.map(lambda *xs: jnp.stack(xs), *singles)
+            if self._first is not None:
+                # first-frame program builds the stacked model carry
+                sbs, depth, new_state = self._first(frames, state)
+                self._states[key] = new_state
+                return sbs, depth
         sbs, depth, new_state = self._step(frames, state)
         self._states[key] = new_state
         return sbs, depth

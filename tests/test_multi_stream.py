@@ -118,15 +118,43 @@ def test_batched_engine_matches_sequential():
                 f"stream {s} frame matches no sequential output"
 
 
-def test_batched_rejects_streaming_models():
+def test_batched_streaming_matches_per_stream():
+    """Streaming (stateful) models batch by stacking their carries on the
+    leading dim: S batched streams must equal S independent ProgramCaches
+    frame for frame (each stream's rolling state stays its own)."""
     from desktop2stereo_tpu.pipeline.programs import (
         BatchedProgramCache, BoundModel)
-    import pytest
 
-    bound = BoundModel(params=(), first=lambda p, x: (x[..., 0], ()),
-                       step=lambda p, x, s: (x[..., 0], s), stateful=True)
-    with pytest.raises(NotImplementedError):
-        BatchedProgramCache(make_cfg(), bound, compute_dtype=jnp.float32)
+    # toy streaming model: depth = luminance + 0.01*counter, counter per
+    # batch row (exercises a REAL per-stream carry)
+    def first(_p, x):
+        counter = jnp.zeros((x.shape[0],), jnp.float32)
+        return x[..., 0] * 0.004, counter
+
+    def step(_p, x, counter):
+        d = x[..., 0] * 0.004 + 0.01 * counter[:, None, None]
+        return d, counter + 1.0
+
+    bound = BoundModel(params=(), first=first, step=step, stateful=True)
+    cfg = make_cfg()
+
+    rng = np.random.default_rng(11)
+    clips = [rng.integers(0, 255, (4, 48, 64, 4), np.uint8) for _ in range(2)]
+
+    batched = BatchedProgramCache(cfg, bound, compute_dtype=jnp.float32,
+                                  num_streams=2)
+    singles = [ProgramCache(cfg, bound, compute_dtype=jnp.float32)
+               for _ in range(2)]
+
+    for t in range(4):
+        frames = jnp.asarray(np.stack([clips[0][t], clips[1][t]]))
+        sbs_b, dep_b = batched(frames)
+        for s in range(2):
+            sbs_s, dep_s = singles[s](jnp.asarray(clips[s][t]))
+            np.testing.assert_allclose(np.asarray(dep_b[s]),
+                                       np.asarray(dep_s), atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(sbs_b[s]),
+                                          np.asarray(sbs_s))
 
 
 def test_batched_survives_empty_stream():
@@ -203,3 +231,38 @@ def test_stream_exhaustion_and_latest_wins():
     # all sources exhausted → engine stops on its own; ≥1 frame delivered
     assert 1 <= len(sink.frames) <= 3
     assert eng.streams[0].done.is_set()
+
+
+def test_batched_real_vda_streams_are_independent():
+    """Two batched VDA streams: stream A's rolling 31-frame cache must not
+    see stream B's content (real temporal model, tiny config)."""
+    import jax
+    from desktop2stereo_tpu.models.vda import VideoDepthAnything, make_vda_fns
+    from desktop2stereo_tpu.pipeline.programs import (
+        BatchedProgramCache, BoundModel, ProgramCache)
+
+    # channels ≥32: the temporal transformer's GroupNorm uses 32 groups
+    model = VideoDepthAnything(
+        hidden_size=32, num_layers=4, num_heads=2, mlp_dim=64,
+        out_layers=(0, 1, 2, 3), neck_channels=(32, 32, 32, 32),
+        fusion_channels=32, patch_size=14)
+    x0 = jnp.zeros((1, 28, 28, 3), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), x0, 1, None)
+    _, first, step = make_vda_fns(model)
+    bound = BoundModel(params=params, first=first, step=step, stateful=True)
+
+    cfg = make_cfg(depth_resolution=28)
+    rng = np.random.default_rng(5)
+    clips = [rng.integers(0, 255, (3, 56, 56, 4), np.uint8) for _ in range(2)]
+
+    batched = BatchedProgramCache(cfg, bound, compute_dtype=jnp.float32,
+                                  num_streams=2)
+    singles = [ProgramCache(cfg, bound, compute_dtype=jnp.float32)
+               for _ in range(2)]
+    for t in range(3):
+        frames = jnp.asarray(np.stack([clips[0][t], clips[1][t]]))
+        _sbs, dep_b = batched(frames)
+        for s in range(2):
+            _s, dep_s = singles[s](jnp.asarray(clips[s][t]))
+            np.testing.assert_allclose(np.asarray(dep_b[s]), np.asarray(dep_s),
+                                       atol=2e-4, rtol=2e-4)
