@@ -88,8 +88,11 @@ def main() -> None:
     # nothing about the framework.
     # sync via a data-dependent scalar fetch — block_until_ready returns
     # early on the tunnel (see the pipeline-rate NOTE above), which would
-    # report ~dispatch time instead of the actual transfer
+    # report ~dispatch time instead of the actual transfer.  Warm scalar
+    # for this shape FIRST so a first-call trace/compile never lands inside
+    # the timed region.
     h_frame = np.zeros(frame_shape, np.uint8)
+    float(scalar(jax.device_put(h_frame)))
     t0 = time.time()
     float(scalar(jax.device_put(h_frame)))
     h2d_s = time.time() - t0

@@ -1,5 +1,4 @@
 """TPU timing: fused half_sbs_u8 planar kernel vs old eyes+XLA-compose path."""
-import time
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -71,11 +71,17 @@ def main() -> None:
         for name, res in configs:
             measure(name, res)
         return
-    # one fresh process per family (serialized: one TPU holder at a time)
+    # one fresh process per family (serialized: one TPU holder at a time).
+    # The repo root must ride in PYTHONPATH: the child starts as a plain
+    # script so sys.path[0] is benchmarks/, not the root, and the package
+    # is not pip-installed.
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     for name, _res in CONFIGS:
         rc = subprocess.call(
             [sys.executable, os.path.abspath(__file__), name],
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd=root, env=env,
         )
         if rc != 0:
             print(f"{name}: FAILED rc={rc}", flush=True)

@@ -4,7 +4,6 @@ Slope method: (time(n2 calls) - time(n1 calls)) / (n2 - n1), sync via a
 data-dependent scalar fetch (block_until_ready is a no-op on the axon
 tunnel) so the fetch RTT cancels out.
 """
-import time
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -436,11 +436,13 @@ def dibr_render_pair_planar(
     """Both stereo eyes in ONE fused pass over pre-padded planar inputs.
 
     out_mode "eyes": returns (left, right) planar f32 [3, hp, wp].
-    out_mode "eyes_u8": same, quantized u8 in the kernel (used by the
-    half-width Half-SBS tail, which concats the eyes without squeezing).
+    out_mode "eyes_u8": same, quantized u8 in the kernel — the PRODUCTION
+    mode (the fused tail renders each eye at output size and concats).
     out_mode "half_sbs_u8": returns ONE planar u8 [3, hp, wp] whose first
     `width` columns are the finished Half-SBS frame (left eye squeezed x2
-    in [0, W/2), right eye in [W/2, W)) — the compose/quantize stage fused.
+    in [0, W/2), right eye in [W/2, W)) — the full-width warp-then-squeeze
+    formulation, kept as the comparison baseline for benchmarks/dibr.py
+    and the in-kernel-squeeze parity test.
     """
     _, hp, wp = rgbp.shape
     W = width

@@ -249,7 +249,11 @@ class BatchedStreamEngine(MultiStreamEngine):
                         f"streams, got {sorted(shapes)}; use plain --streams "
                         f"for mixed resolutions")
                 batch = np.stack(last)
-                sbs, depth = self.program(jax.device_put(batch))
+                # fresh mask: stale rows keep the batch full but a
+                # streaming model's temporal carry must not absorb their
+                # re-submitted duplicate frames
+                sbs, depth = self.program(jax.device_put(batch),
+                                          fresh=np.asarray(fresh, bool))
                 if hasattr(sbs, "copy_to_host_async"):
                     try:
                         sbs.copy_to_host_async()

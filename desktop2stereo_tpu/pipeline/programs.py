@@ -321,7 +321,11 @@ def _build_step(
         width, so disparity is untouched)."""
         depth = post_stage(raw_depth, ema_prev)
         oh, ow = depth.shape
-        planar = rgb_pre.ndim == 3 and rgb_pre.shape[0] == 3 and rgb_pre.shape[2] != 3
+        # exact-shape detection (a width-3 planar buffer would fool a
+        # "last dim != 3" sniff); ambiguity only at oh==ow==3, where the
+        # odd-dimension gate made preprocess emit HWC — so HWC wins it
+        planar = (rgb_pre.shape == (3, oh, ow)
+                  and rgb_pre.shape != (oh, ow, 3))
         if planar:
             from desktop2stereo_tpu.ops.pallas.dibr import (
                 dibr_render_pair_planar, pair_tiling)
@@ -377,33 +381,50 @@ def _build_step(
         # stack on their leading dim ([S, P, CACHE_LEN, C]) — each stream's
         # temporal attention only sees its own cache rows.
         preprocess = jax.vmap(preprocess)
+        stateful = getattr(bound, "stateful", False)
 
-        def batched_model(params, model_in, model_state):
+        def batched_model(params, model_in, model_state, fresh):
             # model_in [S,1,h,w,3] → [S,h,w,3] through the model's own batch
             raw_b, new_state = model_call(params, model_in[:, 0], model_state)
+            if stateful and not first and fresh is not None:
+                # a stream with no fresh frame re-submits its previous frame
+                # (keeps the batch full), but its TEMPORAL carry must not
+                # absorb the duplicate — a slow stream would otherwise fill
+                # its rolling window with copies.  Mask the update per row.
+                def sel(new, old):
+                    m = fresh.reshape((fresh.shape[0],) + (1,) * (new.ndim - 1))
+                    return jnp.where(m, new, old)
+
+                new_state = jax.tree.map(sel, new_state, model_state)
             return raw_b, new_state
 
-        pre_j = jax.jit(preprocess)
+        if shared_stages is not None:
+            stages = shared_stages
+        elif fused_stereo:
+            stages = (jax.jit(preprocess), jax.jit(jax.vmap(post_stereo_stage)))
+        else:
+            stages = (jax.jit(preprocess), jax.jit(jax.vmap(post_stage)),
+                      jax.jit(jax.vmap(stereo_stage)))
         model_j = jax.jit(batched_model) if first else jax.jit(
             batched_model, donate_argnums=(2,))
-        if fused_stereo:
-            tail_j = jax.jit(jax.vmap(post_stereo_stage))
+        if len(stages) == 2:
+            pre_j, tail_j = stages
 
-            def step(frame_u8: jax.Array, state: FrameState):
+            def step(frame_u8: jax.Array, state: FrameState, fresh=None):
                 rgb_pre, model_in = pre_j(frame_u8)
-                raw, mstate = model_j(bound.params, model_in, state.model)
+                raw, mstate = model_j(bound.params, model_in, state.model, fresh)
                 sbs, depth = tail_j(raw, state.ema_depth, rgb_pre)
                 return sbs, depth, FrameState(ema_depth=depth, model=mstate)
         else:
-            post_j = jax.jit(jax.vmap(post_stage))
-            stereo_j = jax.jit(jax.vmap(stereo_stage))
+            pre_j, post_j, stereo_j = stages
 
-            def step(frame_u8: jax.Array, state: FrameState):
+            def step(frame_u8: jax.Array, state: FrameState, fresh=None):
                 rgb, model_in = pre_j(frame_u8)
-                raw, mstate = model_j(bound.params, model_in, state.model)
+                raw, mstate = model_j(bound.params, model_in, state.model, fresh)
                 depth = post_j(raw, state.ema_depth)
                 sbs = stereo_j(rgb, depth)
                 return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+        step.stages = stages  # share between first/step builds
         return step
 
     if shared_stages is not None:
@@ -437,7 +458,7 @@ def _build_step(
             depth = post_stage(raw_depth, ema_prev)
             oh, ow = depth.shape
             rgb = rgb_pre
-            if rgb.ndim == 3 and rgb.shape[0] == 3 and rgb.shape[2] != 3:
+            if rgb.shape == (3, oh, ow) and rgb.shape != (oh, ow, 3):
                 rgb = rgb.transpose(1, 2, 0)[:oh, :ow]  # planar → HWC
             return stereo_stage(rgb, depth), depth
 
@@ -490,12 +511,19 @@ class BatchedProgramCache:
         self._step = build_frame_step(cfg, model_apply, spec, compute_dtype,
                                       batch=num_streams)
         bound = _as_bound(model_apply)
+        # the first-frame program (stacked-carry builder) shares the
+        # pre/post/stereo stage programs with the step — only the model
+        # program differs (first vs step semantics)
         self._first = (build_first_step(cfg, model_apply, spec, compute_dtype,
-                                        batch=num_streams)
+                                        batch=num_streams,
+                                        shared_stages=self._step.stages)
                        if bound.stateful else None)
         self._states: Dict[Tuple[int, int, int], FrameState] = {}
 
-    def __call__(self, frames: jax.Array):
+    def __call__(self, frames: jax.Array, fresh=None):
+        """frames [S,H,W,C] u8; fresh: optional [S] bool — rows that carry a
+        NEW frame this launch.  Stale rows still compute (the batch shape
+        is fixed) but a streaming model's temporal carry ignores them."""
         s, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
         oh, ow = process_frame_size(h, w, self.cfg.output_height)
         key = (s, oh, ow)
@@ -508,7 +536,9 @@ class BatchedProgramCache:
                 sbs, depth, new_state = self._first(frames, state)
                 self._states[key] = new_state
                 return sbs, depth
-        sbs, depth, new_state = self._step(frames, state)
+        if fresh is not None:
+            fresh = jnp.asarray(fresh, bool)
+        sbs, depth, new_state = self._step(frames, state, fresh)
         self._states[key] = new_state
         return sbs, depth
 

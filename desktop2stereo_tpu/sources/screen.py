@@ -58,6 +58,7 @@ class ScreenSource:
         self._last: Optional[np.ndarray] = None
         self._failures = 0
         self._window: int = 0
+        self._window_lost = False
         self._rect: Optional[Tuple[int, int, int, int]] = None
         self._mon_rect: Optional[Tuple[int, int, int, int]] = None
         try:
@@ -124,7 +125,14 @@ class ScreenSource:
             if self._window:
                 rect = self._native.window_rect(self._window)
             if rect is None:
+                if not self._window_lost:
+                    print(f"[capture] window {self.window_title!r} lost; "
+                          "freezing on the last frame while re-searching")
+                self._window_lost = True
                 return None
+        if self._window_lost:
+            print(f"[capture] window {self.window_title!r} re-acquired")
+            self._window_lost = False
         if self._rect is not None:
             ox, oy, ow, oh = self._rect
             nx, ny, nw, nh = rect
@@ -182,6 +190,12 @@ class ScreenSource:
         if self._native is not None:
             frame = self._grab_native()
             if frame is None:
+                if self._window_lost and self._last is not None:
+                    # lost window: freeze indefinitely while re-searching by
+                    # title — this is an awaiting-the-app state (it may be
+                    # restarting), not a capture failure, so it does NOT
+                    # burn the transient-failure budget
+                    return self._last
                 self._failures += 1
                 if self._last is not None and \
                         self._failures <= self.MAX_CONSECUTIVE_FAILURES:

@@ -266,3 +266,29 @@ def test_batched_real_vda_streams_are_independent():
             _s, dep_s = singles[s](jnp.asarray(clips[s][t]))
             np.testing.assert_allclose(np.asarray(dep_b[s]), np.asarray(dep_s),
                                        atol=2e-4, rtol=2e-4)
+
+
+def test_batched_stale_stream_freezes_model_carry():
+    """A launch where stream B has no fresh frame (fresh=[True, False])
+    must advance only stream A's model carry — B's rolling state must not
+    absorb the re-submitted duplicate (review finding: a slow stream's
+    temporal window would fill with copies)."""
+    from desktop2stereo_tpu.pipeline.programs import (
+        BatchedProgramCache, BoundModel)
+
+    def first(_p, x):
+        return x[..., 0] * 0.004, jnp.zeros((x.shape[0],), jnp.float32)
+
+    def step(_p, x, counter):
+        return x[..., 0] * 0.004, counter + 1.0
+
+    bound = BoundModel(params=(), first=first, step=step, stateful=True)
+    batched = BatchedProgramCache(make_cfg(), bound, compute_dtype=jnp.float32,
+                                  num_streams=2)
+    frames = jnp.zeros((2, 48, 64, 4), jnp.uint8)
+    batched(frames)                              # first: counters [0, 0]
+    batched(frames, fresh=np.array([True, False]))
+    batched(frames, fresh=np.array([True, True]))
+    key = next(iter(batched._states))
+    counters = np.asarray(batched._states[key].model)
+    np.testing.assert_array_equal(counters, [2.0, 1.0])

@@ -103,6 +103,7 @@ def make_source(fake, title="editor", cursor=True):
     src._last = None
     src._failures = 0
     src._window = fake.find_window(title) if title else 0
+    src._window_lost = False
     src._rect = fake.window_rect(src._window) if src._window else None
     src._mon_rect = None
     return src
@@ -231,8 +232,10 @@ def test_window_lost_never_degrades_to_desktop_grab():
         return orig_grab()
 
     fake.grab = counting_grab
-    # many frames with the window unfindable (handle now 0 after first miss)
-    for _ in range(5):
+    # many frames with the window unfindable — MORE than the transient
+    # failure budget: a lost window is an awaiting-restart state, it must
+    # freeze indefinitely rather than kill the stream after ~2 s
+    for _ in range(src.MAX_CONSECUTIVE_FAILURES + 10):
         f = src.grab()
         assert f is not None  # frozen on the last good frame
     assert full_root_grabs == 0
