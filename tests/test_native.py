@@ -104,3 +104,51 @@ def test_shm_source(lib):
         assert src.grab() is None  # max_frames
     finally:
         ring.close()
+
+
+def test_capture_agent_main_streams_to_ring(lib, monkeypatch):
+    """tools/capture_agent end to end with a faked screen: frames must
+    land in the shm ring at the agent's declared shape."""
+    import sys
+
+    import desktop2stereo_tpu.tools.capture_agent as agent_mod
+
+    class FakeScreen:
+        def __init__(self, **kw):
+            self.n = 0
+
+        def grab(self):
+            self.n += 1
+            if self.n > 5:
+                return None  # source ends → agent exits cleanly
+            f = np.zeros((16, 24, 4), np.uint8)
+            f[..., 0] = self.n
+            return f
+
+        def close(self):
+            pass
+
+    class KeepRing(native.ShmFrameRing):
+        def close(self):  # agent teardown must not unlink before we read
+            pass
+
+    import desktop2stereo_tpu.sources.screen as screen_mod
+    monkeypatch.setattr(screen_mod, "ScreenSource", FakeScreen)
+    monkeypatch.setattr(native, "ShmFrameRing", KeepRing)
+    monkeypatch.setattr(sys, "argv",
+                        ["agent", "--ring", "/d2s_test_agent", "--fps", "500"])
+    agent_mod.main()
+
+    reader = KeepRing("/d2s_test_agent", create=False)
+    try:
+        got = reader.read_latest()
+        assert got is not None
+        frame, seq = got
+        assert frame.shape == (16, 24, 4)
+        assert frame[0, 0, 0] >= 2  # a post-probe frame made it through
+    finally:
+        import contextlib
+        import os
+
+        with contextlib.suppress(OSError):
+            os.unlink("/dev/shm/d2s_test_agent")
