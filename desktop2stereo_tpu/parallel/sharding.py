@@ -24,14 +24,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from desktop2stereo_tpu.core.runtime import DATA_AXIS, MODEL_AXIS
 
 
+# ViT-trunk subtree names across every family (DA/DA3/VDA/BEiT/ZoeDepth/
+# InfiniDepth use "backbone"; DepthPro's two towers are patch_encoder /
+# image_encoder).  TP rules apply only INSIDE these scopes: decoder and
+# head Denses reuse names like proj/fc1 with replicated neighbors, where
+# sharding one matmul would buy a per-frame all-gather for nothing.
+ENCODER_SCOPES = frozenset({"backbone", "patch_encoder", "image_encoder"})
+
+
 def _parent_role(parent: str) -> "str | None":
-    """Megatron role of a Dense by its module name, across every family:
-    column-parallel (shard output features) for qkv/q/k/v and the first MLP
-    matmul (DA fc1/weights_in, DA3 w12, InfiniDepth w1/w2, ZoeDepth fc1_*),
-    row-parallel (shard input features) for proj and the second MLP matmul.
-    Anything else replicates.  GSPMD guarantees correctness for ANY spec —
-    these choices only steer the collectives to one all-reduce pair per
-    block."""
+    """Megatron role of an ENCODER Dense by its module name, across every
+    family: column-parallel (shard output features) for qkv/q/k/v and the
+    first MLP matmul (DA fc1/weights_in, DA3 w12, InfiniDepth w1/w2,
+    BEiT query/key/value+fc1), row-parallel (shard input features) for
+    proj and the second MLP matmul.  Anything else replicates.  GSPMD
+    guarantees correctness for ANY spec — these choices only steer the
+    collectives to one all-reduce pair per block."""
     if parent in ("w1", "w2"):
         return "col"
     if parent.startswith(("qkv", "query", "key", "value", "fc1",
@@ -49,12 +57,15 @@ def _parent_role(parent: str) -> "str | None":
 def _tp_spec_for(path: str, shape: Tuple[int, ...],
                  parent: "str | None" = None) -> P:
     """TP rule for a param leaf.  `parent` is the leaf's module name; when
-    absent it is recovered from the bracketed keystr path."""
+    absent it is recovered from the bracketed keystr path, and the rule
+    only fires for leaves inside an encoder scope (see ENCODER_SCOPES)."""
     if parent is None:
         import re
 
         names = re.findall(r"\['([^']+)'\]", path)
         parent = names[-2] if len(names) >= 2 else ""
+        if not any(n in ENCODER_SCOPES for n in names):
+            return P()
     role = _parent_role(parent)
     if role == "col":
         return P(None, MODEL_AXIS) if len(shape) == 2 else P(MODEL_AXIS)

@@ -84,57 +84,62 @@ def crop_stats(rgb: jax.Array) -> jax.Array:
     ])
 
 
+_crop_stats_jit = jax.jit(crop_stats)
+
+
+# Decision thresholds — BEHAVIORAL constants matching the reference's
+# _movie_crop_from_stats guards (reference crop.py:236-300):
+_MIN_BAR_FRAC = 0.035     # a bar thinner than max(8px, 3.5%) is noise
+_ASYM_BASE_PX = 18        # opposing bars may differ ≤ max(18px, 25% of big)
+_EDGE_TRIM_FRAC = 0.004   # shave 2..8px of compression bleed off the edge
+_MIN_REMOVED_FRAC = 0.07  # a crop must remove ≥ max(16px, 7%) to act
+_DARK_CENTER_MEAN = 14.0  # dark-scene rejection: the centre must carry
+_DARK_CENTER_BRIGHT = 0.035  # real content, not a fade-to-black
+_MIN_DETECT_DIM = 64      # tiny frames are never auto-cropped
+
+
+def _axis_span(first_run: int, last_run: int, samples, size: int):
+    """One axis of the detector: uniform-run counts from both edges →
+    (offset_px, length_px) of the content span, or None if any guard
+    rejects (bars too thin, too asymmetric, or removing too little)."""
+    n = len(samples)
+    if not (0 < first_run and 0 < last_run and first_run + last_run < n):
+        return None
+    far = n - last_run - 1
+    if far < first_run:
+        return None
+    lo = int(samples[min(first_run, n - 1)])
+    hi = size - min(size, int(samples[far]) + 1)
+    if min(lo, hi) < max(8, int(size * _MIN_BAR_FRAC)):
+        return None
+    if max(lo, hi) - min(lo, hi) > max(_ASYM_BASE_PX, int(max(lo, hi) * 0.25)):
+        return None
+    trim = max(2, min(8, int(round(size * _EDGE_TRIM_FRAC))))
+    start = max(0, min(lo + trim, size - 2))
+    stop = max(start + 1, size - hi - trim)
+    if size - (stop - start) < max(16, int(size * _MIN_REMOVED_FRAC)):
+        return None
+    return start, stop - start
+
+
 def crop_from_stats(stats, w: int, h: int) -> Crop:
-    """Decision logic (reference crop.py:236-300 _movie_crop_from_stats)."""
+    """Six device stats → UV crop rect.  Same guards as the reference
+    (crop.py:236-300), structured as one axis-generic helper applied to
+    rows then columns; the dark-scene gate applies to the letterbox
+    (top/bottom) axis only."""
+    if w < _MIN_DETECT_DIM or h < _MIN_DETECT_DIM:
+        return FULL  # reference small-frame guard: never crop tiny captures
     plan = _sample_plan(w, h)
-    y_rows, x_cols = plan["y_rows"], plan["x_cols"]
-    top_i = int(round(float(stats[0])))
-    bottom_count = int(round(float(stats[1])))
-    center_mean, center_bright = float(stats[2]), float(stats[3])
-    left_i = int(round(float(stats[4])))
-    right_count = int(round(float(stats[5])))
-    n_rows, n_cols = len(y_rows), len(x_cols)
-
-    has_tb = 0 < top_i and 0 < bottom_count and top_i + bottom_count < n_rows
-    has_lr = 0 < left_i and 0 < right_count and left_i + right_count < n_cols
-    if not has_tb and not has_lr:
-        return FULL
-
     u0, v0, uw, vh = FULL
-    if has_tb:
-        bottom_anchor = n_rows - bottom_count - 1
-        if bottom_anchor >= top_i:
-            top = int(y_rows[min(top_i, n_rows - 1)])
-            bottom = h - min(h, int(y_rows[bottom_anchor]) + 1)
-            min_bar = max(8, int(h * 0.035))
-            if top >= min_bar and bottom >= min_bar:
-                big, small = max(top, bottom), min(top, bottom)
-                if big - small <= max(18, int(big * 0.25)):
-                    trim = max(2, min(8, int(round(h * 0.004))))
-                    crop_top = max(0, min(top + trim, h - 2))
-                    crop_bottom = max(crop_top + 1, h - bottom - trim)
-                    crop_h = crop_bottom - crop_top
-                    if (h - crop_h) >= max(16, int(h * 0.07)):
-                        if center_mean >= 14.0 or center_bright >= 0.035:
-                            v0, vh = crop_top / h, crop_h / h
-    if has_lr:
-        right_anchor = n_cols - right_count - 1
-        if right_anchor >= left_i:
-            left = int(x_cols[min(left_i, n_cols - 1)])
-            right = w - min(w, int(x_cols[right_anchor]) + 1)
-            min_bar = max(8, int(w * 0.035))
-            if left >= min_bar and right >= min_bar:
-                big, small = max(left, right), min(left, right)
-                if big - small <= max(18, int(big * 0.25)):
-                    trim = max(2, min(8, int(round(w * 0.004))))
-                    crop_left = max(0, min(left + trim, w - 2))
-                    crop_right = max(crop_left + 1, w - right - trim)
-                    crop_w = crop_right - crop_left
-                    if (w - crop_w) >= max(16, int(w * 0.07)):
-                        u0, uw = crop_left / w, crop_w / w
-
-    if (u0, v0, uw, vh) == FULL:
-        return FULL
+    tb = _axis_span(int(round(float(stats[0]))), int(round(float(stats[1]))),
+                    plan["y_rows"], h)
+    if tb is not None and (float(stats[2]) >= _DARK_CENTER_MEAN
+                           or float(stats[3]) >= _DARK_CENTER_BRIGHT):
+        v0, vh = tb[0] / h, tb[1] / h
+    lr = _axis_span(int(round(float(stats[4]))), int(round(float(stats[5]))),
+                    plan["x_cols"], w)
+    if lr is not None:
+        u0, uw = lr[0] / w, lr[1] / w
     return (u0, v0, uw, vh)
 
 
@@ -149,7 +154,9 @@ class CropController:
         self.full_hits_reset = full_hits_reset
         self.poll_every = poll_every
         self._frame = 0
-        self._stats = jax.jit(crop_stats)
+        # module-level jit: N per-stream controllers at one resolution
+        # share a single compiled stats program instead of tracing N times
+        self._stats = _crop_stats_jit
 
     @property
     def active(self) -> bool:
@@ -176,12 +183,20 @@ class CropController:
 
 
 def apply_crop(img: jax.Array, crop: Crop) -> jax.Array:
-    """Slice [H,W,...] by a UV crop rect (static python floats)."""
+    """Slice [H,W,...] by a UV crop rect (static python floats).
+
+    The rect is clamped into [0,1] first: a user-supplied manual rect like
+    (-0.05, 0, 1, 1) would otherwise negative-index-wrap and silently crop
+    the OPPOSITE edge of the frame."""
     if crop == FULL:
         return img
     H, W = img.shape[0], img.shape[1]
-    y0 = int(round(crop[1] * H))
-    x0 = int(round(crop[0] * W))
-    y1 = y0 + max(1, int(round(crop[3] * H)))
-    x1 = x0 + max(1, int(round(crop[2] * W)))
+    u0 = min(max(crop[0], 0.0), 1.0)
+    v0 = min(max(crop[1], 0.0), 1.0)
+    uw = min(max(crop[2], 0.0), 1.0 - u0)
+    vh = min(max(crop[3], 0.0), 1.0 - v0)
+    y0 = int(round(v0 * H))
+    x0 = int(round(u0 * W))
+    y1 = min(H, y0 + max(1, int(round(vh * H))))
+    x1 = min(W, x0 + max(1, int(round(uw * W))))
     return img[y0:y1, x0:x1]

@@ -98,15 +98,31 @@ def test_divisibility_guard_replicates():
     # a leaf whose sharded dim does not divide the 8-way model axis must be
     # replicated, not crash
     mesh = make_mesh(num_data=1, num_model=8)
-    params = {
+    params = {"backbone": {
         "attention": {"qkv": {"kernel": jnp.ones((6, 18))}},  # 18 % 8 != 0
         "mlp": {"fc1": {"kernel": jnp.ones((6, 24))}},        # 24 % 8 == 0
-    }
+    }}
     placed = shard_params(params, mesh)
-    qkv = placed["attention"]["qkv"]["kernel"]
-    fc1 = placed["mlp"]["fc1"]["kernel"]
+    qkv = placed["backbone"]["attention"]["qkv"]["kernel"]
+    fc1 = placed["backbone"]["mlp"]["fc1"]["kernel"]
     assert qkv.sharding.spec == P()  # fell back to replication
     assert fc1.sharding.spec == P(None, MODEL_AXIS)
+
+
+def test_tp_rules_scoped_to_encoder():
+    """A decoder Dense reusing an encoder name (e.g. a camera head's fc1)
+    must replicate — sharding one matmul between replicated neighbors
+    would buy a per-frame all-gather for nothing."""
+    mesh = make_mesh(num_data=1, num_model=8)
+    params = {
+        "backbone": {"layer_0": {"mlp": {"fc1": {"kernel": jnp.ones((8, 32))}}}},
+        "cam_dec": {"fc1": {"kernel": jnp.ones((8, 32))}},
+    }
+    placed = shard_params(params, mesh)
+    enc = placed["backbone"]["layer_0"]["mlp"]["fc1"]["kernel"]
+    dec = placed["cam_dec"]["fc1"]["kernel"]
+    assert enc.sharding.spec == P(None, MODEL_AXIS)
+    assert dec.sharding.spec == P()
 
 
 def test_data_sharded_output_layout(small_model):
