@@ -108,3 +108,28 @@ def test_viewer_facade_and_control_service():
         assert b"running" in status
     finally:
         server.shutdown()
+
+
+def test_apply_crop_clamps_out_of_range_rects():
+    """A manual rect outside [0,1] must clamp, not negative-index-wrap to
+    the opposite edge of the frame."""
+    import jax.numpy as jnp
+
+    img = jnp.arange(20 * 30 * 3, dtype=jnp.float32).reshape(20, 30, 3)
+    out = apply_crop(img, (-0.05, 0.0, 1.0, 1.0))
+    # u0 clamps to 0 → full width, content starts at the TRUE left edge
+    assert out.shape[1] == 30
+    assert float(out[0, 0, 0]) == float(img[0, 0, 0])
+    # overshooting rect clamps to the frame
+    out2 = apply_crop(img, (0.5, 0.5, 0.9, 0.9))
+    assert out2.shape[0] <= 10 and out2.shape[1] <= 15
+
+
+def test_crop_detector_ignores_tiny_frames():
+    """Frames below the reference's small-frame guard are never cropped."""
+    import numpy as np
+
+    from desktop2stereo_tpu.pipeline.crop import FULL, crop_from_stats
+
+    stats = np.array([5.0, 5.0, 100.0, 0.5, 0.0, 0.0], np.float32)
+    assert crop_from_stats(stats, 60, 48) == FULL
