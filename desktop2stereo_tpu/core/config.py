@@ -33,7 +33,7 @@ _YAML_KEYS = {
     "fp16": "FP16",
     "device_index": "Computing Device",
     "run_mode": "Run Mode",
-    "output_resolution": "Output Resolution",
+    "output_resolution": "Processing Resolution",
     "fps": "Set FPS",
     "show_fps": "Show FPS",
     "fill_16_9": "Fill 16:9",
@@ -105,10 +105,16 @@ class Settings:
         kwargs: Dict[str, Any] = {}
         extra: Dict[str, Any] = {}
         inverse = {v: k for k, v in _YAML_KEYS.items()}
+        # The reference's canonical key is "Processing Resolution"
+        # (reference utils.py:844); earlier versions here wrote "Output
+        # Resolution" — accepted as an alias, canonical name wins a tie.
+        inverse.setdefault("Output Resolution", "output_resolution")
         for key, value in data.items():
             fname = inverse.get(key)
             if fname is None or value is None:
                 extra[key] = value
+            elif fname in kwargs and key not in _YAML_KEYS.values():
+                extra[key] = value  # alias loses to the canonical key
             else:
                 kwargs[fname] = value
         # Normalise types the YAML may carry loosely.  "Auto" resolves via
@@ -117,7 +123,7 @@ class Settings:
             if kwargs["output_resolution"].lower() == "auto":
                 from desktop2stereo_tpu.core.display import compute_output_resolution
 
-                extra["Output Resolution"] = kwargs.pop("output_resolution")
+                extra["Processing Resolution"] = kwargs.pop("output_resolution")
                 kwargs["output_resolution"] = compute_output_resolution(
                     "auto",
                     kwargs.get("display_mode", "Half-SBS"),

@@ -43,7 +43,7 @@ def test_settings_resolves_auto(tmp_path):
     from desktop2stereo_tpu.core.config import Settings, load_settings, save_settings
 
     s = Settings.from_yaml_dict({
-        "Output Resolution": "Auto",
+        "Processing Resolution": "Auto",  # the reference's key name
         "Set FPS": "Auto",
         "Run Mode": "Streamer",
     })
@@ -53,8 +53,27 @@ def test_settings_resolves_auto(tmp_path):
     p = tmp_path / "settings.yaml"
     save_settings(s, p)
     again = load_settings(p)
-    assert again.extra.get("Output Resolution", "Auto") == "Auto" or \
+    assert again.extra.get("Processing Resolution", "Auto") == "Auto" or \
         again.output_resolution == NO_RESIZE_SENTINEL
+
+
+def test_settings_output_resolution_key_compat():
+    """The reference reads "Processing Resolution" (reference utils.py:844);
+    earlier versions here wrote "Output Resolution".  Both must load, the
+    canonical key must win a tie, and saves must emit the reference name."""
+    from desktop2stereo_tpu.core.config import Settings
+
+    assert Settings.from_yaml_dict(
+        {"Processing Resolution": 1440}).output_resolution == 1440
+    assert Settings.from_yaml_dict(
+        {"Output Resolution": 1440}).output_resolution == 1440
+    for order in (
+        {"Output Resolution": 720, "Processing Resolution": 1440},
+        {"Processing Resolution": 1440, "Output Resolution": 720},
+    ):
+        assert Settings.from_yaml_dict(order).output_resolution == 1440
+    assert Settings(output_resolution=900).to_yaml_dict()[
+        "Processing Resolution"] == 900
 
 
 def test_force_fp32_quirk_in_registry():
