@@ -26,23 +26,27 @@ def build_parser() -> argparse.ArgumentParser:
     )
     p.add_argument("--settings", help="settings.yaml (reference-compatible)")
     p.add_argument("--model", help="model name from the registry")
-    p.add_argument("--source", default="synthetic",
-                   choices=["synthetic", "image", "video", "screen", "shm"])
+    p.add_argument("--source", default=None,
+                   choices=["synthetic", "image", "video", "screen", "shm"],
+                   help="default: screen when --settings is given (the "
+                        "reference app's behavior), else synthetic")
     p.add_argument("--input", help="path for image/video sources")
     p.add_argument("--window-title",
                    help="screen source: capture the window whose title "
                         "contains this substring (tracked on move/resize)")
     p.add_argument("--no-cursor", action="store_true",
                    help="screen source: do not composite the mouse cursor")
-    p.add_argument("--monitor", type=int, default=0,
+    p.add_argument("--monitor", type=int, default=None,
                    help="screen source: capture this monitor index "
                         "(0 = primary/whole root)")
     p.add_argument("--audio", default="auto",
                    help="rtmp sink: 'auto' (system audio if present), "
                         "'none', or an explicit pulse device name")
-    p.add_argument("--sink", default="mjpeg",
+    p.add_argument("--sink", default=None,
                    choices=["mjpeg", "png", "video", "null", "rtmp", "viewer",
-                            "window", "xr"])
+                            "window", "xr"],
+                   help="default: derived from the settings 'Run Mode' when "
+                        "--settings is given, else mjpeg")
     p.add_argument("--show-fps", action="store_true",
                    help="green FPS overlay on the output (viewer sink)")
     p.add_argument("--out", help="output path/dir for png/video/rtmp sinks")
@@ -60,9 +64,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--quant", default="none", choices=["none", "int8"],
                    help="int8 encoder matmuls (2x the bf16 MXU rate; "
                         "Depth-Anything family; the TRT INT8 engine analog)")
-    p.add_argument("--crop", default="off",
+    p.add_argument("--crop", default=None,
                    help="letterbox handling: off | auto (detected with "
-                        "hysteresis) | u0,v0,uw,vh manual UV rect")
+                        "hysteresis) | u0,v0,uw,vh manual UV rect "
+                        "(default: the settings 'Crop Mode', else off)")
     p.add_argument("--stop-file", default="logs/stop.request",
                    help="touch this file to request shutdown")
     p.add_argument("--stats-every", type=float, default=2.0,
@@ -75,6 +80,47 @@ def build_parser() -> argparse.ArgumentParser:
                    help="with --streams N: stack the streams into ONE "
                         "device batch per launch (stateless models only)")
     return p
+
+
+def _sink_for_run_mode(run_mode: str) -> str:
+    """The settings 'Run Mode' → sink mapping (reference utils.py:1046-1064
+    derives RUN_MODE/STREAM_MODE the same way; presentation on a TPU host
+    is a window when one exists, else the browser viewer)."""
+    rm = (run_mode or "").strip()
+    if rm in ("Local Viewer", "3D Monitor", "Viewer"):
+        return "window" if os.environ.get("DISPLAY") else "viewer"
+    if rm == "RTMP Streamer":
+        return "rtmp"
+    if rm in ("OpenXR Link", "OpenXR"):
+        return "xr"
+    # "MJPEG Streamer" and the legacy "Streamer" torch-compositor mode
+    return "mjpeg"
+
+
+def apply_settings_defaults(args, settings) -> None:
+    """Fill CLI flags the user left unset from a reference-style
+    settings.yaml — the reference app is driven ENTIRELY by settings
+    (capture mode/window/monitor, run mode, crop; reference utils.py:840,
+    853-854, 1046-1073), so `--settings file.yaml` alone must reproduce a
+    reference run.  Explicit flags always win; without --settings the
+    historical CLI defaults apply."""
+    had = bool(args.settings)
+    extra = settings.extra if had else {}
+    if args.source is None:
+        args.source = "screen" if had else "synthetic"
+        args.source_from_settings = had
+    if args.sink is None:
+        args.sink = _sink_for_run_mode(settings.run_mode) if had else "mjpeg"
+    if args.crop is None:
+        mode = str(extra.get("Crop Mode", "")).strip().lower()
+        args.crop = "auto" if mode == "auto" else "off"
+    if args.monitor is None:
+        mi = extra.get("Monitor Index")
+        args.monitor = int(mi) if isinstance(mi, int) and not isinstance(mi, bool) else 0
+    if args.window_title is None and str(extra.get("Capture Mode", "")).strip() == "Window":
+        title = str(extra.get("Window Title") or "").strip()
+        if title:
+            args.window_title = title
 
 
 def make_components(args, settings):
@@ -169,7 +215,23 @@ def make_components(args, settings):
             src_kw["max_frames"] = args.frames
         if args.source == "video":
             src_kw["loop"] = args.frames is not None
-    source = make_source(args.source, **src_kw)
+    try:
+        source = make_source(args.source, **src_kw)
+    except Exception as e:
+        if args.source == "screen" and getattr(args, "source_from_settings", False):
+            # the screen default came from --settings, not the user's hand;
+            # a headless host falls back instead of dying (the reference's
+            # last-resort behavior is also a capture fallback chain)
+            print(f"[d2s] screen capture unavailable ({e}); "
+                  "using the synthetic source")
+            h, w = (int(v) for v in args.size.split("x"))
+            src_kw = {"size": (h, w)}
+            if args.frames:
+                src_kw["max_frames"] = args.frames
+            args.source = "synthetic"
+            source = make_source("synthetic", **src_kw)
+        else:
+            raise
 
     sink_kw = {}
     if args.sink == "png":
@@ -222,6 +284,7 @@ def run(args=None) -> int:
     if overrides:
         settings = settings.replace(**overrides)
 
+    apply_settings_defaults(args, settings)
     source, program, sink, settings = make_components(args, settings)
 
     if args.streams > 1:

@@ -1,0 +1,76 @@
+"""`--settings file.yaml` alone must reproduce a reference run: the
+reference app is driven entirely by settings.yaml (capture mode/window/
+monitor utils.py:840,853-854, run mode 1046-1064, crop mode 1073), so
+unset CLI flags resolve from it.  Explicit flags always win."""
+
+from desktop2stereo_tpu.cli import (
+    apply_settings_defaults,
+    build_parser,
+    _sink_for_run_mode,
+)
+from desktop2stereo_tpu.core.config import Settings
+
+
+def _resolve(argv, settings):
+    args = build_parser().parse_args(argv)
+    apply_settings_defaults(args, settings)
+    return args
+
+
+def test_no_settings_keeps_historical_defaults():
+    args = _resolve([], Settings())
+    assert args.source == "synthetic"
+    assert args.sink == "mjpeg"
+    assert args.crop == "off"
+    assert args.monitor == 0
+    assert args.window_title is None
+
+
+def test_settings_drive_capture_and_sink():
+    s = Settings(run_mode="OpenXR Link")
+    s.extra.update({
+        "Capture Mode": "Window",
+        "Window Title": "vlc",
+        "Monitor Index": 1,
+        "Crop Mode": "Auto",
+    })
+    args = _resolve(["--settings", "x.yaml"], s)
+    assert args.source == "screen" and args.source_from_settings
+    assert args.sink == "xr"
+    assert args.window_title == "vlc"
+    assert args.monitor == 1
+    assert args.crop == "auto"
+
+
+def test_explicit_flags_beat_settings():
+    s = Settings(run_mode="RTMP Streamer")
+    s.extra.update({"Capture Mode": "Window", "Window Title": "vlc",
+                    "Crop Mode": "auto", "Monitor Index": 2})
+    args = _resolve(
+        ["--settings", "x.yaml", "--source", "synthetic", "--sink", "png",
+         "--crop", "off", "--monitor", "0", "--window-title", "other"], s)
+    assert args.source == "synthetic"
+    assert args.sink == "png"
+    assert args.crop == "off"
+    assert args.monitor == 0
+    assert args.window_title == "other"
+
+
+def test_run_mode_sink_mapping(monkeypatch):
+    monkeypatch.delenv("DISPLAY", raising=False)
+    assert _sink_for_run_mode("Local Viewer") == "viewer"
+    monkeypatch.setenv("DISPLAY", ":0")
+    assert _sink_for_run_mode("Local Viewer") == "window"
+    assert _sink_for_run_mode("3D Monitor") == "window"
+    assert _sink_for_run_mode("MJPEG Streamer") == "mjpeg"
+    assert _sink_for_run_mode("RTMP Streamer") == "rtmp"
+    assert _sink_for_run_mode("OpenXR Link") == "xr"
+    assert _sink_for_run_mode("Streamer") == "mjpeg"
+
+
+def test_monitor_index_none_string_is_ignored():
+    # the reference default is the literal string "none" (settings.yaml)
+    s = Settings()
+    s.extra["Monitor Index"] = "none"
+    args = _resolve(["--settings", "x.yaml"], s)
+    assert args.monitor == 0
