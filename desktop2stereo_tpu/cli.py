@@ -243,8 +243,17 @@ def make_components(args, settings):
                    "fps": settings.fps, "quality": settings.stream_quality,
                    "show_fps": args.show_fps or settings.show_fps}
     elif args.sink == "rtmp":
-        sink_kw = {"url": args.out or "rtmp://127.0.0.1/live",
-                   "fps": settings.fps, "audio": args.audio}
+        # no --out: publish to a local mediamtx sidecar at the settings
+        # 'Stream Key' path, like the reference's self-hosted pipeline
+        # (reference main.py:754, 987, 993-1017); CRF/Audio Delay ride
+        # the settings file too (main.py:522, 535)
+        key = str(settings.extra.get("Stream Key") or "live")
+        sink_kw = {"url": args.out or f"rtmp://127.0.0.1:1935/{key}",
+                   "serve": not args.out,
+                   "fps": settings.fps, "audio": args.audio,
+                   "crf": int(settings.extra.get("CRF") or 20),
+                   "audio_delay": float(settings.extra.get("Audio Delay")
+                                        or 0.0)}
     elif args.sink == "viewer":
         sink_kw = {"port": args.port or settings.streamer_port,
                    "fps": settings.fps, "show_fps": args.show_fps or settings.show_fps}

@@ -47,6 +47,7 @@ class RtmpSink:
         serve: bool = False,
         mediamtx: Optional[str] = None,
         audio: str = "auto",
+        audio_delay: float = 0.0,
     ) -> None:
         """`serve=True` also spawns a local mediamtx media server (if the
         binary is on PATH) so players/headsets can PULL the stream from
@@ -56,11 +57,14 @@ class RtmpSink:
 
         `audio`: "auto" captures system audio (pulse/pipewire/alsa) when a
         device is present, "none" disables it, anything else is passed to
-        ffmpeg as an explicit pulse device name."""
+        ffmpeg as an explicit pulse device name.  `audio_delay` shifts the
+        audio input by N seconds via -itsoffset (the settings 'Audio
+        Delay' knob, reference main.py:522,727)."""
         self.url = url
         self.fps = fps
         self.crf = crf
         self.preset = preset
+        self.audio_delay = float(audio_delay)
         self._ffmpeg = ffmpeg or shutil.which("ffmpeg")
         if self._ffmpeg is None:
             raise RuntimeError("ffmpeg binary not found; RTMP sink unavailable")
@@ -87,6 +91,8 @@ class RtmpSink:
             "-s", f"{w}x{h}", "-r", str(self.fps), "-i", "-",
         ]
         if self.audio_args:
+            if self.audio_delay:
+                cmd += ["-itsoffset", str(self.audio_delay)]
             cmd += self.audio_args
         cmd += [
             "-c:v", "libx264", "-preset", self.preset, "-tune", "zerolatency",

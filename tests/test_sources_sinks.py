@@ -210,6 +210,22 @@ def test_rtmp_sink_audio_args(tmp_path, monkeypatch):
     assert "pulse" not in captured["cmd"] and "aac" not in captured["cmd"]
     sink.shutdown()
 
+    # the settings 'Audio Delay' knob: -itsoffset precedes the audio input
+    # (reference main.py:522 'applies to next input'), absent without audio
+    sink = R.RtmpSink("rtmp://127.0.0.1/live", ffmpeg=str(p),
+                      audio="mysink.monitor", audio_delay=-0.15)
+    sink.push(np.zeros((16, 32, 3), np.uint8), None, {})
+    cmd = captured["cmd"]
+    i = cmd.index("-itsoffset")
+    assert cmd[i + 1] == "-0.15" and cmd[i + 2: i + 4] == ["-f", "pulse"]
+    sink.shutdown()
+
+    sink = R.RtmpSink("rtmp://127.0.0.1/live", ffmpeg=str(p), audio="none",
+                      audio_delay=-0.15)
+    sink.push(np.zeros((16, 32, 3), np.uint8), None, {})
+    assert "-itsoffset" not in captured["cmd"]
+    sink.shutdown()
+
     # auto mode never raises, whatever the host has
     assert R.detect_audio_source() is None or "-i" in R.detect_audio_source()
 
