@@ -257,6 +257,9 @@ def make_components(args, settings):
     elif args.sink == "viewer":
         sink_kw = {"port": args.port or settings.streamer_port,
                    "fps": settings.fps, "show_fps": args.show_fps or settings.show_fps}
+    elif args.sink == "window":
+        sink_kw = {"keep_aspect":
+                   bool(settings.extra.get("Fix Viewer Aspect", False))}
     elif args.sink == "xr":
         sink_kw = {"port": args.port or 1123}
     sink = make_sink(args.sink, **sink_kw)

@@ -33,7 +33,7 @@ class WindowCloseRequested(Exception):
 
 class WindowSink:
     def __init__(self, title: str = "desktop2stereo (TPU)",
-                 screenshot_dir: str = "."):
+                 screenshot_dir: str = ".", keep_aspect: bool = False):
         import cv2  # hard dependency for this sink; cli surfaces the error
 
         if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")
@@ -42,6 +42,9 @@ class WindowSink:
                 "no display available for the window sink; use --sink mjpeg")
         self._cv = cv2
         self.title = title
+        # the settings 'Fix Viewer Aspect' knob (reference utils.py:902):
+        # a resized window letterboxes instead of stretching
+        self.keep_aspect = keep_aspect
         self.screenshot_dir = screenshot_dir
         self._fullscreen = False
         self._created = False
@@ -52,7 +55,10 @@ class WindowSink:
 
     def _ensure_window(self) -> None:
         if not self._created:
-            self._cv.namedWindow(self.title, self._cv.WINDOW_NORMAL)
+            flags = self._cv.WINDOW_NORMAL
+            if self.keep_aspect:
+                flags |= getattr(self._cv, "WINDOW_KEEPRATIO", 0)
+            self._cv.namedWindow(self.title, flags)
             self._created = True
 
     def push(self, sbs_u8: np.ndarray, depth: Optional[np.ndarray],

@@ -14,6 +14,7 @@ class FakeCv:
     WINDOW_NORMAL = 0
     WINDOW_FULLSCREEN = 1
     WND_PROP_FULLSCREEN = 2
+    WINDOW_KEEPRATIO = 4
 
     def __init__(self):
         self.shown = []
@@ -21,9 +22,10 @@ class FakeCv:
         self.props = []
         self.key_queue = []
         self.saved = []
+        self.window_flags = None
 
-    def namedWindow(self, *a):
-        pass
+    def namedWindow(self, _t, flags=0):
+        self.window_flags = flags
 
     def imshow(self, title, img):
         self.shown.append(img.copy())
@@ -56,7 +58,19 @@ def make_sink(monkeypatch):
     sink._last_title = 0.0
     sink.frames = 0
     sink.mode_switcher = None
+    sink.keep_aspect = False
     return sink, fake
+
+
+def test_keep_aspect_flag(monkeypatch):
+    # the settings 'Fix Viewer Aspect' knob (reference utils.py:902)
+    sink, fake = make_sink(monkeypatch)
+    sink.keep_aspect = True
+    sink.push(np.zeros((4, 6, 3), np.uint8), None, {})
+    assert fake.window_flags & FakeCv.WINDOW_KEEPRATIO
+    sink2, fake2 = make_sink(monkeypatch)
+    sink2.push(np.zeros((4, 6, 3), np.uint8), None, {})
+    assert not (fake2.window_flags & FakeCv.WINDOW_KEEPRATIO)
 
 
 def test_push_blits_bgr_and_updates_title(monkeypatch):
