@@ -261,7 +261,19 @@ def make_components(args, settings):
         sink_kw = {"keep_aspect":
                    bool(settings.extra.get("Fix Viewer Aspect", False))}
     elif args.sink == "xr":
-        sink_kw = {"port": args.port or 1123}
+        # advertise the settings-derived session config so workstation
+        # clients at default flags render with the file's stereo params
+        sink_kw = {"port": args.port or 1123,
+                   "meta": {
+                       "ipd": settings.ipd,
+                       "depth_strength": settings.depth_strength,
+                       "convergence": settings.convergence,
+                       "display_mode": settings.display_mode,
+                       "foreground_scale": settings.foreground_scale,
+                       "environment":
+                           settings.extra.get("Environment Model"),
+                       "controller": settings.extra.get("Controller Model"),
+                   }}
     sink = make_sink(args.sink, **sink_kw)
     return source, program, sink, settings
 

@@ -20,9 +20,14 @@ from desktop2stereo_tpu.xr.net import FrameNetServer
 
 
 class XrSink:
-    def __init__(self, port: int = 1123, host: str = "0.0.0.0"):
+    def __init__(self, port: int = 1123, host: str = "0.0.0.0",
+                 meta: Optional[dict] = None):
+        """`meta` is the settings-derived session config advertised to
+        clients (ipd/depth_strength/convergence/environment/controller) —
+        see xr.net's meta query."""
         self.frames = FrameServer()
-        self._net = FrameNetServer(self.frames, host=host, port=port).start()
+        self._net = FrameNetServer(self.frames, host=host, port=port,
+                                   meta=meta).start()
         self.port = self._net.port
         self.host = host
 

@@ -412,9 +412,30 @@ def make_presenter(kind: str, args) -> object:
 # Client loop
 # --------------------------------------------------------------------------
 
+def adopt_server_meta(args, meta: dict) -> None:
+    """Fill stereo flags the user left unset from the server's advertised
+    session config — the TPU host's settings.yaml then drives the remote
+    render exactly as the reference's file drives its local viewer
+    (reference utils.py:851-852).  Explicit flags win."""
+    for flag, key in (("ipd", "ipd"), ("depth_strength", "depth_strength"),
+                      ("convergence", "convergence")):
+        if getattr(args, flag) is None:
+            v = meta.get(key)
+            setattr(args, flag, float(v) if v is not None else
+                    {"ipd": 0.064, "depth_strength": 2.0,
+                     "convergence": 0.01}[flag])
+
+
 def run_client(args) -> int:
     client = FrameNetClient(host=args.host, port=args.port,
                             encoding=args.encoding)
+    try:
+        meta = client.meta()
+    except Exception:
+        meta = {}
+    adopt_server_meta(args, meta)
+    if args.verbose and meta:
+        print(f"[xr-client] server session config: {meta}")
     presenter = make_presenter(args.present, args)
     # pose-noise smoothing for the latency OSD (reference OneEuro usage,
     # reference xr_viewer/input.py:474-530)
@@ -467,9 +488,12 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["auto", "glfw", "cv", "png"])
     p.add_argument("--mode", default="Full-SBS",
                    choices=["Full-SBS", "Half-SBS"])
-    p.add_argument("--ipd", type=float, default=0.064)
-    p.add_argument("--depth-strength", type=float, default=2.0)
-    p.add_argument("--convergence", type=float, default=0.01)
+    p.add_argument("--ipd", type=float, default=None,
+                   help="default: the server's settings value, else 0.064")
+    p.add_argument("--depth-strength", type=float, default=None,
+                   help="default: the server's settings value, else 2.0")
+    p.add_argument("--convergence", type=float, default=None,
+                   help="default: the server's settings value, else 0.01")
     p.add_argument("--frames", type=int, help="stop after N frames")
     p.add_argument("--out", default="xr_frames", help="png presenter dir")
     p.add_argument("--poll-timeout", type=float, default=1.0)

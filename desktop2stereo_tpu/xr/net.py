@@ -11,12 +11,20 @@ skips frames instead of queueing them.
 Wire format (little-endian u32 lengths):
     request : one JSON line  {"last_seen": int, "timeout": float,
                               "encoding": "raw" | "jpeg"}\n
+              or the session-config query  {"meta": true}\n
     response: [u32 header_len][header JSON][u32 rgb_len][rgb bytes]
               [u32 depth_len][depth bytes]
     header  : {"seq", "timestamp", "h", "w", "encoding", "depth": bool,
                "depth_encoding": "none" | "zu16"}
+              (meta query: {"meta": {...}} with both payloads empty)
     rgb     : raw HxWx3 u8, or a JPEG (quality 90)
     depth   : zlib-compressed u16 quantization of [0,1] (÷65535), or absent
+
+The meta dict carries the server's settings-derived session config (ipd,
+depth_strength, convergence, environment/controller model) so a client
+left at defaults renders with the SAME stereo parameters the settings
+file prescribes — the reference's single settings.yaml configures its
+same-machine viewer the same way (reference utils.py:851-852, 1070-1071).
 
 "jpeg" needs ~300 KB/frame at 1080p (LAN-friendly at 60 Hz); "raw" is for
 loopback/10GbE.  A `seq`-only poll with no new frame returns header
@@ -85,8 +93,9 @@ class FrameNetServer:
     """Serves a FrameServer over TCP; one thread per client."""
 
     def __init__(self, frames: FrameServer, host: str = "0.0.0.0",
-                 port: int = 1123):
+                 port: int = 1123, meta: Optional[dict] = None):
         self.frames = frames
+        self.meta = dict(meta or {})
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -99,6 +108,12 @@ class FrameNetServer:
                         req = json.loads(line)
                     except json.JSONDecodeError:
                         return
+                    if req.get("meta"):
+                        header = json.dumps({"meta": outer.meta}).encode()
+                        self.wfile.write(_U32.pack(len(header)) + header
+                                         + _U32.pack(0) + _U32.pack(0))
+                        self.wfile.flush()
+                        continue
                     last = int(req.get("last_seen", -1))
                     timeout = float(req.get("timeout", 1.0))
                     enc = req.get("encoding", "raw")
@@ -153,11 +168,8 @@ class FrameNetClient:
         self._file = self._sock.makefile("rwb")
         self.last_seen = -1
 
-    def poll(self, timeout: float = 1.0) -> Optional[FramePacket]:
-        """Newest frame newer than the last one seen, or None."""
-        req = json.dumps({"last_seen": self.last_seen, "timeout": timeout,
-                          "encoding": self.encoding}) + "\n"
-        self._file.write(req.encode())
+    def _roundtrip(self, req: dict):
+        self._file.write((json.dumps(req) + "\n").encode())
         self._file.flush()
         (hlen,) = _U32.unpack(_read_exact(self._sock, 4))
         header = json.loads(_read_exact(self._sock, hlen))
@@ -165,6 +177,18 @@ class FrameNetClient:
         rgb_b = _read_exact(self._sock, rlen) if rlen else b""
         (dlen,) = _U32.unpack(_read_exact(self._sock, 4))
         dep_b = _read_exact(self._sock, dlen) if dlen else b""
+        return header, rgb_b, dep_b
+
+    def meta(self) -> dict:
+        """Server session config (settings-derived stereo params)."""
+        header, _, _ = self._roundtrip({"meta": True})
+        return header.get("meta", {}) or {}
+
+    def poll(self, timeout: float = 1.0) -> Optional[FramePacket]:
+        """Newest frame newer than the last one seen, or None."""
+        header, rgb_b, dep_b = self._roundtrip(
+            {"last_seen": self.last_seen, "timeout": timeout,
+             "encoding": self.encoding})
         if not rgb_b:
             return None
         h, w = header["h"], header["w"]

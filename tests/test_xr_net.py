@@ -96,3 +96,44 @@ def test_frame_server_wakes_promptly_on_publish():
     elapsed = time.monotonic() - t0
     assert pkt is not None and pkt.seq == first.seq + 1
     assert elapsed < 1.0, f"waited {elapsed:.2f}s for an already-arrived frame"
+
+
+def test_meta_query_and_interleaving():
+    """The session-config query returns the server's settings-derived meta
+    and does not disturb the frame stream (a client asks once at connect,
+    then polls)."""
+    fs = FrameServer()
+    meta = {"ipd": 0.07, "depth_strength": 3.0, "convergence": 0.0,
+            "environment": "Cinema", "controller": "PICO"}
+    srv = FrameNetServer(fs, host="127.0.0.1", port=0, meta=meta).start()
+    try:
+        c = FrameNetClient(port=srv.port, encoding="raw")
+        assert c.meta() == meta
+        rgb = np.full((8, 12, 3), 9, np.uint8)
+        fs.update_frame(rgb, None)
+        pkt = c.poll(timeout=2.0)
+        assert pkt is not None
+        np.testing.assert_array_equal(pkt.rgb, rgb)
+        assert c.meta() == meta  # works mid-stream too
+        c.close()
+
+        # a server with no meta answers with an empty dict
+        c2 = FrameNetClient(port=srv.port, encoding="raw")
+        srv.meta.clear()
+        assert c2.meta() == {}
+        c2.close()
+    finally:
+        srv.close()
+
+
+def test_client_adopts_server_meta():
+    from desktop2stereo_tpu.tools.xr_client import adopt_server_meta, build_parser
+
+    args = build_parser().parse_args([])
+    adopt_server_meta(args, {"ipd": 0.07, "depth_strength": 3.5})
+    assert args.ipd == 0.07 and args.depth_strength == 3.5
+    assert args.convergence == 0.01  # absent from meta → built-in default
+
+    args = build_parser().parse_args(["--ipd", "0.05"])
+    adopt_server_meta(args, {"ipd": 0.07})
+    assert args.ipd == 0.05  # explicit flag beats the server
