@@ -43,9 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="rtmp sink: 'auto' (system audio if present), "
                         "'none', or an explicit pulse device name")
     p.add_argument("--sink", default=None,
-                   choices=["mjpeg", "png", "video", "null", "rtmp", "viewer",
-                            "window", "xr"],
-                   help="default: derived from the settings 'Run Mode' when "
+                   help="one of mjpeg|png|video|null|rtmp|viewer|window|xr, "
+                        "or a comma list to tee (e.g. xr,mjpeg). default: "
+                        "derived from the settings 'Run Mode' when "
                         "--settings is given, else mjpeg")
     p.add_argument("--show-fps", action="store_true",
                    help="green FPS overlay on the output (viewer sink)")
@@ -111,6 +111,9 @@ def apply_settings_defaults(args, settings) -> None:
         args.source_from_settings = had
     if args.sink is None:
         args.sink = _sink_for_run_mode(settings.run_mode) if had else "mjpeg"
+        # the reference's flat preview alongside XR (utils.py:1072)
+        if args.sink == "xr" and extra.get("XR Preview"):
+            args.sink = "xr,mjpeg"
     if args.crop is None:
         mode = str(extra.get("Crop Mode", "")).strip().lower()
         args.crop = "auto" if mode == "auto" else "off"
@@ -233,49 +236,76 @@ def make_components(args, settings):
         else:
             raise
 
-    sink_kw = {}
-    if args.sink == "png":
-        sink_kw = {"out_dir": args.out or "out", "save_depth": True}
-    elif args.sink == "video":
-        sink_kw = {"path": args.out or "out.mp4", "fps": settings.fps}
-    elif args.sink == "mjpeg":
-        sink_kw = {"port": args.port or settings.streamer_port,
-                   "fps": settings.fps, "quality": settings.stream_quality,
-                   "show_fps": args.show_fps or settings.show_fps}
-    elif args.sink == "rtmp":
+    kinds = [k.strip() for k in args.sink.split(",") if k.strip()]
+    unknown = [k for k in kinds if k not in SINK_KINDS]
+    if unknown or not kinds:
+        raise SystemExit(
+            f"unknown sink {unknown or args.sink!r}; choose from "
+            + "|".join(SINK_KINDS) + " (comma list to tee)")
+    # --port steers only the FIRST sink of a tee; the rest keep their
+    # defaults (two sinks on one port would collide at bind time)
+    import copy as _copy
+
+    rest = _copy.copy(args)
+    rest.port = None
+    sinks = [make_sink(k, **_sink_kwargs(k, args if i == 0 else rest,
+                                         settings))
+             for i, k in enumerate(kinds)]
+    if len(sinks) == 1:
+        sink = sinks[0]
+    else:
+        from desktop2stereo_tpu.sinks.tee import TeeSink
+
+        sink = TeeSink(sinks)
+    return source, program, sink, settings
+
+
+SINK_KINDS = ("mjpeg", "png", "video", "null", "rtmp", "viewer", "window",
+              "xr")
+
+
+def _sink_kwargs(kind: str, args, settings) -> dict:
+    if kind == "png":
+        return {"out_dir": args.out or "out", "save_depth": True}
+    if kind == "video":
+        return {"path": args.out or "out.mp4", "fps": settings.fps}
+    if kind == "mjpeg":
+        return {"port": args.port or settings.streamer_port,
+                "fps": settings.fps, "quality": settings.stream_quality,
+                "show_fps": args.show_fps or settings.show_fps}
+    if kind == "rtmp":
         # no --out: publish to a local mediamtx sidecar at the settings
         # 'Stream Key' path, like the reference's self-hosted pipeline
         # (reference main.py:754, 987, 993-1017); CRF/Audio Delay ride
         # the settings file too (main.py:522, 535)
         key = str(settings.extra.get("Stream Key") or "live")
-        sink_kw = {"url": args.out or f"rtmp://127.0.0.1:1935/{key}",
-                   "serve": not args.out,
-                   "fps": settings.fps, "audio": args.audio,
-                   "crf": int(settings.extra.get("CRF") or 20),
-                   "audio_delay": float(settings.extra.get("Audio Delay")
-                                        or 0.0)}
-    elif args.sink == "viewer":
-        sink_kw = {"port": args.port or settings.streamer_port,
-                   "fps": settings.fps, "show_fps": args.show_fps or settings.show_fps}
-    elif args.sink == "window":
-        sink_kw = {"keep_aspect":
-                   bool(settings.extra.get("Fix Viewer Aspect", False))}
-    elif args.sink == "xr":
+        return {"url": args.out or f"rtmp://127.0.0.1:1935/{key}",
+                "serve": not args.out,
+                "fps": settings.fps, "audio": args.audio,
+                "crf": int(settings.extra.get("CRF") or 20),
+                "audio_delay": float(settings.extra.get("Audio Delay")
+                                     or 0.0)}
+    if kind == "viewer":
+        return {"port": args.port or settings.streamer_port,
+                "fps": settings.fps,
+                "show_fps": args.show_fps or settings.show_fps}
+    if kind == "window":
+        return {"keep_aspect":
+                bool(settings.extra.get("Fix Viewer Aspect", False))}
+    if kind == "xr":
         # advertise the settings-derived session config so workstation
         # clients at default flags render with the file's stereo params
-        sink_kw = {"port": args.port or 1123,
-                   "meta": {
-                       "ipd": settings.ipd,
-                       "depth_strength": settings.depth_strength,
-                       "convergence": settings.convergence,
-                       "display_mode": settings.display_mode,
-                       "foreground_scale": settings.foreground_scale,
-                       "environment":
-                           settings.extra.get("Environment Model"),
-                       "controller": settings.extra.get("Controller Model"),
-                   }}
-    sink = make_sink(args.sink, **sink_kw)
-    return source, program, sink, settings
+        return {"port": args.port or 1123,
+                "meta": {
+                    "ipd": settings.ipd,
+                    "depth_strength": settings.depth_strength,
+                    "convergence": settings.convergence,
+                    "display_mode": settings.display_mode,
+                    "foreground_scale": settings.foreground_scale,
+                    "environment": settings.extra.get("Environment Model"),
+                    "controller": settings.extra.get("Controller Model"),
+                }}
+    return {}
 
 
 def run(args=None) -> int:

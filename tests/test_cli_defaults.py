@@ -74,3 +74,51 @@ def test_monitor_index_none_string_is_ignored():
     s.extra["Monitor Index"] = "none"
     args = _resolve(["--settings", "x.yaml"], s)
     assert args.monitor == 0
+
+
+def test_xr_preview_tees_mjpeg():
+    s = Settings(run_mode="OpenXR Link")
+    s.extra["XR Preview"] = True
+    args = _resolve(["--settings", "x.yaml"], s)
+    assert args.sink == "xr,mjpeg"
+    # explicit --sink wins over the preview tee
+    args = _resolve(["--settings", "x.yaml", "--sink", "xr"], s)
+    assert args.sink == "xr"
+
+
+def test_tee_sink_fans_out_and_propagates_errors():
+    import numpy as np
+    from desktop2stereo_tpu.sinks.tee import TeeSink
+
+    class Rec:
+        def __init__(self):
+            self.frames = []
+            self.closed = False
+            self.url = None
+
+        def push(self, sbs, depth, stats):
+            self.frames.append(sbs)
+
+        def close(self):
+            self.closed = True
+
+    class Boom(Rec):
+        def push(self, sbs, depth, stats):
+            raise RuntimeError("window closed")
+
+    a, b = Rec(), Rec()
+    tee = TeeSink([a, b])
+    frame = np.zeros((4, 6, 3), np.uint8)
+    tee.push(frame, None, {})
+    assert len(a.frames) == len(b.frames) == 1
+    tee.close()
+    assert a.closed and b.closed
+
+    # a failing member still lets the others receive the frame, then the
+    # error surfaces so the engine shuts down (window-close semantics)
+    import pytest
+    boom, ok = Boom(), Rec()
+    tee2 = TeeSink([boom, ok])
+    with pytest.raises(RuntimeError):
+        tee2.push(frame, None, {})
+    assert len(ok.frames) == 1
