@@ -187,13 +187,14 @@ class DepthPro(nn.Module):
     hook_ids: Tuple[int, ...] = HOOK_IDS
     hook_dims: Tuple[int, ...] = HOOK_DIMS
     use_fov: bool = False
+    quant: bool = False  # int8 encoder matmuls (ops/quant.py), opt-in
     debug_features: bool = False  # return the encoder feature list instead
     debug_stage: int = 99         # 1 = stop after the neck upsample blocks
     debug_fusion_only: int = 99   # N = stop after fusion layer N
 
     @classmethod
-    def from_spec(cls, spec: ModelSpec) -> "DepthPro":
-        return cls()
+    def from_spec(cls, spec: ModelSpec, quant: bool = False) -> "DepthPro":
+        return cls(quant=quant)
 
     def _encoder(self, name: str, out_layers, final_norm_indices=None):
         return Dinov2Encoder(
@@ -201,7 +202,8 @@ class DepthPro(nn.Module):
             num_heads=self.vit_heads, mlp_dim=self.vit_mlp,
             out_layers=tuple(out_layers), patch_size=self.vit_patch,
             pretrain_grid=self.patch_px // self.vit_patch,
-            final_norm_indices=final_norm_indices, name=name,
+            final_norm_indices=final_norm_indices, quant=self.quant,
+            name=name,
         )
 
     @nn.compact
@@ -323,8 +325,9 @@ class DepthPro(nn.Module):
 
 
 def build_depthpro(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
-                   rng_seed: int = 0, init_size: Optional[int] = None):
-    model = DepthPro.from_spec(spec)
+                   rng_seed: int = 0, init_size: Optional[int] = None,
+                   quant: bool = False):
+    model = DepthPro.from_spec(spec, quant=quant)
     from desktop2stereo_tpu.models.factory import find_checkpoint
 
     ckpt = checkpoint or find_checkpoint(spec)
@@ -336,10 +339,17 @@ def build_depthpro(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         # smallest valid input: the 0.25× scale must still cover one tile,
         # so clamp any requested init size up to 4×patch_px (1536)
         size = max(init_size or 0, 4 * model.patch_px)
-        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+        float_model = DepthPro.from_spec(spec) if quant else model
+        params = jit_init(float_model, jnp.zeros((1, size, size, 3), jnp.float32),
                      rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
+    if quant:
+        from desktop2stereo_tpu.ops.quant import quantize_tree
+
+        # both ViT towers quantize; the fusion decoder stays float
+        params = quantize_tree(params,
+                               scope=("patch_encoder", "image_encoder"))
 
     def apply(p, pixels):
         return model.apply(p, pixels)

@@ -25,6 +25,10 @@ ApplyFn = Callable[[jax.Array], jax.Array]
 # Reference keeps converted checkpoints in ./models (reference utils.py:836)
 DEFAULT_WEIGHTS_DIRS = ("./models", os.path.expanduser("~/.cache/desktop2stereo_tpu/models"))
 
+# Families whose encoder runs int8 under --quant int8 (all ride the shared
+# Dinov2Encoder; the TRT INT8 engine analog, reference depth.py:1049-1118)
+QUANT_FAMILIES = frozenset({"depth_anything", "dpt_dinov2", "vda", "depthpro"})
+
 
 def find_checkpoint(spec: ModelSpec) -> Optional[str]:
     """Locate a local safetensors file for the spec (cache-first, like the
@@ -61,7 +65,7 @@ def build_model(
     Weights resolution order: explicit `checkpoint` → local caches → random
     init (benchmark/CI mode, prints a warning).
 
-    quant="int8" (Depth-Anything family only): encoder block matmuls run
+    quant="int8" (QUANT_FAMILIES): encoder block matmuls run
     int8×int8→int32 on the MXU (2× the bf16 rate on v5e) with weights
     quantized at load — the reference's TRT INT8 engine analog
     (reference depth.py:1049-1118 builder flags).
@@ -95,15 +99,16 @@ def build_model(
             params = quantize_tree(params)
         return model.apply, params, spec
 
-    if quant != "none":
+    if quant != "none" and spec.family not in QUANT_FAMILIES:
         raise NotImplementedError(
-            f"--quant {quant} is only implemented for the Depth-Anything "
-            f"family; {name} is family {spec.family!r}")
+            f"--quant {quant} is implemented for families "
+            f"{sorted(QUANT_FAMILIES)}; {name} is family {spec.family!r}")
 
     if spec.family == "vda":
         from desktop2stereo_tpu.models.vda import build_vda
 
-        return build_vda(spec, checkpoint, param_dtype, rng_seed, init_size=init_size)
+        return build_vda(spec, checkpoint, param_dtype, rng_seed,
+                         init_size=init_size, quant=quant == "int8")
 
     if spec.family == "da3":
         from desktop2stereo_tpu.models.da3 import build_da3, build_da3_nested
@@ -140,7 +145,8 @@ def build_model(
     if spec.family == "depthpro":
         from desktop2stereo_tpu.models.depthpro import build_depthpro
 
-        return build_depthpro(spec, checkpoint, param_dtype, rng_seed, init_size)
+        return build_depthpro(spec, checkpoint, param_dtype, rng_seed,
+                              init_size, quant=quant == "int8")
 
     raise NotImplementedError(f"model family {spec.family!r} ({name}) is not implemented")
 
@@ -165,10 +171,10 @@ def build_bound(
     spec = get_spec(name)
     from desktop2stereo_tpu.pipeline.programs import BoundModel
 
-    if quant != "none" and spec.family not in ("depth_anything", "dpt_dinov2"):
+    if quant != "none" and spec.family not in QUANT_FAMILIES:
         raise NotImplementedError(
-            f"--quant {quant} is only implemented for the Depth-Anything "
-            f"family; {name} is family {spec.family!r}")
+            f"--quant {quant} is implemented for families "
+            f"{sorted(QUANT_FAMILIES)}; {name} is family {spec.family!r}")
 
     if spec.family == "vda":
         from desktop2stereo_tpu.models.vda import (
@@ -177,8 +183,10 @@ def build_bound(
             make_vda_fns,
         )
 
-        _, params, spec = build_vda(spec, checkpoint, param_dtype, rng_seed, init_size)
-        model = VideoDepthAnything.from_spec(spec)
+        use_quant = quant == "int8"
+        _, params, spec = build_vda(spec, checkpoint, param_dtype, rng_seed,
+                                    init_size, quant=use_quant)
+        model = VideoDepthAnything.from_spec(spec, quant=use_quant)
         _, first, step = make_vda_fns(model)
         return BoundModel(params=params, first=first, step=step), spec
 

@@ -243,14 +243,17 @@ class VideoDepthAnything(nn.Module):
     neck_channels: Tuple[int, ...]
     fusion_channels: int
     patch_size: int = 14
+    quant: bool = False  # int8 encoder matmuls (ops/quant.py), opt-in
 
     @classmethod
-    def from_spec(cls, spec: ModelSpec) -> "VideoDepthAnything":
+    def from_spec(cls, spec: ModelSpec,
+                  quant: bool = False) -> "VideoDepthAnything":
         hidden, layers, heads, mlp = spec.dims
         return cls(
             hidden_size=hidden, num_layers=layers, num_heads=heads, mlp_dim=mlp,
             out_layers=spec.dpt_layers, neck_channels=spec.neck_channels,
             fusion_channels=spec.fusion_channels, patch_size=spec.patch_size,
+            quant=quant,
         )
 
     @nn.compact
@@ -264,6 +267,7 @@ class VideoDepthAnything(nn.Module):
             # VDA ships original-dinov2 weights: offset-0.1 pos interp
             # (reference video_depth_anything/dinov2.py:66-67)
             interpolate_offset=0.1,
+            quant=self.quant,
             name="backbone",
         )(pixels)
         grids = [f[:, 1:].reshape(BT, gh, gw, self.hidden_size) for f in feats]
@@ -339,12 +343,12 @@ def make_vda_fns(model: VideoDepthAnything):
 
 
 def build_vda(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32, rng_seed: int = 0,
-              init_size: Optional[int] = None):
+              init_size: Optional[int] = None, quant: bool = False):
     """Factory entry: returns (apply_fn, params, spec); apply_fn is the
     clip-mode view.  Streaming first/step come from make_vda_fns."""
     from desktop2stereo_tpu.models.factory import find_checkpoint
 
-    model = VideoDepthAnything.from_spec(spec)
+    model = VideoDepthAnything.from_spec(spec, quant=quant)
     ckpt = checkpoint or find_checkpoint(spec)
     if ckpt is not None:
         from desktop2stereo_tpu.models.convert_hf import convert_vda
@@ -354,10 +358,17 @@ def build_vda(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32, rng_see
         from desktop2stereo_tpu.models.init_util import jit_init
 
         size = init_size or (spec.patch_size * 4)
-        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+        # init with the FLOAT model — quantize_tree produces the int8
+        # kernel_q/scale structure the quant model consumes
+        float_model = VideoDepthAnything.from_spec(spec) if quant else model
+        params = jit_init(float_model, jnp.zeros((1, size, size, 3), jnp.float32),
                           1, None, rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
+    if quant:
+        from desktop2stereo_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params)
     apply, _, _ = make_vda_fns(model)
     return apply, params, spec
 

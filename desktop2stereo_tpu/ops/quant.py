@@ -82,15 +82,18 @@ _QUANT_DENSE_NAMES = frozenset(
     {"qkv", "proj", "fc1", "fc2", "weights_in", "weights_out"})
 
 
-def quantize_tree(params: Any, scope: str = "backbone") -> Any:
+def quantize_tree(params: Any, scope="backbone") -> Any:
     """Walk a float param tree and convert every targeted Dense
-    ({kernel, bias}) under the `scope` subtree into QuantDense form
-    ({kernel_q, scale, bias}).
+    ({kernel, bias}) under the `scope` subtree(s) into QuantDense form
+    ({kernel_q, scale, bias}).  `scope` is one encoder subtree name or a
+    tuple of them (DepthPro has two ViT towers: patch_encoder +
+    image_encoder).
 
-    Conversion applies only BENEATH a dict key == scope (the ViT trunk) to
-    dicts whose KEY is in the encoder's quantized-Dense name set with a 2D
-    kernel — the patch embed, decoder modules (which may reuse names like
-    "proj"), and every non-encoder Dense pass through untouched."""
+    Conversion applies only BENEATH a dict key in `scope` (the ViT trunk)
+    to dicts whose KEY is in the encoder's quantized-Dense name set with a
+    2D kernel — the patch embed, decoder modules (which may reuse names
+    like "proj"), and every non-encoder Dense pass through untouched."""
+    scopes = (scope,) if isinstance(scope, str) else tuple(scope)
 
     def walk(name: str, node: Any, in_scope: bool) -> Any:
         if isinstance(node, dict):
@@ -101,7 +104,7 @@ def quantize_tree(params: Any, scope: str = "backbone") -> Any:
                 if "bias" in node:
                     out["bias"] = jnp.asarray(node["bias"], jnp.float32)
                 return out
-            return {k: walk(k, v, in_scope or k == scope)
+            return {k: walk(k, v, in_scope or k in scopes)
                     for k, v in node.items()}
         return node
 

@@ -98,7 +98,7 @@ def test_quantized_model_tracks_float_model():
 def test_quant_rejected_for_other_families():
     from desktop2stereo_tpu.models.factory import build_bound
 
-    with pytest.raises(NotImplementedError, match="Depth-Anything"):
+    with pytest.raises(NotImplementedError, match="families"):
         build_bound("dpt-large", quant="int8")
 
 
@@ -107,3 +107,68 @@ def test_cli_has_quant_flag():
 
     args = build_parser().parse_args(["--quant", "int8"])
     assert args.quant == "int8"
+
+
+def test_quantize_tree_multiple_scopes():
+    k = jnp.ones((8, 4), jnp.float32)
+    leaf = lambda: {"kernel": jnp.ones((8, 4), jnp.float32),
+                    "bias": jnp.zeros(4)}
+    tree = {
+        "patch_encoder": {"l0": {"qkv": leaf()}},
+        "image_encoder": {"l0": {"fc1": leaf()}},
+        "decoder": {"fc1": leaf()},
+    }
+    out = quantize_tree(tree, scope=("patch_encoder", "image_encoder"))
+    assert out["patch_encoder"]["l0"]["qkv"]["kernel_q"].dtype == jnp.int8
+    assert out["image_encoder"]["l0"]["fc1"]["kernel_q"].dtype == jnp.int8
+    assert "kernel" in out["decoder"]["fc1"]
+
+
+def test_quantized_vda_tracks_float_model():
+    """VDA streaming family under --quant int8: the dinov2 trunk runs int8
+    while the temporal head stays float; outputs must track the f32 model."""
+    from desktop2stereo_tpu.models.factory import build_model
+
+    apply_f, params_f, _ = build_model("Video-Depth-Anything-Small",
+                                       init_size=56, rng_seed=3)
+    apply_q, params_q, _ = build_model("Video-Depth-Anything-Small",
+                                       init_size=56, rng_seed=3, quant="int8")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((1, 56, 56, 3)), jnp.float32)
+    df = np.asarray(apply_f(params_f, x)).ravel()
+    dq = np.asarray(apply_q(params_q, x)).ravel()
+    corr = float(np.corrcoef(df, dq)[0, 1])
+    assert corr > 0.99, f"int8 VDA corr {corr:.4f}"
+
+
+def test_quantized_depthpro_towers():
+    """DepthPro's TWO ViT towers quantize (patch_encoder + image_encoder);
+    the fusion decoder stays float.  Tiny config keeps CPU time sane."""
+    from desktop2stereo_tpu.models.depthpro import DepthPro
+    import desktop2stereo_tpu.models.depthpro as dp
+    import jax
+
+    kw = dict(patch_px=32, vit_hidden=32, vit_layers=2, vit_heads=4,
+              vit_mlp=64, vit_patch=8, fusion=16, scaled_dims=(32, 32, 16),
+              hook_ids=(1, 0), hook_dims=(16, 16))
+    fmodel = DepthPro(**kw)
+    qmodel = DepthPro(**kw, quant=True)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.random((1, 128, 128, 3)), jnp.float32)
+    orig_pad = dp.MERGE_PAD
+    dp.MERGE_PAD = 1
+    try:
+        params = jax.jit(fmodel.init)(jax.random.key(0), x)
+        qparams = quantize_tree(params,
+                                scope=("patch_encoder", "image_encoder"))
+        qt = qparams["params"]
+        assert qt["patch_encoder"]["layer_0"]["attention"]["qkv"][
+            "kernel_q"].dtype == jnp.int8
+        assert qt["image_encoder"]["layer_0"]["attention"]["qkv"][
+            "kernel_q"].dtype == jnp.int8
+        df = np.asarray(fmodel.apply(params, x)).ravel()
+        dq = np.asarray(qmodel.apply(qparams, x)).ravel()
+        corr = float(np.corrcoef(df, dq)[0, 1])
+        assert corr > 0.98, f"int8 DepthPro corr {corr:.4f}"
+    finally:
+        dp.MERGE_PAD = orig_pad
