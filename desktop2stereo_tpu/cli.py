@@ -63,7 +63,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
     p.add_argument("--quant", default="none", choices=["none", "int8"],
                    help="int8 encoder matmuls (2x the bf16 MXU rate; "
-                        "DA/VDA/DepthPro families; the TRT INT8 engine analog)")
+                        "DA/VDA/DA3/DepthPro families; the TRT INT8 engine analog)")
     p.add_argument("--crop", default=None,
                    help="letterbox handling: off | auto (detected with "
                         "hysteresis) | u0,v0,uw,vh manual UV rect "

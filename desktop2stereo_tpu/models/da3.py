@@ -139,12 +139,15 @@ class DA3Attention(nn.Module):
     hidden_size: int
     num_heads: int
     qk_norm: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, rope: Optional[Tuple[jax.Array, jax.Array]] = None):
+        from desktop2stereo_tpu.models.dinov2 import _dense
+
         B, N, D = x.shape
         hd = D // self.num_heads
-        qkv = nn.Dense(3 * D, name="qkv", dtype=x.dtype)(x)
+        qkv = _dense(3 * D, "qkv", x.dtype, self.quant)(x)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -160,25 +163,29 @@ class DA3Attention(nn.Module):
             q = _apply_rope(q, cos, sin)
             k = _apply_rope(k, cos, sin)
         out = multi_head_attention(q, k, v).reshape(B, N, D)
-        return nn.Dense(D, name="proj", dtype=x.dtype)(out)
+        return _dense(D, "proj", x.dtype, self.quant)(out)
 
 
 class DA3Mlp(nn.Module):
     hidden_size: int
     mlp_dim: int
     use_swiglu: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from desktop2stereo_tpu.models.dinov2 import _dense
+
         if self.use_swiglu:
             # SwiGLUFFNFused naming w12/w3 (reference swiglu_ffn.py)
             hidden = (int(self.mlp_dim * 2 / 3) + 7) // 8 * 8
-            h = nn.Dense(2 * hidden, name="w12", dtype=x.dtype)(x)
+            h = _dense(2 * hidden, "w12", x.dtype, self.quant)(x)
             x1, x2 = jnp.split(h, 2, axis=-1)
-            return nn.Dense(self.hidden_size, name="w3", dtype=x.dtype)(jax.nn.silu(x1) * x2)
-        h = nn.Dense(self.mlp_dim, name="fc1", dtype=x.dtype)(x)
+            return _dense(self.hidden_size, "w3", x.dtype, self.quant)(
+                jax.nn.silu(x1) * x2)
+        h = _dense(self.mlp_dim, "fc1", x.dtype, self.quant)(x)
         h = jax.nn.gelu(h, approximate=False)
-        return nn.Dense(self.hidden_size, name="fc2", dtype=x.dtype)(h)
+        return _dense(self.hidden_size, "fc2", x.dtype, self.quant)(h)
 
 
 class DA3Block(nn.Module):
@@ -187,16 +194,18 @@ class DA3Block(nn.Module):
     mlp_dim: int
     qk_norm: bool = False
     use_swiglu: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, rope=None) -> jax.Array:
         h = nn.LayerNorm(epsilon=1e-6, name="norm1", dtype=x.dtype)(x)
         h = DA3Attention(self.hidden_size, self.num_heads, self.qk_norm,
-                         name="attention")(h, rope)
+                         quant=self.quant, name="attention")(h, rope)
         ls1 = self.param("layer_scale1", nn.initializers.ones, (self.hidden_size,))
         x = x + h * ls1.astype(x.dtype)
         h = nn.LayerNorm(epsilon=1e-6, name="norm2", dtype=x.dtype)(x)
-        h = DA3Mlp(self.hidden_size, self.mlp_dim, self.use_swiglu, name="mlp")(h)
+        h = DA3Mlp(self.hidden_size, self.mlp_dim, self.use_swiglu,
+                   quant=self.quant, name="mlp")(h)
         ls2 = self.param("layer_scale2", nn.initializers.ones, (self.hidden_size,))
         return x + h * ls2.astype(x.dtype)
 
@@ -223,6 +232,7 @@ class DA3Backbone(nn.Module):
     patch_size: int = 14
     pretrain_grid: int = 37
     use_swiglu: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, pixels: jax.Array):
@@ -287,7 +297,8 @@ class DA3Backbone(nn.Module):
             use_qk = self.qknorm_start != -1 and i >= self.qknorm_start
             block = DA3Block(
                 D, self.num_heads, self.mlp_dim, qk_norm=use_qk,
-                use_swiglu=self.use_swiglu, name=f"layer_{i}",
+                use_swiglu=self.use_swiglu, quant=self.quant,
+                name=f"layer_{i}",
             )
             if self.alt_start != -1 and i == self.alt_start:
                 # Reference vision_transformer.py:324-342: S==1 uses the ref
@@ -581,9 +592,11 @@ class DepthAnything3(nn.Module):
     num_layers: int = 0
     num_heads: int = 0
     mlp_dim: int = 0
+    quant: bool = False  # int8 encoder matmuls (ops/quant.py), opt-in
 
     @classmethod
-    def from_spec(cls, spec: ModelSpec) -> "DepthAnything3":
+    def from_spec(cls, spec: ModelSpec,
+                  quant: bool = False) -> "DepthAnything3":
         hidden, layers, heads, mlp = spec.dims
         mode = "anyview"
         if "MONO" in spec.name.upper():
@@ -591,7 +604,8 @@ class DepthAnything3(nn.Module):
         elif "METRIC" in spec.name.upper() and "NESTED" not in spec.name.upper():
             mode = "metric"
         return cls(variant=spec.variant, mode=mode, hidden_size=hidden,
-                   num_layers=layers, num_heads=heads, mlp_dim=mlp)
+                   num_layers=layers, num_heads=heads, mlp_dim=mlp,
+                   quant=quant)
 
     @nn.compact
     def __call__(self, pixels: jax.Array) -> Dict[str, jax.Array]:
@@ -612,6 +626,7 @@ class DepthAnything3(nn.Module):
             rope_start=alt_start if anyview else -1,
             cat_token=anyview,
             use_swiglu=(self.variant == "vitg"),
+            quant=self.quant,
             name="backbone",
         )(pixels)
 
@@ -754,8 +769,9 @@ def nested_align(
 
 
 def build_da3(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
-              rng_seed: int = 0, init_size: Optional[int] = None):
-    model = DepthAnything3.from_spec(spec)
+              rng_seed: int = 0, init_size: Optional[int] = None,
+              quant: bool = False):
+    model = DepthAnything3.from_spec(spec, quant=quant)
     from desktop2stereo_tpu.models.factory import find_checkpoint
 
     ckpt = checkpoint or find_checkpoint(spec)
@@ -765,10 +781,17 @@ def build_da3(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         params = {"params": convert_da3(ckpt, spec)}
     else:
         size = init_size or (spec.patch_size * 4)
-        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+        # init with the FLOAT model — quantize_tree produces the int8
+        # kernel_q/scale structure the quant model consumes
+        float_model = DepthAnything3.from_spec(spec) if quant else model
+        params = jit_init(float_model, jnp.zeros((1, size, size, 3), jnp.float32),
                      rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
+    if quant:
+        from desktop2stereo_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params)
     return da3_depth_apply(model), params, spec
 
 

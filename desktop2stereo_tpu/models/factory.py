@@ -27,7 +27,8 @@ DEFAULT_WEIGHTS_DIRS = ("./models", os.path.expanduser("~/.cache/desktop2stereo_
 
 # Families whose encoder runs int8 under --quant int8 (all ride the shared
 # Dinov2Encoder; the TRT INT8 engine analog, reference depth.py:1049-1118)
-QUANT_FAMILIES = frozenset({"depth_anything", "dpt_dinov2", "vda", "depthpro"})
+QUANT_FAMILIES = frozenset(
+    {"depth_anything", "dpt_dinov2", "vda", "depthpro", "da3"})
 
 
 def find_checkpoint(spec: ModelSpec) -> Optional[str]:
@@ -114,8 +115,13 @@ def build_model(
         from desktop2stereo_tpu.models.da3 import build_da3, build_da3_nested
 
         if "NESTED" in spec.name.upper():
+            if quant != "none":
+                raise NotImplementedError(
+                    "--quant is not supported for the NESTED preset "
+                    "(two aligned branches); use DA3METRIC/DA3-* instead")
             return build_da3_nested(spec, checkpoint, param_dtype, rng_seed, init_size)
-        return build_da3(spec, checkpoint, param_dtype, rng_seed, init_size)
+        return build_da3(spec, checkpoint, param_dtype, rng_seed, init_size,
+                         quant=quant == "int8")
 
     if spec.family == "infinidepth":
         from desktop2stereo_tpu.models.infinidepth import build_infinidepth

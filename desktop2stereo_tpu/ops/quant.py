@@ -79,7 +79,8 @@ class QuantDense(nn.Module):
 
 # Dense param names the encoder quantizes (dinov2.py module names).
 _QUANT_DENSE_NAMES = frozenset(
-    {"qkv", "proj", "fc1", "fc2", "weights_in", "weights_out"})
+    {"qkv", "proj", "fc1", "fc2", "weights_in", "weights_out",
+     "w12", "w3"})  # w12/w3: DA3 ViT-G SwiGLU naming
 
 
 def quantize_tree(params: Any, scope="backbone") -> Any:

@@ -172,3 +172,28 @@ def test_quantized_depthpro_towers():
         assert corr > 0.98, f"int8 DepthPro corr {corr:.4f}"
     finally:
         dp.MERGE_PAD = orig_pad
+
+
+def test_quantized_da3_tracks_float_model():
+    """DA3 family under --quant int8 (alt-attention/QK-norm/RoPE trunk)."""
+    from desktop2stereo_tpu.models.factory import build_model
+
+    apply_f, params_f, _ = build_model("DA3-SMALL", init_size=56, rng_seed=3)
+    apply_q, params_q, _ = build_model("DA3-SMALL", init_size=56, rng_seed=3,
+                                       quant="int8")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((1, 56, 56, 3)), jnp.float32)
+    df = np.asarray(apply_f(params_f, x)).ravel()
+    dq = np.asarray(apply_q(params_q, x)).ravel()
+    corr = float(np.corrcoef(df, dq)[0, 1])
+    assert corr > 0.99, f"int8 DA3 corr {corr:.4f}"
+
+
+def test_quantize_tree_swiglu_names():
+    # DA3 ViT-G SwiGLU matmuls (w12/w3) quantize under the backbone scope
+    leaf = lambda: {"kernel": jnp.ones((8, 4), jnp.float32),
+                    "bias": jnp.zeros(4)}
+    tree = {"backbone": {"l0": {"mlp": {"w12": leaf(), "w3": leaf()}}}}
+    out = quantize_tree(tree)
+    assert out["backbone"]["l0"]["mlp"]["w12"]["kernel_q"].dtype == jnp.int8
+    assert out["backbone"]["l0"]["mlp"]["w3"]["kernel_q"].dtype == jnp.int8
