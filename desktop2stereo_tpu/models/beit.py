@@ -127,16 +127,19 @@ class BeitLayer(nn.Module):
     mlp_dim: int
     pretrain_window: int
     layer_norm_eps: float = 1e-12
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, gh: int, gw: int,
                  bias: Optional[jax.Array] = None) -> jax.Array:
+        from desktop2stereo_tpu.models.dinov2 import _dense
+
         B, N, D = x.shape
         hd = D // self.num_heads
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1", dtype=x.dtype)(x)
-        q = nn.Dense(D, name="query", dtype=h.dtype)(h)
-        k = nn.Dense(D, use_bias=False, name="key", dtype=h.dtype)(h)
-        v = nn.Dense(D, name="value", dtype=h.dtype)(h)
+        q = _dense(D, "query", h.dtype, self.quant)(h)
+        k = _dense(D, "key", h.dtype, self.quant, use_bias=False)(h)
+        v = _dense(D, "value", h.dtype, self.quant)(h)
         if bias is None:  # parity/init path; the frame program precomputes
             bias = BeitRelativePositionBias(
                 self.num_heads, self.pretrain_window, name="relative_position_bias",
@@ -146,14 +149,14 @@ class BeitLayer(nn.Module):
             return t.reshape(B, N, self.num_heads, hd)
 
         out = multi_head_attention(heads(q), heads(k), heads(v), bias=bias)
-        out = nn.Dense(D, name="proj", dtype=x.dtype)(out.reshape(B, N, D))
+        out = _dense(D, "proj", x.dtype, self.quant)(out.reshape(B, N, D))
         lam1 = self.param("lambda_1", nn.initializers.ones, (D,))
         x = x + out * lam1.astype(x.dtype)
 
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2", dtype=x.dtype)(x)
-        h = nn.Dense(self.mlp_dim, name="fc1", dtype=h.dtype)(h)
+        h = _dense(self.mlp_dim, "fc1", h.dtype, self.quant)(h)
         h = jax.nn.gelu(h, approximate=False)
-        h = nn.Dense(D, name="fc2", dtype=h.dtype)(h)
+        h = _dense(D, "fc2", h.dtype, self.quant)(h)
         lam2 = self.param("lambda_2", nn.initializers.ones, (D,))
         return x + h * lam2.astype(x.dtype)
 
@@ -169,6 +172,7 @@ class BeitEncoder(nn.Module):
     out_indices: Tuple[int, ...]
     pretrain_window: int
     patch_size: int = 16
+    quant: bool = False
 
     @nn.compact
     def __call__(self, pixels: jax.Array, biases=None):
@@ -192,7 +196,7 @@ class BeitEncoder(nn.Module):
         want = set(self.out_indices)
         for i in range(self.num_layers):
             x = BeitLayer(D, self.num_heads, self.mlp_dim, self.pretrain_window,
-                          name=f"layer_{i}")(
+                          quant=self.quant, name=f"layer_{i}")(
                 x, gh, gw, None if biases is None else biases[i])
             if i in want:
                 feats.append(x)
@@ -206,11 +210,13 @@ class DPTBEiT(nn.Module):
     neck_channels: Sequence[int]
     fusion_channels: int
     patch_size: int = 16
+    quant: bool = False  # int8 encoder matmuls (ops/quant.py), opt-in
 
     @classmethod
-    def from_spec(cls, spec: ModelSpec) -> "DPTBEiT":
+    def from_spec(cls, spec: ModelSpec, quant: bool = False) -> "DPTBEiT":
         return cls(preset=spec.name, neck_channels=spec.neck_channels,
-                   fusion_channels=spec.fusion_channels, patch_size=spec.patch_size)
+                   fusion_channels=spec.fusion_channels,
+                   patch_size=spec.patch_size, quant=quant)
 
     @nn.compact
     def __call__(self, pixels: jax.Array, biases=None) -> jax.Array:
@@ -218,7 +224,7 @@ class DPTBEiT(nn.Module):
         feats, gh, gw = BeitEncoder(
             hidden_size=hidden, num_layers=layers, num_heads=heads, mlp_dim=mlp,
             out_indices=out_idx, pretrain_window=window,
-            patch_size=self.patch_size, name="backbone",
+            patch_size=self.patch_size, quant=self.quant, name="backbone",
         )(pixels, biases=biases)
         return ClassicDPTDecoder(
             hidden_size=hidden, neck_channels=self.neck_channels,
@@ -227,8 +233,9 @@ class DPTBEiT(nn.Module):
 
 
 def build_dpt_beit(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
-                   rng_seed: int = 0, init_size: Optional[int] = None):
-    model = DPTBEiT.from_spec(spec)
+                   rng_seed: int = 0, init_size: Optional[int] = None,
+                   quant: bool = False):
+    model = DPTBEiT.from_spec(spec, quant=quant)
     from desktop2stereo_tpu.models.factory import find_checkpoint
 
     ckpt = checkpoint or find_checkpoint(spec)
@@ -238,10 +245,15 @@ def build_dpt_beit(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         params = {"params": convert_dpt_beit(ckpt, spec)}
     else:
         size = init_size or (spec.patch_size * 4)
-        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+        float_model = DPTBEiT.from_spec(spec) if quant else model
+        params = jit_init(float_model, jnp.zeros((1, size, size, 3), jnp.float32),
                      rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
+    if quant:
+        from desktop2stereo_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params)
 
     def apply(p, pixels):
         return model.apply(p, pixels)

@@ -99,14 +99,15 @@ class Dinov2Embeddings(nn.Module):
         return x + pos_full.astype(tokens.dtype)
 
 
-def _dense(features: int, name: str, dtype, quant: bool):
+def _dense(features: int, name: str, dtype, quant: bool,
+           use_bias: bool = True):
     """nn.Dense, or the int8 QuantDense when the encoder runs quantized
     (ops/quant.py; the reference's TRT INT8 engine analog)."""
     if quant:
         from desktop2stereo_tpu.ops.quant import QuantDense
 
-        return QuantDense(features, name=name)
-    return nn.Dense(features, name=name, dtype=dtype)
+        return QuantDense(features, use_bias=use_bias, name=name)
+    return nn.Dense(features, use_bias=use_bias, name=name, dtype=dtype)
 
 
 class Mlp(nn.Module):

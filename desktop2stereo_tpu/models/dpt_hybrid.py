@@ -162,10 +162,11 @@ class DPTHybrid(nn.Module):
     neck_channels: Tuple[int, ...] = NECK_CHANNELS
     fusion: int = FUSION
     pretrain_grid: int = PRETRAIN_GRID
+    quant: bool = False  # int8 ViT-block matmuls (ops/quant.py), opt-in
 
     @classmethod
-    def from_spec(cls, spec: ModelSpec) -> "DPTHybrid":
-        return cls(patch_size=spec.patch_size)
+    def from_spec(cls, spec: ModelSpec, quant: bool = False) -> "DPTHybrid":
+        return cls(patch_size=spec.patch_size, quant=quant)
 
     @nn.compact
     def __call__(self, pixels: jax.Array) -> jax.Array:
@@ -195,7 +196,8 @@ class DPTHybrid(nn.Module):
         vit_feats = []
         want = set(self.vit_out)
         for i in range(self.vit_layers):
-            x = ViTLayer(D, self.vit_heads, self.vit_mlp, name=f"layer_{i}")(x)
+            x = ViTLayer(D, self.vit_heads, self.vit_mlp, quant=self.quant,
+                         name=f"layer_{i}")(x)
             if i in want:
                 vit_feats.append(x)
 
@@ -235,8 +237,9 @@ class DPTHybrid(nn.Module):
 
 
 def build_dpt_hybrid(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
-                     rng_seed: int = 0, init_size: Optional[int] = None):
-    model = DPTHybrid.from_spec(spec)
+                     rng_seed: int = 0, init_size: Optional[int] = None,
+                     quant: bool = False):
+    model = DPTHybrid.from_spec(spec, quant=quant)
     from desktop2stereo_tpu.models.factory import find_checkpoint
 
     ckpt = checkpoint or find_checkpoint(spec)
@@ -246,10 +249,17 @@ def build_dpt_hybrid(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         params = {"params": convert_dpt_hybrid(ckpt, spec)}
     else:
         size = init_size or (spec.patch_size * 4)
-        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+        float_model = DPTHybrid.from_spec(spec) if quant else model
+        params = jit_init(float_model, jnp.zeros((1, size, size, 3), jnp.float32),
                      rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
+    if quant:
+        from desktop2stereo_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(
+            params,
+            scope=tuple(f"layer_{i}" for i in range(model.vit_layers)))
 
     def apply(p, pixels):
         return model.apply(p, pixels)

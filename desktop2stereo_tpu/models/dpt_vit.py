@@ -51,12 +51,15 @@ class ViTLayer(nn.Module):
     num_heads: int
     mlp_dim: int
     layer_norm_eps: float = 1e-12
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from desktop2stereo_tpu.models.dinov2 import _dense
+
         B, N, D = x.shape
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1", dtype=x.dtype)(x)
-        qkv = nn.Dense(3 * D, name="qkv", dtype=h.dtype)(h)
+        qkv = _dense(3 * D, "qkv", h.dtype, self.quant)(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         hd = D // self.num_heads
 
@@ -64,11 +67,11 @@ class ViTLayer(nn.Module):
             return t.reshape(B, N, self.num_heads, hd)
 
         out = multi_head_attention(heads(q), heads(k), heads(v)).reshape(B, N, D)
-        x = x + nn.Dense(D, name="proj", dtype=out.dtype)(out)
+        x = x + _dense(D, "proj", out.dtype, self.quant)(out)
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2", dtype=x.dtype)(x)
-        h = nn.Dense(self.mlp_dim, name="fc1", dtype=h.dtype)(h)
+        h = _dense(self.mlp_dim, "fc1", h.dtype, self.quant)(h)
         h = jax.nn.gelu(h, approximate=False)
-        return x + nn.Dense(D, name="fc2", dtype=h.dtype)(h)
+        return x + _dense(D, "fc2", h.dtype, self.quant)(h)
 
 
 class ClassicDPTDecoder(nn.Module):
@@ -146,14 +149,16 @@ class DPTViT(nn.Module):
     fusion_channels: int
     patch_size: int = 16
     pretrain_grid: int = 24  # 384/16; dpt-large pos table is 24²+1
+    quant: bool = False  # int8 encoder matmuls (ops/quant.py), opt-in
 
     @classmethod
-    def from_spec(cls, spec: ModelSpec) -> "DPTViT":
+    def from_spec(cls, spec: ModelSpec, quant: bool = False) -> "DPTViT":
         hidden, layers, heads, mlp, out_idx = DPT_VIT_PRESETS[spec.variant]
         return cls(
             hidden_size=hidden, num_layers=layers, num_heads=heads, mlp_dim=mlp,
             out_indices=out_idx, neck_channels=spec.neck_channels,
             fusion_channels=spec.fusion_channels, patch_size=spec.patch_size,
+            quant=quant,
         )
 
     @nn.compact
@@ -190,7 +195,7 @@ class DPTViT(nn.Module):
         want = set(self.out_indices)
         for i in range(self.num_layers):
             x = ViTLayer(self.hidden_size, self.num_heads, self.mlp_dim,
-                         name=f"layer_{i}")(x)
+                         quant=self.quant, name=f"layer_{i}")(x)
             if i in want:
                 feats.append(x)
 
@@ -201,8 +206,9 @@ class DPTViT(nn.Module):
 
 
 def build_dpt_vit(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
-                  rng_seed: int = 0, init_size: Optional[int] = None):
-    model = DPTViT.from_spec(spec)
+                  rng_seed: int = 0, init_size: Optional[int] = None,
+                  quant: bool = False):
+    model = DPTViT.from_spec(spec, quant=quant)
     from desktop2stereo_tpu.models.factory import find_checkpoint
 
     ckpt = checkpoint or find_checkpoint(spec)
@@ -212,10 +218,18 @@ def build_dpt_vit(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         params = {"params": convert_dpt_vit(ckpt, spec)}
     else:
         size = init_size or (spec.patch_size * 4)
-        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+        float_model = DPTViT.from_spec(spec) if quant else model
+        params = jit_init(float_model, jnp.zeros((1, size, size, 3), jnp.float32),
                      rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
+    if quant:
+        from desktop2stereo_tpu.ops.quant import quantize_tree
+
+        # the ViT blocks sit at the model's top level (no "backbone"
+        # wrapper), so scope on the layer dirs themselves
+        params = quantize_tree(
+            params, scope=tuple(f"layer_{i}" for i in range(model.num_layers)))
 
     def apply(p, pixels):
         return model.apply(p, pixels)

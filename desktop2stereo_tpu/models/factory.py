@@ -25,10 +25,12 @@ ApplyFn = Callable[[jax.Array], jax.Array]
 # Reference keeps converted checkpoints in ./models (reference utils.py:836)
 DEFAULT_WEIGHTS_DIRS = ("./models", os.path.expanduser("~/.cache/desktop2stereo_tpu/models"))
 
-# Families whose encoder runs int8 under --quant int8 (all ride the shared
-# Dinov2Encoder; the TRT INT8 engine analog, reference depth.py:1049-1118)
+# Families whose ViT encoder runs int8 under --quant int8 (the TRT INT8
+# engine analog, reference depth.py:1049-1118).  Every family qualifies:
+# the conv stems / DPT decoders / metric heads stay float everywhere.
 QUANT_FAMILIES = frozenset(
-    {"depth_anything", "dpt_dinov2", "vda", "depthpro", "da3"})
+    {"depth_anything", "dpt_dinov2", "vda", "depthpro", "da3",
+     "infinidepth", "dpt", "dpt_beit", "dpt_hybrid", "zoedepth"})
 
 
 def find_checkpoint(spec: ModelSpec) -> Optional[str]:
@@ -123,30 +125,36 @@ def build_model(
         return build_da3(spec, checkpoint, param_dtype, rng_seed, init_size,
                          quant=quant == "int8")
 
+    use_quant = quant == "int8"
     if spec.family == "infinidepth":
         from desktop2stereo_tpu.models.infinidepth import build_infinidepth
 
-        return build_infinidepth(spec, checkpoint, param_dtype, rng_seed, init_size)
+        return build_infinidepth(spec, checkpoint, param_dtype, rng_seed,
+                                 init_size, quant=use_quant)
 
     if spec.family == "dpt":
         from desktop2stereo_tpu.models.dpt_vit import build_dpt_vit
 
-        return build_dpt_vit(spec, checkpoint, param_dtype, rng_seed, init_size)
+        return build_dpt_vit(spec, checkpoint, param_dtype, rng_seed,
+                             init_size, quant=use_quant)
 
     if spec.family == "dpt_beit":
         from desktop2stereo_tpu.models.beit import build_dpt_beit
 
-        return build_dpt_beit(spec, checkpoint, param_dtype, rng_seed, init_size)
+        return build_dpt_beit(spec, checkpoint, param_dtype, rng_seed,
+                              init_size, quant=use_quant)
 
     if spec.family == "dpt_hybrid":
         from desktop2stereo_tpu.models.dpt_hybrid import build_dpt_hybrid
 
-        return build_dpt_hybrid(spec, checkpoint, param_dtype, rng_seed, init_size)
+        return build_dpt_hybrid(spec, checkpoint, param_dtype, rng_seed,
+                                init_size, quant=use_quant)
 
     if spec.family == "zoedepth":
         from desktop2stereo_tpu.models.zoedepth import build_zoedepth
 
-        return build_zoedepth(spec, checkpoint, param_dtype, rng_seed, init_size)
+        return build_zoedepth(spec, checkpoint, param_dtype, rng_seed,
+                              init_size, quant=use_quant)
 
     if spec.family == "depthpro":
         from desktop2stereo_tpu.models.depthpro import build_depthpro
@@ -205,9 +213,10 @@ def build_bound(
             make_beit_stream_fns,
         )
 
+        use_quant = quant == "int8"
         _, params, spec = build_dpt_beit(spec, checkpoint, param_dtype,
-                                         rng_seed, init_size)
-        model = DPTBEiT.from_spec(spec)
+                                         rng_seed, init_size, quant=use_quant)
+        model = DPTBEiT.from_spec(spec, quant=use_quant)
         first, step = make_beit_stream_fns(model, spec, spec.name)
         return BoundModel(params=params, first=first, step=step), spec
 
@@ -218,9 +227,10 @@ def build_bound(
             make_zoe_stream_fns,
         )
 
+        use_quant = quant == "int8"
         _, params, spec = build_zoedepth(spec, checkpoint, param_dtype,
-                                         rng_seed, init_size)
-        model = ZoeDepth.from_spec(spec)
+                                         rng_seed, init_size, quant=use_quant)
+        model = ZoeDepth.from_spec(spec, quant=use_quant)
         first, step = make_zoe_stream_fns(model, spec)
         return BoundModel(params=params, first=first, step=step), spec
 

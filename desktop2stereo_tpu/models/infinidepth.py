@@ -100,16 +100,19 @@ class Dinov3Block(nn.Module):
     num_heads: int
     ffn_hidden: int
     use_swiglu: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array, rope, n_prefix: int) -> jax.Array:
+        from desktop2stereo_tpu.models.dinov2 import _dense
+
         D = self.hidden_size
         # "layernormbf16" = LayerNorm eps 1e-5 (reference
         # models/vision_transformer.py:29)
         h = nn.LayerNorm(epsilon=1e-5, name="norm1", dtype=x.dtype)(x)
         B, N, _ = h.shape
         hd = D // self.num_heads
-        qkv = nn.Dense(3 * D, name="qkv", dtype=h.dtype)(h)
+        qkv = _dense(3 * D, "qkv", h.dtype, self.quant)(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
         def heads(t):
@@ -121,7 +124,7 @@ class Dinov3Block(nn.Module):
             q = _rope_apply(q, sin, cos, n_prefix)
             k = _rope_apply(k, sin, cos, n_prefix)
         attn = multi_head_attention(q, k, v).reshape(B, N, D)
-        attn = nn.Dense(D, name="proj", dtype=h.dtype)(attn)
+        attn = _dense(D, "proj", h.dtype, self.quant)(attn)
         ls1 = self.param("layer_scale1", nn.initializers.ones, (D,))
         x = x + attn * ls1.astype(x.dtype)
 
@@ -131,13 +134,13 @@ class Dinov3Block(nn.Module):
             # ffn_layers.py:52-77); hidden = align8(ffn_hidden·2/3)
             d = int(self.ffn_hidden * 2 / 3)
             sw = d + (-d % 8)
-            x1 = nn.Dense(sw, name="w1", dtype=h.dtype)(h)
-            x2 = nn.Dense(sw, name="w2", dtype=h.dtype)(h)
-            h = nn.Dense(D, name="w3", dtype=h.dtype)(jax.nn.silu(x1) * x2)
+            x1 = _dense(sw, "w1", h.dtype, self.quant)(h)
+            x2 = _dense(sw, "w2", h.dtype, self.quant)(h)
+            h = _dense(D, "w3", h.dtype, self.quant)(jax.nn.silu(x1) * x2)
         else:
-            h = nn.Dense(self.ffn_hidden, name="fc1", dtype=h.dtype)(h)
+            h = _dense(self.ffn_hidden, "fc1", h.dtype, self.quant)(h)
             h = jax.nn.gelu(h, approximate=False)
-            h = nn.Dense(D, name="fc2", dtype=h.dtype)(h)
+            h = _dense(D, "fc2", h.dtype, self.quant)(h)
         ls2 = self.param("layer_scale2", nn.initializers.ones, (D,))
         return x + h * ls2.astype(x.dtype)
 
@@ -152,6 +155,7 @@ class Dinov3Backbone(nn.Module):
     ffn_hidden: int
     use_swiglu: bool = False
     patch_size: int = PATCH
+    quant: bool = False
 
     @nn.compact
     def __call__(self, pixels: jax.Array) -> jax.Array:
@@ -184,7 +188,7 @@ class Dinov3Backbone(nn.Module):
         for i in range(self.depth):
             x = Dinov3Block(
                 D, self.num_heads, self.ffn_hidden, self.use_swiglu,
-                name=f"layer_{i}",
+                quant=self.quant, name=f"layer_{i}",
             )(x, rope, n_prefix)
 
         x = nn.LayerNorm(epsilon=1e-5, name="norm", dtype=x.dtype)(x)
@@ -299,10 +303,12 @@ class InfiniDepth(nn.Module):
     """pixels [B,H,W,3] RGB in [0,1] → relative depth [B,H,W] at input res."""
 
     encoder: str = "vitl16"
+    quant: bool = False  # int8 encoder matmuls (ops/quant.py), opt-in
 
     @classmethod
-    def from_spec(cls, spec: ModelSpec) -> "InfiniDepth":
-        return cls(encoder=ENCODER_BY_NAME.get(spec.name, "vitl16"))
+    def from_spec(cls, spec: ModelSpec, quant: bool = False) -> "InfiniDepth":
+        return cls(encoder=ENCODER_BY_NAME.get(spec.name, "vitl16"),
+                   quant=quant)
 
     @nn.compact
     def __call__(self, pixels: jax.Array) -> jax.Array:
@@ -314,7 +320,7 @@ class InfiniDepth(nn.Module):
         x_dino = (pixels - mean) / std
         tokens = Dinov3Backbone(
             embed_dim=D, depth=depth, num_heads=heads, ffn_hidden=ffn,
-            use_swiglu=swiglu, name="backbone",
+            use_swiglu=swiglu, quant=self.quant, name="backbone",
         )(x_dino)
         gh, gw = H // PATCH, W // PATCH
         dino_feat = tokens.reshape(B, gh, gw, D)
@@ -330,8 +336,9 @@ class InfiniDepth(nn.Module):
 
 
 def build_infinidepth(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
-                      rng_seed: int = 0, init_size: Optional[int] = None):
-    model = InfiniDepth.from_spec(spec)
+                      rng_seed: int = 0, init_size: Optional[int] = None,
+                      quant: bool = False):
+    model = InfiniDepth.from_spec(spec, quant=quant)
     from desktop2stereo_tpu.models.factory import find_checkpoint
 
     ckpt = checkpoint or find_checkpoint(spec)
@@ -341,10 +348,15 @@ def build_infinidepth(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         params = {"params": convert_infinidepth(ckpt, spec)}
     else:
         size = init_size or (PATCH * 4)
-        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+        float_model = InfiniDepth.from_spec(spec) if quant else model
+        params = jit_init(float_model, jnp.zeros((1, size, size, 3), jnp.float32),
                      rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
+    if quant:
+        from desktop2stereo_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params)
 
     def apply(p, pixels):
         return model.apply(p, pixels)

@@ -284,11 +284,13 @@ class ZoeDepth(nn.Module):
     neck_channels: Sequence[int]
     fusion_channels: int
     patch_size: int = 16
+    quant: bool = False  # int8 trunk matmuls (ops/quant.py), opt-in
 
     @classmethod
-    def from_spec(cls, spec: ModelSpec) -> "ZoeDepth":
+    def from_spec(cls, spec: ModelSpec, quant: bool = False) -> "ZoeDepth":
         return cls(preset=spec.name, neck_channels=spec.neck_channels,
-                   fusion_channels=spec.fusion_channels, patch_size=spec.patch_size)
+                   fusion_channels=spec.fusion_channels,
+                   patch_size=spec.patch_size, quant=quant)
 
     @nn.compact
     def __call__(self, pixels: jax.Array, biases=None) -> jax.Array:
@@ -301,7 +303,7 @@ class ZoeDepth(nn.Module):
         feats, gh, gw = BeitEncoder(
             hidden_size=hidden, num_layers=layers, num_heads=heads, mlp_dim=mlp,
             out_indices=out_idx, pretrain_window=window,
-            patch_size=self.patch_size, name="backbone",
+            patch_size=self.patch_size, quant=self.quant, name="backbone",
         )(pixels, biases=biases)
         relative_depth, aux = ClassicDPTDecoder(
             hidden_size=hidden, neck_channels=self.neck_channels,
@@ -324,8 +326,9 @@ class ZoeDepth(nn.Module):
 
 
 def build_zoedepth(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
-                   rng_seed: int = 0, init_size: Optional[int] = None):
-    model = ZoeDepth.from_spec(spec)
+                   rng_seed: int = 0, init_size: Optional[int] = None,
+                   quant: bool = False):
+    model = ZoeDepth.from_spec(spec, quant=quant)
     from desktop2stereo_tpu.models.factory import find_checkpoint
 
     ckpt = checkpoint or find_checkpoint(spec)
@@ -335,10 +338,15 @@ def build_zoedepth(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         params = {"params": convert_zoedepth(ckpt, spec)}
     else:
         size = init_size or (spec.patch_size * 4)
-        params = jit_init(model, jnp.zeros((1, size, size, 3), jnp.float32),
+        float_model = ZoeDepth.from_spec(spec) if quant else model
+        params = jit_init(float_model, jnp.zeros((1, size, size, 3), jnp.float32),
                      rng_seed=rng_seed)
         print(f"[models] no checkpoint found for {spec.name}; using random init")
     params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
+    if quant:
+        from desktop2stereo_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params)
 
     def apply(p, pixels):
         return model.apply(p, pixels)

@@ -53,6 +53,7 @@ class QuantDense(nn.Module):
     """
 
     features: int
+    use_bias: bool = True
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -63,7 +64,8 @@ class QuantDense(nn.Module):
             (d_in, self.features),
         )
         scale = self.param("scale", nn.initializers.ones, (self.features,))
-        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
 
         xq, sx = dynamic_quantize(x)
         lead = xq.shape[:-1]
@@ -73,14 +75,17 @@ class QuantDense(nn.Module):
             preferred_element_type=jnp.int32,
         )
         out = acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32))[None, :]
-        out = out + bias.astype(jnp.float32)[None, :]
+        if bias is not None:
+            out = out + bias.astype(jnp.float32)[None, :]
         return out.reshape(*lead, self.features).astype(x.dtype)
 
 
 # Dense param names the encoder quantizes (dinov2.py module names).
 _QUANT_DENSE_NAMES = frozenset(
     {"qkv", "proj", "fc1", "fc2", "weights_in", "weights_out",
-     "w12", "w3"})  # w12/w3: DA3 ViT-G SwiGLU naming
+     "w12", "w3",           # DA3 ViT-G SwiGLU naming
+     "w1", "w2",            # InfiniDepth DINOv3 SwiGLU naming
+     "query", "key", "value"})  # BEiT separate-QKV naming
 
 
 def quantize_tree(params: Any, scope="backbone") -> Any:

@@ -95,11 +95,35 @@ def test_quantized_model_tracks_float_model():
     assert rel < 0.1, f"int8 model rel-err {rel:.3f}"
 
 
-def test_quant_rejected_for_other_families():
-    from desktop2stereo_tpu.models.factory import build_bound
+def test_quant_rejected_for_nested():
+    # NESTED runs two aligned branches; quant stays unsupported there
+    from desktop2stereo_tpu.models.factory import build_model
 
-    with pytest.raises(NotImplementedError, match="families"):
-        build_bound("dpt-large", quant="int8")
+    with pytest.raises(NotImplementedError, match="NESTED"):
+        build_model("DA3NESTED-GIANT-LARGE", quant="int8", init_size=56)
+
+
+@pytest.mark.parametrize("name,size,tol", [
+    ("InfiniDepth-Small", 64, 0.99),
+    ("dpt-large", 64, 0.99),
+    ("dpt-hybrid-midas", 64, 0.99),
+    ("dpt-beit-base-384", 64, 0.99),
+    ("zoedepth-nyu", 64, 0.95),  # metric-bins head amplifies small deltas
+])
+def test_quantized_family_tracks_float(name, size, tol):
+    """Every remaining family under --quant int8: the ViT trunk runs int8,
+    stems/decoders/metric heads stay float; outputs track the f32 model."""
+    from desktop2stereo_tpu.models.factory import build_model
+
+    apply_f, params_f, _ = build_model(name, init_size=size, rng_seed=3)
+    apply_q, params_q, _ = build_model(name, init_size=size, rng_seed=3,
+                                       quant="int8")
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random((1, size, size, 3)), jnp.float32)
+    df = np.asarray(apply_f(params_f, x)).ravel()
+    dq = np.asarray(apply_q(params_q, x)).ravel()
+    corr = float(np.corrcoef(df, dq)[0, 1])
+    assert corr > tol, f"int8 {name} corr {corr:.4f}"
 
 
 def test_cli_has_quant_flag():
