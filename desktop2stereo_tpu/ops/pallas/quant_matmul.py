@@ -1,0 +1,133 @@
+"""Fused int8 dense kernel: quantize → int8×int8 MXU matmul → dequant.
+
+The XLA formulation of QuantDense (ops/quant.py) materializes three
+intermediates per matmul — the int8 activation tensor, the int32
+accumulator, and the f32 rescale — i.e. ~2.5 extra HBM passes around the
+MXU op.  At ViT-L's sizes that overhead eats most of int8's 2× MXU-rate
+win.  This kernel keeps the whole chain in VMEM: each grid step loads a
+row tile of the float activations, quantizes it in-register against the
+precomputed per-tensor scale, runs the int8×int8→int32 dot on the MXU,
+and applies the f32 rescale + bias epilogue before the single bf16/f32
+output write.
+
+HBM traffic: read x once (float), read the int8 kernel once per row tile,
+write the float output once — nothing int8/int32 ever hits HBM.
+
+The activation scale is a per-tensor scalar (dynamic abs-max, matching
+ops/quant.py dynamic_quantize exactly) computed by one tiny XLA reduction
+over x — that read is unavoidable in any two-pass dynamic scheme and is
+<20 µs at ViT sizes.
+
+Analog of the reference's TensorRT INT8 engine path
+(reference depth.py:1049-1118); the kernel follows the guide's
+quantization-kernel pattern (symmetric, no zero point).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _kernel_bias(sx_ref, x_ref, wq_ref, scale_ref, bias_ref, out_ref, *,
+                 out_dtype):
+    _body(sx_ref, x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype)
+
+
+def _kernel_nobias(sx_ref, x_ref, wq_ref, scale_ref, out_ref, *, out_dtype):
+    _body(sx_ref, x_ref, wq_ref, scale_ref, None, out_ref, out_dtype)
+
+
+def _body(sx_ref, x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype):
+    """One row tile: quantize x, int8 MXU dot, f32 rescale (+bias), cast."""
+    sx = sx_ref[0, 0]
+    xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * (1.0 / sx)),
+                  -127.0, 127.0).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, wq_ref[...],
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (sx * scale_ref[0, :])[None, :]
+    if bias_ref is not None:
+        out = out + bias_ref[0, :][None, :]
+    out_ref[...] = out.astype(out_dtype)
+
+
+# Test/tuning override: None = platform dispatch, True/False forces.
+FORCE_KERNEL: Optional[bool] = None
+
+# Above this the int8 weight block would crowd VMEM; fall back to XLA.
+_MAX_W_BYTES = 48 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def quant_dense_matmul(
+    x: jax.Array,         # [..., K] float activations
+    kernel_q: jax.Array,  # [K, F] int8
+    scale: jax.Array,     # [F] f32 per-output-channel weight scales
+    bias: Optional[jax.Array] = None,  # [F]
+    interpret: bool = False,
+) -> jax.Array:
+    """Fused QuantDense forward; returns [..., F] in x.dtype.
+
+    Numerics match the XLA formulation in ops/quant.py exactly: same
+    per-tensor dynamic activation scale, same round/clip, f32 epilogue.
+    """
+    K, F = kernel_q.shape
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, K)
+    M = x2.shape[0]
+
+    # per-tensor dynamic activation scale — one tiny XLA reduce
+    sx = jnp.maximum(jnp.max(jnp.abs(x2.astype(jnp.float32))), 1e-8) / 127.0
+    sx = sx.reshape(1, 1)
+
+    # row-tile size: big enough to keep the MXU busy, small enough that the
+    # f32 x/out tiles stay modest next to the resident int8 weight block
+    tm = 256 if M >= 256 else _round_up(max(M, 8), 8)
+    nm = pl.cdiv(M, tm)
+
+    in_specs = [
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    args = [sx, x2, kernel_q, scale.astype(jnp.float32).reshape(1, F)]
+    if bias is not None:
+        kernel = functools.partial(_kernel_bias, out_dtype=x.dtype)
+        in_specs.append(
+            pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        args.append(bias.astype(jnp.float32).reshape(1, F))
+    else:
+        kernel = functools.partial(_kernel_nobias, out_dtype=x.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, F), x.dtype),
+        grid=(nm,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tm, F), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(*args)
+    return out.reshape(*lead, F)
+
+
+def supported(kernel_q: jax.Array) -> bool:
+    """Shapes the kernel accepts: lane-aligned K, weight block fits VMEM."""
+    K, F = kernel_q.shape
+    return K % 128 == 0 and K * F <= _MAX_W_BYTES

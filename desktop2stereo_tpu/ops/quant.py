@@ -43,6 +43,21 @@ def dynamic_quantize(x: jax.Array):
     return q.astype(jnp.int8), scale
 
 
+def _use_kernel(kernel_q: jax.Array) -> bool:
+    """Fused Pallas path on TPU (ops/pallas/quant_matmul.py — one kernel
+    instead of quantize/matmul/dequant as three XLA passes); the plain XLA
+    formulation elsewhere and for shapes the kernel rejects."""
+    from desktop2stereo_tpu.ops.pallas import quant_matmul as qm
+
+    if qm.FORCE_KERNEL is not None:
+        return qm.FORCE_KERNEL
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    return platform == "tpu" and qm.supported(kernel_q)
+
+
 class QuantDense(nn.Module):
     """Drop-in for nn.Dense with an int8 x int8 → int32 MXU matmul.
 
@@ -66,6 +81,17 @@ class QuantDense(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+
+        rows = x.size // d_in if x.size else 0
+        if rows >= 8 and _use_kernel(kernel_q):
+            from desktop2stereo_tpu.ops.pallas.quant_matmul import (
+                quant_dense_matmul,
+            )
+
+            try:
+                return quant_dense_matmul(x, kernel_q, scale, bias)
+            except Exception:
+                pass  # pallas unavailable / unsupported shape → XLA fallback
 
         xq, sx = dynamic_quantize(x)
         lead = xq.shape[:-1]

@@ -221,3 +221,67 @@ def test_quantize_tree_swiglu_names():
     out = quantize_tree(tree)
     assert out["backbone"]["l0"]["mlp"]["w12"]["kernel_q"].dtype == jnp.int8
     assert out["backbone"]["l0"]["mlp"]["w3"]["kernel_q"].dtype == jnp.int8
+
+
+# --- fused Pallas kernel (ops/pallas/quant_matmul.py), interpret mode ------
+
+def _xla_quant_dense(x, kernel_q, scale, bias=None):
+    """The plain-XLA QuantDense formulation, as the parity oracle."""
+    xq, sx = dynamic_quantize(x)
+    lead = xq.shape[:-1]
+    acc = jax.lax.dot_general(
+        xq.reshape(-1, x.shape[-1]), kernel_q,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+    out = acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32))[None, :]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out.reshape(*lead, kernel_q.shape[1]).astype(x.dtype)
+
+
+@pytest.mark.parametrize("M,K,F,with_bias,dtype", [
+    (777, 256, 384, True, jnp.float32),    # odd token count (ViT-L @294x518)
+    (64, 128, 512, False, jnp.float32),    # bias-free (BEiT key projection)
+    (300, 256, 272, True, jnp.bfloat16),   # lane-unaligned F (SwiGLU align8)
+    (9, 128, 128, True, jnp.float32),      # single partial row tile
+])
+def test_quant_matmul_kernel_matches_xla(M, K, F, with_bias, dtype):
+    from desktop2stereo_tpu.ops.pallas.quant_matmul import quant_dense_matmul
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, M, K)) * 0.5, dtype)
+    w = jnp.asarray(rng.standard_normal((K, F)) * 0.05, jnp.float32)
+    from desktop2stereo_tpu.ops.quant import quantize_weight
+    wq, wscale = quantize_weight(w)
+    bias = (jnp.asarray(rng.standard_normal(F) * 0.1, jnp.float32)
+            if with_bias else None)
+
+    got = np.asarray(quant_dense_matmul(x, wq, wscale, bias, interpret=True),
+                     np.float32)
+    want = np.asarray(_xla_quant_dense(x, wq, wscale, bias), np.float32)
+    assert got.shape == want.shape
+    tol = 2e-2 if dtype == jnp.bfloat16 else 1e-5
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+    assert err < tol, f"kernel vs XLA rel-err {err:.2e}"
+
+
+def test_quant_dense_module_kernel_dispatch_and_fallback():
+    """FORCE_KERNEL toggles the module's path; on CPU the forced Pallas
+    attempt fails Mosaic lowering and must fall back to the identical XLA
+    result instead of raising."""
+    from desktop2stereo_tpu.ops.pallas import quant_matmul as qm
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((1, 16, 128)), jnp.float32)
+    mod = QuantDense(64)
+    w = jnp.asarray(rng.standard_normal((128, 64)) * 0.05, jnp.float32)
+    wq, wscale = quantize_weight(w)
+    params = {"params": {"kernel_q": wq, "scale": wscale,
+                         "bias": jnp.zeros((64,), jnp.float32)}}
+    want = np.asarray(mod.apply(params, x))  # default dispatch (XLA on CPU)
+
+    qm.FORCE_KERNEL = True
+    try:
+        forced = np.asarray(mod.apply(params, x))
+    finally:
+        qm.FORCE_KERNEL = None
+    assert np.allclose(want, forced)
