@@ -182,8 +182,39 @@ def run_kernel_parity() -> str:
                                - want.astype(np.int32)).max())
         if fused_err > 1:
             return f"FAIL fused eyes_u8 maxdiff {fused_err}"
+
+        # fused int8 quant matmul (the --quant int8 hot path) vs the XLA
+        # 3-pass formulation at a ViT-L block shape.  Same int8 operands
+        # and f32 epilogue on both sides → near-exact.  Mosaic-only — on a
+        # CPU smoke run the kernel can't lower, so report it skipped.
+        if jax.devices()[0].platform != "tpu":
+            return (f"ok (attn {att_err:.1e}, dibr {dibr_err:.1e}, "
+                    f"fused_u8 {fused_err} LSB, quant skipped: cpu)")
+        from desktop2stereo_tpu.ops.pallas.quant_matmul import (
+            quant_dense_matmul)
+        from desktop2stereo_tpu.ops.quant import (
+            dynamic_quantize, quantize_weight)
+
+        xq_in = jnp.asarray(rng.standard_normal((777, 1024)) * 0.5,
+                            jnp.bfloat16)
+        wq, wscale = quantize_weight(
+            jnp.asarray(rng.standard_normal((1024, 3072)) * 0.05,
+                        jnp.float32))
+        qb = jnp.asarray(rng.standard_normal(3072) * 0.1, jnp.float32)
+        got_q = np.asarray(quant_dense_matmul(xq_in, wq, wscale, qb),
+                           np.float32)
+        xqq, sxq = dynamic_quantize(xq_in)
+        acc = jax.lax.dot_general(xqq, wq, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        want_q = np.asarray(
+            (acc.astype(jnp.float32) * (sxq * wscale)[None, :]
+             + qb[None, :]).astype(xq_in.dtype), np.float32)
+        quant_err = (float(np.abs(got_q - want_q).max())
+                     / max(float(np.abs(want_q).max()), 1e-6))
+        if quant_err > 2e-2:
+            return f"FAIL quant_dense_matmul rel-err {quant_err:.2e}"
         return (f"ok (attn {att_err:.1e}, dibr {dibr_err:.1e}, "
-                f"fused_u8 {fused_err} LSB)")
+                f"fused_u8 {fused_err} LSB, quant {quant_err:.1e})")
     except Exception as e:  # never wedge the benchmark
         return f"ERROR {type(e).__name__}: {e}"
 

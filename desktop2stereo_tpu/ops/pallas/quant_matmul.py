@@ -5,13 +5,20 @@ intermediates per matmul — the int8 activation tensor, the int32
 accumulator, and the f32 rescale — i.e. ~2.5 extra HBM passes around the
 MXU op.  At ViT-L's sizes that overhead eats most of int8's 2× MXU-rate
 win.  This kernel keeps the whole chain in VMEM: each grid step loads a
-row tile of the float activations, quantizes it in-register against the
-precomputed per-tensor scale, runs the int8×int8→int32 dot on the MXU,
-and applies the f32 rescale + bias epilogue before the single bf16/f32
-output write.
+(row, feature) tile pair, quantizes the activation tile in-register
+against the precomputed per-tensor scale, runs the int8×int8→int32 dot
+on the MXU, and applies the f32 rescale + bias epilogue before the
+single bf16/f32 output write.
 
-HBM traffic: read x once (float), read the int8 kernel once per row tile,
-write the float output once — nothing int8/int32 ever hits HBM.
+HBM traffic: read x once per feature-tile sweep (the row tile stays
+resident while the feature index varies — the grid iterates the feature
+axis fastest), read the int8 kernel once per row tile, write the float
+output once — nothing int8/int32 ever hits HBM.
+
+Tiling: grid (rows/tm, F/tf) with tf ≤ 512 so no block exceeds ~2 MB —
+the whole working set (x tile + weight tile + out tile, double-buffered)
+stays ≪ the ~16 MB/core VMEM budget even for DA3-Giant's [1536, 8192]
+SwiGLU weights.
 
 The activation scale is a per-tensor scalar (dynamic abs-max, matching
 ops/quant.py dynamic_quantize exactly) computed by one tiny XLA reduction
@@ -48,7 +55,7 @@ def _kernel_nobias(sx_ref, x_ref, wq_ref, scale_ref, out_ref, *, out_dtype):
 
 
 def _body(sx_ref, x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype):
-    """One row tile: quantize x, int8 MXU dot, f32 rescale (+bias), cast."""
+    """One (row, feature) tile: quantize x, int8 MXU dot, f32 rescale."""
     sx = sx_ref[0, 0]
     xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * (1.0 / sx)),
                   -127.0, 127.0).astype(jnp.int8)
@@ -66,8 +73,9 @@ def _body(sx_ref, x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype):
 # Test/tuning override: None = platform dispatch, True/False forces.
 FORCE_KERNEL: Optional[bool] = None
 
-# Above this the int8 weight block would crowd VMEM; fall back to XLA.
-_MAX_W_BYTES = 48 * 1024 * 1024
+# Per-step VMEM stays bounded by the tile sizes; K only scales the x and
+# weight tiles, so cap it where the double-buffered set is still ≪ VMEM.
+_MAX_K = 16384
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -92,22 +100,24 @@ def quant_dense_matmul(
     sx = jnp.maximum(jnp.max(jnp.abs(x2.astype(jnp.float32))), 1e-8) / 127.0
     sx = sx.reshape(1, 1)
 
-    # row-tile size: big enough to keep the MXU busy, small enough that the
-    # f32 x/out tiles stay modest next to the resident int8 weight block
+    # Row tile: big enough to keep the MXU busy; feature tile: ≤512 lanes
+    # so weight (K×tf int8) and out (tm×tf f32) blocks stay ~≤2 MB each.
     tm = 256 if M >= 256 else _round_up(max(M, 8), 8)
-    nm = pl.cdiv(M, tm)
+    tf = min(512, _round_up(F, 128))
+    nm, nf = pl.cdiv(M, tm), pl.cdiv(F, tf)
 
     in_specs = [
-        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        pl.BlockSpec((tm, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((K, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+        pl.BlockSpec((tm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((K, tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
     args = [sx, x2, kernel_q, scale.astype(jnp.float32).reshape(1, F)]
     if bias is not None:
         kernel = functools.partial(_kernel_bias, out_dtype=x.dtype)
         in_specs.append(
-            pl.BlockSpec((1, F), lambda i: (0, 0), memory_space=pltpu.VMEM))
+            pl.BlockSpec((1, tf), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM))
         args.append(bias.astype(jnp.float32).reshape(1, F))
     else:
         kernel = functools.partial(_kernel_nobias, out_dtype=x.dtype)
@@ -115,12 +125,12 @@ def quant_dense_matmul(
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((M, F), x.dtype),
-        grid=(nm,),
+        grid=(nm, nf),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((tm, F), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tm, tf), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
+            dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
     )(*args)
@@ -128,6 +138,7 @@ def quant_dense_matmul(
 
 
 def supported(kernel_q: jax.Array) -> bool:
-    """Shapes the kernel accepts: lane-aligned K, weight block fits VMEM."""
-    K, F = kernel_q.shape
-    return K % 128 == 0 and K * F <= _MAX_W_BYTES
+    """Shapes the kernel accepts: lane-aligned K of bounded size (every
+    block is tiled small, so F is unconstrained)."""
+    K, _ = kernel_q.shape
+    return K % 128 == 0 and K <= _MAX_K
