@@ -4,7 +4,8 @@ slope-timed.  Refreshes the README per-family table.
 Default invocation spawns ONE SUBPROCESS PER FAMILY: params from earlier
 models otherwise stay resident in HBM and inflate later families' numbers
 (measured: DepthPro ~8% slower as the 10th in-process entry).  Pass family
-names to measure just those, in-process.
+names to measure just those, in-process.  `--quant int8` measures the
+quantized path (fused Pallas kernel) instead of bf16.
 """
 import os
 import subprocess
@@ -25,7 +26,7 @@ CONFIGS = [
 ]
 
 
-def measure(name: str, res: int) -> None:
+def measure(name: str, res: int, quant: str = "none") -> None:
     import jax
     import numpy as np
 
@@ -46,7 +47,7 @@ def measure(name: str, res: int) -> None:
 
     H, W = 1080, 1920
     ps = get_spec(name).patch_size or 14
-    bound, spec = build_bound(name, init_size=ps * 9)
+    bound, spec = build_bound(name, init_size=ps * 9, quant=quant)
     settings = Settings(model=name, depth_resolution=res,
                         output_resolution=1080, display_mode="Half-SBS",
                         depth_strength=2.0)
@@ -60,16 +61,23 @@ def measure(name: str, res: int) -> None:
 
     ms = slope_ms(lambda f: prog(f)[0], frame, n1=40, n2=160, warmup=8,
                   repeats=3)
-    print(f"{name:32s} @{res}  {ms:7.2f} ms/frame  {1000.0/ms:6.1f} FPS"
+    tag = f" [{quant}]" if quant != "none" else ""
+    print(f"{name:32s} @{res}{tag}  {ms:7.2f} ms/frame  {1000.0/ms:6.1f} FPS"
           f"  (compile {compile_s:.0f}s)", flush=True)
 
 
 def main() -> None:
-    names = sys.argv[1:]
+    args = sys.argv[1:]
+    quant = "none"
+    if "--quant" in args:
+        i = args.index("--quant")
+        quant = args[i + 1]
+        args = args[:i] + args[i + 2:]
+    names = args
     if names:
         configs = [c for c in CONFIGS if c[0] in names]
         for name, res in configs:
-            measure(name, res)
+            measure(name, res, quant)
         return
     # one fresh process per family (serialized: one TPU holder at a time).
     # The repo root must ride in PYTHONPATH: the child starts as a plain
@@ -79,10 +87,10 @@ def main() -> None:
     env = dict(os.environ)
     env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
     for name, _res in CONFIGS:
-        rc = subprocess.call(
-            [sys.executable, os.path.abspath(__file__), name],
-            cwd=root, env=env,
-        )
+        cmd = [sys.executable, os.path.abspath(__file__), name]
+        if quant != "none":
+            cmd += ["--quant", quant]
+        rc = subprocess.call(cmd, cwd=root, env=env)
         if rc != 0:
             print(f"{name}: FAILED rc={rc}", flush=True)
 
