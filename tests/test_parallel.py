@@ -132,3 +132,27 @@ def test_data_sharded_output_layout(small_model):
     run = parallel_frame_apply(apply_fn, mesh)
     out = run(sharded, _pix(8))
     assert out.sharding.spec[0] == DATA_AXIS
+
+
+def test_tp_sharded_quantized_matches_unsharded():
+    """int8 trees TP-shard too: QuantDense leaves (kernel_q/scale/bias)
+    inherit the parent module's Megatron role, and the XLA int8 path is
+    GSPMD-exact (the per-tensor activation scale is a global max, reduced
+    across shards)."""
+    apply_fn, params, _ = build_model("Depth-Anything-V2-Small",
+                                      init_size=56, quant="int8")
+    mesh = make_mesh(num_data=1, num_model=8)
+
+    pixels = _pix(1, rng_seed=2)
+    ref = np.asarray(apply_fn(params, pixels))
+
+    sharded = shard_params(params, mesh)
+    # col-parallel qkv: int8 kernel sharded on output features, scale along
+    qkv = sharded["params"]["backbone"]["layer_0"]["attention"]["qkv"]
+    assert qkv["kernel_q"].dtype == jnp.int8
+    assert qkv["kernel_q"].sharding.spec == P(None, MODEL_AXIS)
+    assert qkv["scale"].sharding.spec == P(MODEL_AXIS)
+
+    run = parallel_frame_apply(apply_fn, mesh)
+    out = np.asarray(run(sharded, pixels))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
