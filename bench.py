@@ -98,6 +98,7 @@ def main() -> None:
     h2d_s = time.time() - t0
 
     kernel_parity = run_kernel_parity()
+    int8_fps = run_int8_rate(settings, policy, frame, scalar)
     e2e = run_end_to_end(program, policy)
 
     result = {
@@ -113,9 +114,39 @@ def main() -> None:
         "compile_s": round(compile_s, 1),
         "config": "4K synthetic -> DA-V2 ViT-L @518 (random weights, bf16) -> Half-SBS 4K",
         "kernel_parity": kernel_parity,
+        "int8_pipeline_fps": int8_fps,
         **e2e,
     }
     print(json.dumps(result))
+
+
+def run_int8_rate(settings, policy, frame, scalar):
+    """The same 4K→Half-SBS ViT-L pipeline with --quant int8 (encoder
+    matmuls through the fused Pallas kernel).  Secondary metric; any
+    failure reports as a string instead of sinking the benchmark."""
+    import time
+
+    from desktop2stereo_tpu.models.factory import build_bound
+    from desktop2stereo_tpu.pipeline.programs import ProgramCache, ProgramConfig
+
+    try:
+        bound, spec = build_bound(settings.model, init_size=126, quant="int8")
+        cfg = ProgramConfig.from_settings(settings, quality="high")
+        program = ProgramCache(cfg, bound, spec,
+                               compute_dtype=policy.compute_dtype)
+        program.warmup(frame.shape, steps=2)
+        for _ in range(3):
+            sbs, _ = program(frame)
+        float(scalar(sbs))
+        frames, batch, t0 = 0, 64, time.time()
+        while time.time() - t0 < 8.0:
+            for _ in range(batch):
+                sbs, _ = program(frame)
+                frames += 1
+            float(scalar(sbs))
+        return round(frames / (time.time() - t0), 2)
+    except Exception as e:  # never wedge the scored artifact
+        return f"ERROR {type(e).__name__}: {e}"
 
 
 def run_kernel_parity() -> str:
