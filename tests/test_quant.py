@@ -285,3 +285,22 @@ def test_quant_dense_module_kernel_dispatch_and_fallback():
     finally:
         qm.FORCE_KERNEL = None
     assert np.allclose(want, forced)
+
+
+def test_quant_matmul_kernel_under_vmap():
+    """--batched multi-stream vmaps every stage; the kernel must batch
+    (pallas batching rule) with per-sample activation scales, matching the
+    per-sample runs exactly."""
+    from desktop2stereo_tpu.ops.pallas.quant_matmul import quant_dense_matmul
+
+    rng = np.random.default_rng(3)
+    xs = jnp.asarray(rng.standard_normal((3, 64, 128)) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((128, 256)) * 0.05, jnp.float32)
+    wq, ws = quantize_weight(w)
+    b = jnp.asarray(rng.standard_normal(256), jnp.float32)
+
+    out_v = jax.vmap(
+        lambda x: quant_dense_matmul(x, wq, ws, b, interpret=True))(xs)
+    per = jnp.stack([quant_dense_matmul(xs[i], wq, ws, b, interpret=True)
+                     for i in range(3)])
+    assert float(jnp.abs(out_v - per).max()) == 0.0
