@@ -57,7 +57,9 @@ def _kernel_nobias(sx_ref, x_ref, wq_ref, scale_ref, out_ref, *, out_dtype):
 def _body(sx_ref, x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype):
     """One (row, feature) tile: quantize x, int8 MXU dot, f32 rescale."""
     sx = sx_ref[0, 0]
-    xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) * (1.0 / sx)),
+    # divide (not multiply-by-reciprocal): bit-exact with dynamic_quantize,
+    # and negligible next to the MXU dot
+    xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) / sx),
                   -127.0, 127.0).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, wq_ref[...],
