@@ -304,3 +304,18 @@ def test_quant_matmul_kernel_under_vmap():
     per = jnp.stack([quant_dense_matmul(xs[i], wq, ws, b, interpret=True)
                      for i in range(3)])
     assert float(jnp.abs(out_v - per).max()) == 0.0
+
+
+def test_cli_end_to_end_int8(tmp_path):
+    """`--quant int8` through the real CLI: synthetic frames → quantized
+    DA-V2-S → PNG sink (the surface a user actually runs)."""
+    from desktop2stereo_tpu.cli import run
+
+    out = tmp_path / "out"
+    rc = run(["--source", "synthetic", "--frames", "3", "--sink", "png",
+              "--out", str(out), "--model", "Depth-Anything-V2-Small",
+              "--quant", "int8", "--size", "252x448", "--depth-res", "126",
+              "--stats-every", "999"])
+    assert rc == 0
+    pngs = sorted(p.name for p in out.glob("sbs_*.png"))
+    assert pngs, "no SBS frames written"
