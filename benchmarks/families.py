@@ -71,6 +71,8 @@ def main() -> None:
     quant = "none"
     if "--quant" in args:
         i = args.index("--quant")
+        if i + 1 >= len(args) or args[i + 1] not in ("none", "int8"):
+            sys.exit("usage: families.py [--quant none|int8] [family ...]")
         quant = args[i + 1]
         args = args[:i] + args[i + 2:]
     names = args

@@ -21,7 +21,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from benchmarks._timing import timeit  # noqa: E402
-from desktop2stereo_tpu.ops.quant import dynamic_quantize, quantize_weight  # noqa: E402
+from desktop2stereo_tpu.ops.quant import quantize_weight, xla_quant_dense  # noqa: E402
 from desktop2stereo_tpu.ops.pallas.quant_matmul import quant_dense_matmul  # noqa: E402
 
 # (label, M, K, F) — ViT-L @518 (N=1370) and @294x518 (N=777) block shapes,
@@ -42,13 +42,7 @@ def bf16_dense(x, w, b):
             + b[None, :]).astype(x.dtype)
 
 
-@jax.jit
-def int8_xla(x, wq, scale, b):
-    xq, sx = dynamic_quantize(x)
-    acc = jax.lax.dot_general(xq, wq, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * (sx * scale)[None, :] + b[None, :]
-    return out.astype(x.dtype)
+int8_xla = jax.jit(xla_quant_dense)  # the canonical 3-pass formulation
 
 
 def main() -> None:
@@ -69,8 +63,9 @@ def main() -> None:
         got = np.asarray(quant_dense_matmul(x, wq, wscale, b), np.float32)
         want = np.asarray(int8_xla(x, wq, wscale, b), np.float32)
         err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
-        gflop = 2.0 * M * K * F / 1e9
-        print(f"  -> fused {gflop / t_fused:7.0f} GFLOP/s | "
+        # timeit returns MILLISECONDS → GFLOP/ms == TFLOP/s
+        tflops = 2.0 * M * K * F / 1e9 / t_fused
+        print(f"  -> fused {tflops:6.1f} TFLOP/s | "
               f"vs bf16 {t_bf16 / t_fused:4.2f}x | vs int8-xla "
               f"{t_xla / t_fused:4.2f}x | parity rel-err {err:.1e}")
 

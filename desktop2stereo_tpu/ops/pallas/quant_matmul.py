@@ -75,9 +75,35 @@ def _body(sx_ref, x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype):
 # Test/tuning override: None = platform dispatch, True/False forces.
 FORCE_KERNEL: Optional[bool] = None
 
-# Per-step VMEM stays bounded by the tile sizes; K only scales the x and
-# weight tiles, so cap it where the double-buffered set is still ≪ VMEM.
-_MAX_K = 16384
+# K scales the x tile (tm·K·4 B f32) and weight tile (K·tf B int8); at
+# K=8192 the double-buffered working set is ~22 MB — past ~16 MB/core
+# VMEM already needs the compiler to narrow tiles, so stop there.  Every
+# registry model's widest K is 4096 (ViT-L fc2) / 6144 (ViT-G w3).
+_MAX_K = 8192
+
+# Lazy one-time Mosaic probe: a compile failure inside an OUTER jit trace
+# surfaces at the outer compile where QuantDense's try/except can't catch
+# it, so prove the kernel compiles on this backend once, eagerly, before
+# ever dispatching it from inside a trace.
+_PROBE_OK: Optional[bool] = None
+
+
+def probe() -> bool:
+    """Compile+run the kernel once on a tiny shape; cache the verdict."""
+    global _PROBE_OK
+    if _PROBE_OK is None:
+        try:
+            import numpy as np
+
+            out = quant_dense_matmul(
+                jnp.ones((8, 128), jnp.float32),
+                jnp.ones((128, 128), jnp.int8),
+                jnp.ones((128,), jnp.float32),
+            )
+            _PROBE_OK = bool(np.isfinite(np.asarray(out)).all())
+        except Exception:
+            _PROBE_OK = False
+    return _PROBE_OK
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))

@@ -43,6 +43,27 @@ def dynamic_quantize(x: jax.Array):
     return q.astype(jnp.int8), scale
 
 
+def xla_quant_dense(x: jax.Array, kernel_q: jax.Array, scale: jax.Array,
+                    bias=None) -> jax.Array:
+    """The canonical XLA int8 formulation: dynamic per-tensor activation
+    quantize → int8×int8→int32 dot → f32 rescale (+bias), cast to x.dtype.
+    QuantDense's fallback path and the parity oracle for the fused Pallas
+    kernel (bench.py kernel_parity, tests, benchmarks) — ONE copy, so the
+    scheme can't drift between module and oracles."""
+    d_in = x.shape[-1]
+    xq, sx = dynamic_quantize(x)
+    lead = xq.shape[:-1]
+    acc = jax.lax.dot_general(
+        xq.reshape(-1, d_in), kernel_q,
+        (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32))[None, :]
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, :]
+    return out.reshape(*lead, kernel_q.shape[1]).astype(x.dtype)
+
+
 def _use_kernel(kernel_q: jax.Array) -> bool:
     """Fused Pallas path on TPU (ops/pallas/quant_matmul.py — one kernel
     instead of quantize/matmul/dequant as three XLA passes); the plain XLA
@@ -55,7 +76,10 @@ def _use_kernel(kernel_q: jax.Array) -> bool:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    return platform == "tpu" and qm.supported(kernel_q)
+    # qm.probe() compiles the kernel ONCE eagerly: a Mosaic failure during
+    # an outer jit trace would surface at the outer compile, past the
+    # dispatch try/except — prove it here instead.
+    return platform == "tpu" and qm.supported(kernel_q) and qm.probe()
 
 
 class QuantDense(nn.Module):
@@ -93,17 +117,7 @@ class QuantDense(nn.Module):
             except Exception:
                 pass  # pallas unavailable / unsupported shape → XLA fallback
 
-        xq, sx = dynamic_quantize(x)
-        lead = xq.shape[:-1]
-        acc = jax.lax.dot_general(
-            xq.reshape(-1, d_in), kernel_q,
-            (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        out = acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32))[None, :]
-        if bias is not None:
-            out = out + bias.astype(jnp.float32)[None, :]
-        return out.reshape(*lead, self.features).astype(x.dtype)
+        return xla_quant_dense(x, kernel_q, scale, bias)
 
 
 # Dense param names the encoder quantizes (dinov2.py module names).

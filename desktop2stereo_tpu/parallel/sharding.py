@@ -109,8 +109,20 @@ def parallel_frame_apply(
 
     @jax.jit
     def run(params, pixels):
-        pixels = jax.lax.with_sharding_constraint(pixels, data_in)
-        depth = model_apply(params, pixels)
+        # Trace-time: force quantized Denses onto the XLA formulation.  A
+        # Pallas call is an opaque custom call to GSPMD — over TP-sharded
+        # weights it would be gathered/replicated per layer, defeating the
+        # sharding exactly where it matters.  The jit body executes once
+        # per trace, so this toggles dispatch, not runtime state.
+        from desktop2stereo_tpu.ops.pallas import quant_matmul as qm
+
+        prev = qm.FORCE_KERNEL
+        qm.FORCE_KERNEL = False
+        try:
+            pixels = jax.lax.with_sharding_constraint(pixels, data_in)
+            depth = model_apply(params, pixels)
+        finally:
+            qm.FORCE_KERNEL = prev
         return jax.lax.with_sharding_constraint(depth, out_sharding)
 
     return run

@@ -225,17 +225,7 @@ def test_quantize_tree_swiglu_names():
 
 # --- fused Pallas kernel (ops/pallas/quant_matmul.py), interpret mode ------
 
-def _xla_quant_dense(x, kernel_q, scale, bias=None):
-    """The plain-XLA QuantDense formulation, as the parity oracle."""
-    xq, sx = dynamic_quantize(x)
-    lead = xq.shape[:-1]
-    acc = jax.lax.dot_general(
-        xq.reshape(-1, x.shape[-1]), kernel_q,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
-    out = acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32))[None, :]
-    if bias is not None:
-        out = out + bias.astype(jnp.float32)[None, :]
-    return out.reshape(*lead, kernel_q.shape[1]).astype(x.dtype)
+from desktop2stereo_tpu.ops.quant import xla_quant_dense as _xla_quant_dense
 
 
 @pytest.mark.parametrize("M,K,F,with_bias,dtype", [
@@ -319,3 +309,38 @@ def test_cli_end_to_end_int8(tmp_path):
     assert rc == 0
     pngs = sorted(p.name for p in out.glob("sbs_*.png"))
     assert pngs, "no SBS frames written"
+
+
+def test_parallel_frame_apply_gates_off_quant_kernel(monkeypatch):
+    """Under the SPMD wrapper a Pallas call is opaque to GSPMD (it would
+    gather TP-sharded weights per layer), so parallel_frame_apply traces
+    with the kernel disabled — even when dispatch is forced on."""
+    import desktop2stereo_tpu.ops.pallas.quant_matmul as qm
+    from desktop2stereo_tpu.core.runtime import make_mesh
+    from desktop2stereo_tpu.parallel.sharding import (
+        parallel_frame_apply, shard_params)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+
+    calls = []
+
+    def boom(*a, **k):
+        calls.append(1)
+        raise AssertionError("quant kernel dispatched inside SPMD trace")
+
+    monkeypatch.setattr(qm, "quant_dense_matmul", boom)
+    monkeypatch.setattr(qm, "FORCE_KERNEL", True)
+
+    from desktop2stereo_tpu.models.factory import build_model
+    apply_fn, params, _ = build_model("Depth-Anything-V2-Small",
+                                      init_size=56, quant="int8")
+    mesh = make_mesh(num_data=1, num_model=8)
+    sharded = shard_params(params, mesh)
+    run = parallel_frame_apply(apply_fn, mesh)
+    pixels = jnp.asarray(
+        np.random.default_rng(4).standard_normal((1, 56, 56, 3)),
+        jnp.float32)
+    out = np.asarray(run(sharded, pixels))
+    assert not calls
+    assert np.isfinite(out).all()
