@@ -1,33 +1,31 @@
 """Fused int8 dense kernel: quantize → int8×int8 MXU matmul → dequant.
 
-The XLA formulation of QuantDense (ops/quant.py) materializes three
-intermediates per matmul — the int8 activation tensor, the int32
-accumulator, and the f32 rescale — i.e. ~2.5 extra HBM passes around the
-MXU op.  At ViT-L's sizes that overhead eats most of int8's 2× MXU-rate
-win.  This kernel keeps the whole chain in VMEM: each grid step loads a
-(row, feature) tile pair, quantizes the activation tile in-register
-against the precomputed per-tensor scale, runs the int8×int8→int32 dot
-on the MXU, and applies the f32 rescale + bias epilogue before the
-single bf16/f32 output write.
+The XLA formulation of QuantDense (ops/quant.py xla_quant_dense)
+materializes three intermediates per matmul — the int8 activation tensor,
+the int32 accumulator, and the f32 rescale — i.e. ~2.5 extra HBM passes
+around the MXU op.  At ViT-L's sizes that overhead eats most of int8's 2×
+MXU-rate win.  This kernel keeps the whole chain in VMEM: each grid step
+loads a (row, feature) tile pair, computes the per-row (per-token)
+activation scales and quantizes in-register, runs the int8×int8→int32 dot
+on the MXU, and applies the f32 rescale + bias epilogue before the single
+bf16/f32 output write.
 
 HBM traffic: read x once per feature-tile sweep (the row tile stays
 resident while the feature index varies — the grid iterates the feature
 axis fastest), read the int8 kernel once per row tile, write the float
-output once — nothing int8/int32 ever hits HBM.
+output once — nothing int8/int32 ever hits HBM, and unlike the XLA form
+there is no separate scale-reduction pass at all.
 
 Tiling: grid (rows/tm, F/tf) with tf ≤ 512 so no block exceeds ~2 MB —
 the whole working set (x tile + weight tile + out tile, double-buffered)
 stays ≪ the ~16 MB/core VMEM budget even for DA3-Giant's [1536, 8192]
 SwiGLU weights.
 
-The activation scale is a per-tensor scalar (dynamic abs-max, matching
-ops/quant.py dynamic_quantize exactly) computed by one tiny XLA reduction
-over x — that read is unavoidable in any two-pass dynamic scheme and is
-<20 µs at ViT sizes.
-
-Analog of the reference's TensorRT INT8 engine path
-(reference depth.py:1049-1118); the kernel follows the guide's
-quantization-kernel pattern (symmetric, no zero point).
+Quantization scheme (matches xla_quant_dense bit-exactly): symmetric,
+zero-point-free, per-row dynamic activation scales × per-output-channel
+weight scales.  Analog of the reference's TensorRT INT8 engine path
+(reference depth.py:1049-1118); follows the guide's quantization-kernel
+pattern.
 """
 
 from __future__ import annotations
@@ -45,28 +43,27 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel_bias(sx_ref, x_ref, wq_ref, scale_ref, bias_ref, out_ref, *,
-                 out_dtype):
-    _body(sx_ref, x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype)
+def _kernel_bias(x_ref, wq_ref, scale_ref, bias_ref, out_ref, *, out_dtype):
+    _body(x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype)
 
 
-def _kernel_nobias(sx_ref, x_ref, wq_ref, scale_ref, out_ref, *, out_dtype):
-    _body(sx_ref, x_ref, wq_ref, scale_ref, None, out_ref, out_dtype)
+def _kernel_nobias(x_ref, wq_ref, scale_ref, out_ref, *, out_dtype):
+    _body(x_ref, wq_ref, scale_ref, None, out_ref, out_dtype)
 
 
-def _body(sx_ref, x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype):
-    """One (row, feature) tile: quantize x, int8 MXU dot, f32 rescale."""
-    sx = sx_ref[0, 0]
-    # divide (not multiply-by-reciprocal): bit-exact with dynamic_quantize,
-    # and negligible next to the MXU dot
-    xq = jnp.clip(jnp.round(x_ref[...].astype(jnp.float32) / sx),
-                  -127.0, 127.0).astype(jnp.int8)
+def _body(x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype):
+    """One (row, feature) tile: per-row quantize, int8 MXU dot, rescale."""
+    xf = x_ref[...].astype(jnp.float32)
+    # per-row dynamic scale — same clamp/round as dynamic_quantize_rows
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-8) / 127.0
+    xq = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, wq_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    out = acc.astype(jnp.float32) * (sx * scale_ref[0, :])[None, :]
+    out = acc.astype(jnp.float32) * (sx * scale_ref[0, :][None, :])
     if bias_ref is not None:
         out = out + bias_ref[0, :][None, :]
     out_ref[...] = out.astype(out_dtype)
@@ -116,17 +113,13 @@ def quant_dense_matmul(
 ) -> jax.Array:
     """Fused QuantDense forward; returns [..., F] in x.dtype.
 
-    Numerics match the XLA formulation in ops/quant.py exactly: same
-    per-tensor dynamic activation scale, same round/clip, f32 epilogue.
+    Numerics match ops/quant.py xla_quant_dense exactly: same per-row
+    dynamic activation scales, same round/clip, f32 epilogue.
     """
     K, F = kernel_q.shape
     lead = x.shape[:-1]
     x2 = x.reshape(-1, K)
     M = x2.shape[0]
-
-    # per-tensor dynamic activation scale — one tiny XLA reduce
-    sx = jnp.maximum(jnp.max(jnp.abs(x2.astype(jnp.float32))), 1e-8) / 127.0
-    sx = sx.reshape(1, 1)
 
     # Row tile: big enough to keep the MXU busy; feature tile: ≤512 lanes
     # so weight (K×tf int8) and out (tm×tf f32) blocks stay ~≤2 MB each.
@@ -135,12 +128,11 @@ def quant_dense_matmul(
     nm, nf = pl.cdiv(M, tm), pl.cdiv(F, tf)
 
     in_specs = [
-        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
         pl.BlockSpec((tm, K), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((K, tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, tf), lambda i, j: (0, j), memory_space=pltpu.VMEM),
     ]
-    args = [sx, x2, kernel_q, scale.astype(jnp.float32).reshape(1, F)]
+    args = [x2, kernel_q, scale.astype(jnp.float32).reshape(1, F)]
     if bias is not None:
         kernel = functools.partial(_kernel_bias, out_dtype=x.dtype)
         in_specs.append(
