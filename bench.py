@@ -25,6 +25,34 @@ REFERENCE_4K_FPS = 18.0  # reference Benchmark.md:9 (best 4K→4K row)
 
 
 def main() -> None:
+    # A dead axon tunnel relay makes jax.devices() hang FOREVER (no error,
+    # no timeout) — probe it on a daemon thread so the scored artifact
+    # records a diagnostic line instead of wedging the driver.
+    import os
+    import threading
+
+    ready = threading.Event()
+
+    def _probe():
+        import jax as _jax
+
+        _jax.devices()
+        ready.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not ready.wait(timeout=240.0):
+        print(json.dumps({
+            "metric": "device_pipeline_fps_4k_halfsbs_vitl518",
+            "value": None,
+            "unit": "frames/sec",
+            "vs_baseline": None,
+            "error": "TPU unreachable: jax.devices() did not return within "
+                     "240s (tunnel relay down — see the verify skill's "
+                     "symptom ladder)",
+        }))
+        sys.stdout.flush()
+        os._exit(1)  # the probe thread is unjoinably hung
+
     import jax
     import jax.numpy as jnp
     import numpy as np
