@@ -48,6 +48,7 @@ class MjpegSink:
         self._cond = threading.Condition()
         self._latest: Optional[np.ndarray] = None
         self._latest_lock = threading.Lock()
+        self._stats: dict = {}
         self._conn_count = 0
         self._conn_lock = threading.Lock()
         self._shutdown = threading.Event()
@@ -98,6 +99,19 @@ class MjpegSink:
                             "mode": sink.mode_switcher.cfg.display_mode,
                             "available": list(DISPLAY_MODES),
                         }).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
+                if self.path.startswith("/stats"):
+                    # FPS / 1%-low / per-stage latency / frame + drop counts
+                    # — the reference's title-bar readout as JSON (reference
+                    # main.py:1233-1251)
+                    import json as _json
+
+                    body = _json.dumps(sink._stats or {}).encode()
+                    self.send_response(200)
                     self.send_header("Content-Type", "application/json")
                     self.send_header("Content-Length", str(len(body)))
                     self.end_headers()
@@ -165,6 +179,8 @@ class MjpegSink:
     # -- pipeline interface --------------------------------------------------
 
     def push(self, sbs_u8: np.ndarray, depth, stats) -> None:
+        if isinstance(stats, dict):
+            self._stats = stats  # served at GET /stats (atomic rebind)
         if self._overlay is not None:
             if isinstance(stats, dict):
                 fps = stats.get("fps", 0.0)

@@ -243,3 +243,34 @@ def test_rtmp_sink_serve_without_mediamtx(tmp_path):
                     mediamtx=None)
     assert sink._server is None
     sink.shutdown()
+
+
+def test_mjpeg_stats_endpoint():
+    """GET /stats: the title-bar readout as JSON (reference
+    main.py:1233-1251) — fps, per-stage latency, frame/drop counts."""
+    import json
+
+    sink = MjpegSink(port=0, host="127.0.0.1")
+    try:
+        def get(path):
+            conn = http.client.HTTPConnection("127.0.0.1", sink.port, timeout=5)
+            conn.request("GET", path)
+            r = conn.getresponse()
+            body = r.read()
+            conn.close()
+            return r.status, json.loads(body)
+
+        status, body = get("/stats")
+        assert status == 200 and body == {}  # nothing pushed yet
+
+        frame = np.zeros((16, 16, 3), np.uint8)
+        stats = {"fps": 42.5, "fps_1pct_low": 30.0, "frame_ms": 23.5,
+                 "latency": {"capture": 0.001, "compute": 0.012},
+                 "frames": 100, "dropped": 7}
+        sink.push(frame, None, stats)
+        status, body = get("/stats")
+        assert status == 200
+        assert body["fps"] == 42.5 and body["dropped"] == 7
+        assert body["latency"]["compute"] == 0.012
+    finally:
+        sink.close()
