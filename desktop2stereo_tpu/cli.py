@@ -72,6 +72,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="touch this file to request shutdown")
     p.add_argument("--stats-every", type=float, default=2.0,
                    help="seconds between stats lines (0 = quiet)")
+    p.add_argument("--profile-dir", default=None,
+                   help="capture a JAX/XLA profiler trace of the run into "
+                        "this dir (view with TensorBoard's profile plugin); "
+                        "starts after warmup so compiles stay out of it")
     p.add_argument("--streams", type=int, default=1,
                    help="serve N concurrent feeds through one compiled "
                         "pipeline (per-stream state; png/video/mjpeg sinks "
@@ -393,7 +397,13 @@ def run(args=None) -> int:
     if probe is not None:
         engine.preload(probe)  # the shape probe is frame 0, not a casualty
 
+    tracing = False
     try:
+        if args.profile_dir:
+            from desktop2stereo_tpu.pipeline.profiling import start_trace
+
+            print(f"[d2s] profiler trace -> {start_trace(args.profile_dir)}")
+            tracing = True
         engine.start()
         t_end = None if args.duration is None else time.monotonic() + args.duration
         last_stats = time.monotonic()
@@ -415,6 +425,13 @@ def run(args=None) -> int:
                 last_stats = now
             time.sleep(0.05)
     finally:
+        if tracing:
+            from desktop2stereo_tpu.pipeline.profiling import stop_trace
+
+            try:
+                stop_trace()
+            except Exception:
+                pass
         shutdown.set()
         # watchdog: hard-exit if native threads refuse to unwind
         # (reference main.py:325-339)
