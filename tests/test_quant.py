@@ -344,3 +344,16 @@ def test_parallel_frame_apply_gates_off_quant_kernel(monkeypatch):
     out = np.asarray(run(sharded, pixels))
     assert not calls
     assert np.isfinite(out).all()
+
+
+def test_mosaic_probe_gates_dispatch_on_cpu():
+    """On a backend that can't lower the kernel (CPU), probe() is False
+    and default dispatch must stay on the XLA path without raising."""
+    import desktop2stereo_tpu.ops.pallas.quant_matmul as qm
+
+    prev = qm._PROBE_OK
+    qm._PROBE_OK = None
+    try:
+        assert qm.probe() is False  # Mosaic can't lower on CPU
+    finally:
+        qm._PROBE_OK = prev
