@@ -104,7 +104,31 @@ class WorkerManager:
         return proc.poll() is not None
 
 
-def _form_page(settings: Settings) -> bytes:
+# Bilingual labels, the reference GUI's EN/中文 toggle (reference
+# gui.py:570-604 keeps a translation dict and re-renders on switch).
+_L10N = {
+    "en": {
+        "model": "Depth Model", "depth_res": "Depth Resolution",
+        "out_res": "Output Resolution", "mode": "Display Mode",
+        "strength": "Depth Strength", "ipd": "IPD",
+        "source": "Source", "window": "Window Title", "cursor": "Cursor",
+        "sink": "Sink", "audio": "Audio (rtmp)", "quant": "Quantization",
+        "run": "Run", "stop": "Stop", "running": "running pid ",
+        "stopped": "stopped", "lang_link": "中文",
+    },
+    "zh": {
+        "model": "深度模型", "depth_res": "深度分辨率",
+        "out_res": "输出分辨率", "mode": "显示模式",
+        "strength": "深度强度", "ipd": "瞳距",
+        "source": "输入源", "window": "窗口标题", "cursor": "光标",
+        "sink": "输出", "audio": "音频 (rtmp)", "quant": "量化",
+        "run": "运行", "stop": "停止", "running": "运行中 pid ",
+        "stopped": "已停止", "lang_link": "English",
+    },
+}
+
+
+def _form_page(settings: Settings, lang: str = "en") -> bytes:
     model_opts = "".join(
         f'<option {"selected" if n == settings.model else ""}>{n}</option>'
         for n in sorted(MODEL_REGISTRY)
@@ -121,32 +145,38 @@ def _form_page(settings: Settings) -> bytes:
         n: list(s.resolutions) for n, s in MODEL_REGISTRY.items()
         if s.resolutions
     })
-    html = f"""<!doctype html><html><head><title>desktop2stereo-tpu control</title>
+    L = _L10N["zh" if lang == "zh" else "en"]
+    other = "en" if lang == "zh" else "zh"
+    html = f"""<!doctype html><html><head><meta charset="utf-8">
+<title>desktop2stereo-tpu control</title>
 <style>body{{font-family:sans-serif;background:#111;color:#eee;max-width:640px;margin:2em auto}}
 label{{display:block;margin:.6em 0 .2em}}select,input{{width:100%;padding:.3em;background:#222;color:#eee;border:1px solid #444}}
-button{{margin-top:1em;padding:.5em 2em}}#log{{white-space:pre-wrap;font-family:monospace;font-size:11px;background:#000;padding:1em;max-height:280px;overflow:auto}}</style>
+button{{margin-top:1em;padding:.5em 2em}}#log{{white-space:pre-wrap;font-family:monospace;font-size:11px;background:#000;padding:1em;max-height:280px;overflow:auto}}
+#lang{{float:right;color:#8cf}}</style>
 </head><body>
+<a id="lang" href="/?lang={other}">{L['lang_link']}</a>
 <h2>desktop2stereo-tpu</h2>
-<form method="post" action="/start">
-<label>Depth Model</label><select name="model" id="model" onchange="syncRes()">{model_opts}</select>
-<label>Depth Resolution</label><select name="depth_resolution" id="depth_resolution">
+<form method="post" action="/start?lang={lang}">
+<label>{L['model']}</label><select name="model" id="model" onchange="syncRes()">{model_opts}</select>
+<label>{L['depth_res']}</label><select name="depth_resolution" id="depth_resolution">
 <option>{settings.depth_resolution}</option></select>
-<label>Output Resolution</label><input name="output_resolution" value="{settings.output_resolution}">
-<label>Display Mode</label><select name="display_mode">{mode_opts}</select>
-<label>Depth Strength</label><input name="depth_strength" value="{settings.depth_strength}">
-<label>IPD</label><input name="ipd" value="{settings.ipd}">
-<label>Source</label><select name="source"><option>synthetic</option><option>screen</option><option>video</option><option>image</option></select>
-<label>Window Title</label><input name="window_title" placeholder="(whole screen)">
-<label>Cursor</label><select name="cursor"><option value="on">on</option><option value="off">off</option></select>
-<label>Sink</label><select name="sink"><option>mjpeg</option><option>window</option><option>png</option><option>video</option><option>null</option><option>rtmp</option><option>xr</option></select>
-<label>Audio (rtmp)</label><select name="audio"><option>auto</option><option>none</option></select>
-<label>Quantization</label><select name="quant"><option value="none">none (bf16)</option><option value="int8">int8 (DA family)</option></select>
-<button type="submit">Run</button>
+<label>{L['out_res']}</label><input name="output_resolution" value="{settings.output_resolution}">
+<label>{L['mode']}</label><select name="display_mode">{mode_opts}</select>
+<label>{L['strength']}</label><input name="depth_strength" value="{settings.depth_strength}">
+<label>{L['ipd']}</label><input name="ipd" value="{settings.ipd}">
+<label>{L['source']}</label><select name="source"><option>synthetic</option><option>screen</option><option>video</option><option>image</option></select>
+<label>{L['window']}</label><input name="window_title" placeholder="(whole screen)">
+<label>{L['cursor']}</label><select name="cursor"><option value="on">on</option><option value="off">off</option></select>
+<label>{L['sink']}</label><select name="sink"><option>mjpeg</option><option>window</option><option>png</option><option>video</option><option>null</option><option>rtmp</option><option>xr</option></select>
+<label>{L['audio']}</label><select name="audio"><option>auto</option><option>none</option></select>
+<label>{L['quant']}</label><select name="quant"><option value="none">none (bf16)</option><option value="int8">int8</option></select>
+<button type="submit">{L['run']}</button>
 </form>
-<form method="post" action="/stop"><button type="submit">Stop</button></form>
+<form method="post" action="/stop?lang={lang}"><button type="submit">{L['stop']}</button></form>
 <p id="status"></p><div id="log"></div>
 <script>
 const RES_MENUS = {res_menus};
+const RUNNING = {json.dumps(L['running'])}, STOPPED = {json.dumps(L['stopped'])};
 function syncRes(){{
  const model=document.getElementById('model').value;
  const sel=document.getElementById('depth_resolution');
@@ -162,7 +192,7 @@ function syncRes(){{
 }}
 async function tick(){{
  const s=await (await fetch('/status')).json();
- document.getElementById('status').textContent=s.running?('running pid '+s.pid):'stopped';
+ document.getElementById('status').textContent=s.running?(RUNNING+s.pid):STOPPED;
  document.getElementById('log').textContent=await (await fetch('/logs')).text();
 }}
 setInterval(tick, 2000); tick(); syncRes();
@@ -186,12 +216,15 @@ def serve(port: int = 8700, settings_path: str = "settings.yaml",
             self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802
-            if self.path in ("/", "/index.html"):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path in ("/", "/index.html"):
                 settings = (
                     load_settings(settings_path)
                     if os.path.exists(settings_path) else Settings()
                 )
-                self._send(200, _form_page(settings))
+                lang = urllib.parse.parse_qs(parsed.query).get(
+                    "lang", ["en"])[0]
+                self._send(200, _form_page(settings, lang))
             elif self.path == "/status":
                 body = json.dumps({
                     "running": manager.running,
@@ -214,11 +247,13 @@ def serve(port: int = 8700, settings_path: str = "settings.yaml",
         def do_POST(self):  # noqa: N802
             length = int(self.headers.get("Content-Length", 0))
             fields = urllib.parse.parse_qs(self.rfile.read(length).decode())
+            parsed = urllib.parse.urlparse(self.path)
+            lang = urllib.parse.parse_qs(parsed.query).get("lang", ["en"])[0]
 
             def val(name, default):
                 return fields.get(name, [default])[0]
 
-            if self.path == "/start":
+            if parsed.path == "/start":
                 base = (
                     load_settings(settings_path)
                     if os.path.exists(settings_path) else Settings()
@@ -246,13 +281,13 @@ def serve(port: int = 8700, settings_path: str = "settings.yaml",
                 except RuntimeError as e:
                     self._send(409, str(e).encode())
                     return
-            elif self.path == "/stop":
+            elif parsed.path == "/stop":
                 manager.stop()
             else:
                 self._send(404, b"not found")
                 return
             self.send_response(303)
-            self.send_header("Location", "/")
+            self.send_header("Location", f"/?lang={lang}")
             self.end_headers()
 
     server = ThreadingHTTPServer((host, port), Handler)
