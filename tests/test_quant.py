@@ -233,6 +233,7 @@ from desktop2stereo_tpu.ops.quant import xla_quant_dense as _xla_quant_dense
     (64, 128, 512, False, jnp.float32),    # bias-free (BEiT key projection)
     (300, 256, 272, True, jnp.bfloat16),   # lane-unaligned F (SwiGLU align8)
     (9, 128, 128, True, jnp.float32),      # single partial row tile
+    (300, 128, 1100, True, jnp.float32),   # nf=3 feature tiles, last partial
 ])
 def test_quant_matmul_kernel_matches_xla(M, K, F, with_bias, dtype):
     from desktop2stereo_tpu.ops.pallas.quant_matmul import quant_dense_matmul
