@@ -358,3 +358,44 @@ def test_mosaic_probe_gates_dispatch_on_cpu():
         assert qm.probe() is False  # Mosaic can't lower on CPU
     finally:
         qm._PROBE_OK = prev
+
+
+# --- property-based invariants (hypothesis) ---------------------------------
+
+from hypothesis import given, settings as hsettings, strategies as st
+
+
+@given(rows=st.integers(1, 40), cols=st.integers(1, 40),
+       scale_pow=st.integers(-6, 6), seed=st.integers(0, 2**31 - 1))
+@hsettings(max_examples=30, deadline=None)
+def test_quantize_weight_error_bound_property(rows, cols, scale_pow, seed):
+    """Reconstruction error ≤ half an LSB per channel at ANY magnitude."""
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.standard_normal((rows, cols)) * 10.0 ** scale_pow,
+                    jnp.float32)
+    q, scale = quantize_weight(w)
+    deq = q.astype(jnp.float32) * scale[None, :]
+    err = np.abs(np.asarray(deq - w))
+    bound = np.asarray(scale)[None, :] * 0.5 + 1e-7
+    assert (err <= bound).all()
+    assert int(np.abs(np.asarray(q)).max()) <= 127
+
+
+@given(rows=st.integers(1, 33), cols=st.integers(1, 65),
+       seed=st.integers(0, 2**31 - 1))
+@hsettings(max_examples=30, deadline=None)
+def test_dynamic_quantize_rows_property(rows, cols, seed):
+    """Per-row: |q| ≤ 127, scales positive, reconstruction ≤ 0.5 LSB/row,
+    and an all-zero row yields zeros (clamped scale, no NaN)."""
+    from desktop2stereo_tpu.ops.quant import dynamic_quantize_rows
+
+    rng = np.random.default_rng(seed)
+    x = rng.standard_normal((rows, cols)).astype(np.float32)
+    x[0] = 0.0  # force a degenerate row
+    q, s = dynamic_quantize_rows(jnp.asarray(x))
+    q, s = np.asarray(q), np.asarray(s)
+    assert s.shape == (rows, 1) and (s > 0).all()
+    assert np.abs(q).max() <= 127
+    assert (q[0] == 0).all()
+    err = np.abs(q.astype(np.float32) * s - x)
+    assert (err <= s * 0.5 + 1e-7).all()
