@@ -247,6 +247,19 @@ def run_kernel_parity() -> str:
         if fused_err > 1:
             return f"FAIL fused eyes_u8 maxdiff {fused_err}"
 
+        # sbs_hwc_u8 — the production mode at lane-aligned eye widths
+        # (4K/1080p outputs): the kernel also does the pixel interleave, so
+        # the flat rows must equal the eyes_u8 result relayouted (exact:
+        # quantize commutes with the permutation).
+        flat = dibr_render_pair_planar(
+            rgbp, depp, half, ipd=0.064, depth_strength=2.0,
+            convergence=0.01, out_mode="sbs_hwc_u8")
+        got_hwc = np.asarray(flat)[:H, : 6 * half].reshape(H, 2 * half, 3)
+        hwc_err = int(np.abs(got_hwc.astype(np.int32)
+                             - got.transpose(1, 2, 0).astype(np.int32)).max())
+        if hwc_err != 0:
+            return f"FAIL sbs_hwc_u8 vs eyes_u8 maxdiff {hwc_err}"
+
         # fused int8 quant matmul (the --quant int8 hot path) vs the XLA
         # 3-pass formulation at a ViT-L block shape.  Same int8 operands
         # and f32 epilogue on both sides → near-exact.  Mosaic-only — on a

@@ -53,3 +53,34 @@ timeit("pad/transpose glue (HWC->planar)", pad_only, rgb, depth)
 
 out_a = np.asarray(fused(rgbp, depp))
 print("fused output ok:", out_a.shape, out_a.dtype, out_a[::700, ::900, 0].tolist())
+
+# --- production arrangement: half-width eyes at OUTPUT size -----------------
+# 4K Half-SBS: each eye renders at [2160, 1920] from the pair-mean-squeezed
+# source.  eyes_u8 needs an XLA concat + CHW→HWC transpose after the kernel;
+# sbs_hwc_u8 emits the final interleaved layout (row crop + free reshape).
+EH, EW = H, W // 2
+hp2, wp2, _ = pair_tiling(EH, EW)
+rgb_h = jax.device_put(rng.random((3, hp2, wp2), np.float32) * 255.0)
+dep_h = jax.device_put(rng.random((1, hp2, wp2), np.float32))
+
+
+@jax.jit
+def prod_eyes_u8(rp, dp):
+    l, r = dibr_render_pair_planar(rp, dp, EW, ipd=0.064, depth_strength=2.0,
+                                   out_mode="eyes_u8")
+    return jnp.concatenate(
+        [l[:, :EH, :EW], r[:, :EH, :EW]], axis=2).transpose(1, 2, 0)
+
+
+@jax.jit
+def prod_sbs_hwc(rp, dp):
+    flat = dibr_render_pair_planar(rp, dp, EW, ipd=0.064, depth_strength=2.0,
+                                   out_mode="sbs_hwc_u8")
+    return flat[:EH].reshape(EH, 2 * EW, 3)
+
+
+timeit("PROD eyes_u8 + XLA concat/transpose", prod_eyes_u8, rgb_h, dep_h)
+timeit("PROD sbs_hwc_u8 (in-kernel HWC)", prod_sbs_hwc, rgb_h, dep_h)
+a = np.asarray(prod_eyes_u8(rgb_h, dep_h)).astype(np.int32)
+b = np.asarray(prod_sbs_hwc(rgb_h, dep_h)).astype(np.int32)
+print("prod parity max |Δ|:", np.abs(a - b).max())

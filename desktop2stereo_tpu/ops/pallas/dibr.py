@@ -169,6 +169,50 @@ def _dibr_kernel(px_ref, conf_ref,
         out_ref[c] = color[c] + conf * (filled - color[c])
 
 
+def _interleave_rgb_u8(ch, w_out: int, lanes_out: int, th: int) -> jax.Array:
+    """3 planar [th, >=w_out] f32 channels → [th, lanes_out] u8 in flat HWC
+    order: out[h, 3j+c] = quantize(ch[c][h, j]).
+
+    The pixel interleave is the CHW→HWC relayout that otherwise runs as an
+    XLA transpose+concat after the kernel (~0.6 ms at 4K — 12 MB through
+    HBM twice, shuffle-bound).  Here each 128-lane output group gathers its
+    ≤43 consecutive source pixels from the (at most two) source lane groups
+    they span — the rows are already in VMEM, so HBM sees only the final u8
+    store.  Trailing lanes past 3*w_out clamp to the last pixel (callers
+    crop or gate on exact multiples)."""
+    ng_src = (ch[0].shape[1] + LANES - 1) // LANES
+    pad = ng_src * LANES - ch[0].shape[1]
+    if pad:
+        ch = [jnp.concatenate([x, jnp.zeros((th, pad), x.dtype)], axis=1)
+              for x in ch]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (th, LANES), 1)
+    groups = []
+    for g in range(lanes_out // LANES):
+        m = g * LANES + lane
+        j = jnp.minimum(m // 3, w_out - 1)
+        c = m % 3
+        # static source-group bounds from the (monotone, clamped) j range
+        j_min = min((g * LANES) // 3, w_out - 1)
+        j_max = min((g * LANES + LANES - 1) // 3, w_out - 1)
+        q_lo, q_hi = j_min // LANES, j_max // LANES
+        r = j % LANES
+        vals = []
+        for cc in range(3):
+            a = ch[cc][:, q_lo * LANES:(q_lo + 1) * LANES]
+            ga = jnp.take_along_axis(a, r, axis=1, mode="promise_in_bounds")
+            if q_hi != q_lo:
+                b = ch[cc][:, q_hi * LANES:(q_hi + 1) * LANES]
+                gb = jnp.take_along_axis(b, r, axis=1,
+                                         mode="promise_in_bounds")
+                ga = jnp.where(j // LANES == q_lo, ga, gb)
+            vals.append(ga)
+        groups.append(
+            jnp.where(c == 0, vals[0], jnp.where(c == 1, vals[1], vals[2])))
+    out = groups[0] if len(groups) == 1 else jnp.concatenate(groups, axis=1)
+    # Mosaic has no f32→u8 cast; clip keeps the i32 round-trip exact
+    return jnp.clip(out + 0.5, 0.0, 255.0).astype(jnp.int32).astype(jnp.uint8)
+
+
 def _lane_pair_avg(x: jax.Array) -> jax.Array:
     """[th, wp] -> [th, wp//2]: mean of adjacent lane pairs (the Half-SBS
     horizontal area x2 squeeze, reference depth.py:2219-2226).
@@ -383,6 +427,31 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
                             .astype(jnp.int32).astype(jnp.uint8))
         return
 
+    if out_mode == "sbs_hwc_u8":
+        # The finished SBS frame in FINAL memory layout: one [th, Lp] u8
+        # buffer holding flat HWC rows (left eye pixels in [0, 3·width),
+        # right eye in [3·width, 6·width)).  The caller's whole tail is a
+        # row-crop + free reshape — no XLA concat, no CHW→HWC transpose.
+        (out_ref,) = out_refs
+        packed = [
+            jnp.concatenate(
+                [eye_out[0][c][:, :width], eye_out[1][c][:, :width]], axis=1)
+            for c in range(3)
+        ]
+        out_ref[...] = _interleave_rgb_u8(
+            packed, 2 * width, out_ref.shape[1], th)
+        return
+
+    if out_mode == "eyes_hwc_u8":
+        # Per-eye flat-HWC u8 buffers (Half-TAB tail: the caller row-concats
+        # the eyes, which is a contiguous copy — the expensive relayout is
+        # the interleave, fused here).
+        out_l_ref, out_r_ref = out_refs
+        for ref, eye in ((out_l_ref, eye_out[0]), (out_r_ref, eye_out[1])):
+            ref[...] = _interleave_rgb_u8(
+                [eye[c] for c in range(3)], width, ref.shape[1], th)
+        return
+
     # "half_sbs_u8": squeeze each eye x2 horizontally (area), place left eye
     # in cols [0, W/2), right eye at [W/2, W), quantize round-half-up to u8
     # — the whole compose_display("Half-SBS") + clip/cast stage fused here
@@ -436,8 +505,14 @@ def dibr_render_pair_planar(
     """Both stereo eyes in ONE fused pass over pre-padded planar inputs.
 
     out_mode "eyes": returns (left, right) planar f32 [3, hp, wp].
-    out_mode "eyes_u8": same, quantized u8 in the kernel — the PRODUCTION
-    mode (the fused tail renders each eye at output size and concats).
+    out_mode "eyes_u8": same, quantized u8 in the kernel.
+    out_mode "sbs_hwc_u8": returns ONE u8 [hp, Lp] (Lp = 6·width rounded up
+    to lanes) of flat-HWC rows — left eye pixels interleaved in lanes
+    [0, 3·width), right eye in [3·width, 6·width).  The PRODUCTION Half-SBS
+    mode: `out[:H].reshape(H, 2·width, 3)` is the finished frame, no XLA
+    concat/transpose after the kernel.
+    out_mode "eyes_hwc_u8": (left, right) u8 [hp, Lp] flat-HWC per eye
+    (Lp = 3·width rounded up) — the Half-TAB tail (caller row-concats).
     out_mode "half_sbs_u8": returns ONE planar u8 [3, hp, wp] whose first
     `width` columns are the finished Half-SBS frame (left eye squeezed x2
     in [0, W/2), right eye in [W/2, W)) — the full-width warp-then-squeeze
@@ -492,6 +567,21 @@ def dibr_render_pair_planar(
         out_shape = (jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8),
                      jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8))
         out_specs = (out_spec(), out_spec())
+    elif out_mode in ("sbs_hwc_u8", "eyes_hwc_u8"):
+        lanes_out = _round_up(
+            (6 if out_mode == "sbs_hwc_u8" else 3) * W, LANES)
+
+        def hwc_spec():
+            return pl.BlockSpec((tile_h, lanes_out), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+
+        if out_mode == "sbs_hwc_u8":
+            out_shape = jax.ShapeDtypeStruct((hp, lanes_out), jnp.uint8)
+            out_specs = hwc_spec()
+        else:
+            out_shape = (jax.ShapeDtypeStruct((hp, lanes_out), jnp.uint8),
+                         jax.ShapeDtypeStruct((hp, lanes_out), jnp.uint8))
+            out_specs = (hwc_spec(), hwc_spec())
     else:
         out_shape = jax.ShapeDtypeStruct((3, hp, wp), jnp.uint8)
         out_specs = out_spec()

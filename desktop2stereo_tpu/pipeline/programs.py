@@ -347,14 +347,28 @@ def _build_step(
                             mode="edge")
             dep_h = jnp.pad(dep_h, ((0, hp2 - eh), (0, wp2 - ew)),
                             mode="edge")[None]
-            left, right = dibr_render_pair_planar(
-                rgb_h, dep_h, ew,
-                ipd=cfg.ipd, depth_strength=cfg.depth_strength,
-                convergence=cfg.convergence, out_mode="eyes_u8",
-            )
-            sbs = jnp.concatenate(
-                [left[:, :eh, :ew], right[:, :eh, :ew]], axis=1 if tab else 2
-            ).transpose(1, 2, 0)
+            kw = dict(ipd=cfg.ipd, depth_strength=cfg.depth_strength,
+                      convergence=cfg.convergence)
+            # The hwc modes emit the FINAL pixel-interleaved u8 layout from
+            # inside the kernel (the planar→HWC transpose + eye concat cost
+            # ~0.6 ms at 4K as XLA ops); gated on the flat row length being
+            # an exact lane multiple so the reshape below is free.
+            if not tab and (6 * ew) % 128 == 0:
+                flat = dibr_render_pair_planar(
+                    rgb_h, dep_h, ew, out_mode="sbs_hwc_u8", **kw)
+                sbs = flat[:eh].reshape(eh, 2 * ew, 3)
+            elif tab and (3 * ew) % 128 == 0:
+                l8, r8 = dibr_render_pair_planar(
+                    rgb_h, dep_h, ew, out_mode="eyes_hwc_u8", **kw)
+                sbs = jnp.concatenate(
+                    [l8[:eh], r8[:eh]], axis=0).reshape(2 * eh, ew, 3)
+            else:
+                left, right = dibr_render_pair_planar(
+                    rgb_h, dep_h, ew, out_mode="eyes_u8", **kw)
+                sbs = jnp.concatenate(
+                    [left[:, :eh, :ew], right[:, :eh, :ew]],
+                    axis=1 if tab else 2,
+                ).transpose(1, 2, 0)
         else:  # odd halved axis etc. — generic path on HWC
             sbs = stereo_stage(rgb_pre, depth)
         return sbs, depth

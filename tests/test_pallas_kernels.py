@@ -107,6 +107,41 @@ def test_dibr_pair_fused_half_sbs_u8():
             got.astype(np.int32), want.astype(np.int32), atol=1)
 
 
+def test_dibr_pair_hwc_u8_modes_match_eyes_u8():
+    """'sbs_hwc_u8' / 'eyes_hwc_u8' ≡ 'eyes_u8' + the XLA crop/concat/
+    transpose tail they replace — exact (quantize commutes with the
+    interleave permutation).  Covers an exact-lane-multiple width and a
+    padded one (trailing lanes cropped by the caller)."""
+    from desktop2stereo_tpu.ops.pallas.dibr import (
+        dibr_render_pair_planar, pad_planar,
+    )
+
+    rng = np.random.default_rng(6)
+    for H, W in ((96, 256), (50, 200)):
+        rgb = jnp.asarray(rng.random((H, W, 3)) * 255.0, jnp.float32)
+        depth = jnp.asarray(rng.random((H, W)), jnp.float32)
+        rgbp, depp = pad_planar(rgb, depth)
+        kw = dict(ipd=0.064, depth_strength=2.0, convergence=0.01,
+                  interpret=True)
+        lq, rq = dibr_render_pair_planar(rgbp, depp, W, out_mode="eyes_u8",
+                                         **kw)
+        l_hwc = np.asarray(lq)[:, :H, :W].transpose(1, 2, 0)
+        r_hwc = np.asarray(rq)[:, :H, :W].transpose(1, 2, 0)
+
+        flat = dibr_render_pair_planar(rgbp, depp, W, out_mode="sbs_hwc_u8",
+                                       **kw)
+        got = np.asarray(flat)[:H, : 6 * W].reshape(H, 2 * W, 3)
+        np.testing.assert_array_equal(
+            got, np.concatenate([l_hwc, r_hwc], axis=1))
+
+        l8, r8 = dibr_render_pair_planar(rgbp, depp, W,
+                                         out_mode="eyes_hwc_u8", **kw)
+        np.testing.assert_array_equal(
+            np.asarray(l8)[:H, : 3 * W].reshape(H, W, 3), l_hwc)
+        np.testing.assert_array_equal(
+            np.asarray(r8)[:H, : 3 * W].reshape(H, W, 3), r_hwc)
+
+
 def test_dibr_pair_eyes_u8_quantizes_in_kernel():
     """out_mode='eyes_u8' ≡ out_mode='eyes' → clip(+0.5)→u8 per eye (the
     half-width Half-SBS tail's building block: each eye already renders at

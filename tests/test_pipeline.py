@@ -342,6 +342,64 @@ def test_fused_halftab_structure_matches_jnp(monkeypatch):
                                want.astype(np.int32), atol=1)
 
 
+@pytest.mark.parametrize("mode", ["Half-SBS", "Half-TAB"])
+def test_fused_hwc_tail_at_lane_multiple_widths(mode, monkeypatch):
+    """At lane-multiple eye widths the fused tail emits the final HWC u8
+    layout from inside the kernel ('sbs_hwc_u8' / 'eyes_hwc_u8'); the
+    frames must match the jnp formulation exactly like the generic-width
+    path does.  Frame 64x128: Half-SBS eye width 64 (6·64 lane-aligned),
+    Half-TAB eye width 128 (3·128 lane-aligned)."""
+    import functools
+
+    import desktop2stereo_tpu.ops.pallas.dibr as dibr
+    import desktop2stereo_tpu.pipeline.programs as P
+    from desktop2stereo_tpu.ops import stereo as S
+
+    monkeypatch.setattr(P, "_stereo_on_tpu", lambda: True)
+    monkeypatch.setattr(
+        dibr, "dibr_render_pair_planar",
+        functools.partial(dibr.dibr_render_pair_planar, interpret=True),
+    )
+
+    cfg = make_cfg(display_mode=mode)
+    frame = jnp.asarray(
+        np.random.default_rng(11).integers(0, 255, (64, 128, 4), np.uint8))
+    fused_step = build_frame_step(cfg, fake_model_apply,
+                                  compute_dtype=jnp.float32)
+    assert len(fused_step.stages) == 2, "fused structure not active"
+    sbs_f, depth_f, _ = fused_step(frame, init_state(64, 128))
+    assert sbs_f.shape == (64, 128, 3) and sbs_f.dtype == jnp.uint8
+
+    monkeypatch.setattr(P, "_stereo_on_tpu", lambda: False)
+    generic_step = build_frame_step(cfg, fake_model_apply,
+                                    compute_dtype=jnp.float32)
+    _, depth_g, _ = generic_step(frame, init_state(64, 128))
+    np.testing.assert_allclose(np.asarray(depth_f), np.asarray(depth_g),
+                               atol=1e-5, rtol=1e-5)
+
+    rgb_hwc = np.asarray(jnp.asarray(frame[..., [2, 1, 0]], jnp.float32))
+    dep = np.asarray(depth_g)
+    oh, ow = dep.shape
+    if mode == "Half-SBS":
+        half = ow // 2
+        rgb_h = jnp.asarray(rgb_hwc.reshape(oh, half, 2, 3).mean(2), jnp.float32)
+        dep_h = jnp.asarray(dep.reshape(oh, half, 2).mean(2), jnp.float32)
+        axis = 1
+    else:
+        eh = oh // 2
+        rgb_h = jnp.asarray(rgb_hwc.reshape(eh, 2, ow, 3).mean(1), jnp.float32)
+        dep_h = jnp.asarray(dep.reshape(eh, 2, ow).mean(1), jnp.float32)
+        axis = 0
+    left = S.dibr_render(rgb_h, dep_h, -cfg.ipd / 2, cfg.depth_strength,
+                         cfg.convergence)
+    right = S.dibr_render(rgb_h, dep_h, +cfg.ipd / 2, cfg.depth_strength,
+                          cfg.convergence)
+    want = np.clip(np.concatenate([np.asarray(left), np.asarray(right)],
+                                  axis=axis) + 0.5, 0, 255).astype(np.uint8)
+    np.testing.assert_allclose(np.asarray(sbs_f).astype(np.int32),
+                               want.astype(np.int32), atol=1)
+
+
 @pytest.mark.parametrize("shape", [
     (3, 3), (1, 48), (48, 1), (17, 33),      # degenerate / odd
     (33, 17),                                 # odd portrait
