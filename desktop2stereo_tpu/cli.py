@@ -61,6 +61,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="stereo path: DIBR+inpaint vs grid-shift")
     p.add_argument("--checkpoint", help="safetensors path (else cache/random)")
     p.add_argument("--fp32", action="store_true", help="disable bf16 compute")
+    p.add_argument("--device", default="auto", choices=["auto", "cpu", "tpu"],
+                   help="compute platform (the reference's 'Computing "
+                        "Device' dropdown, utils.py:1077-1096): 'cpu' "
+                        "forces the CPU backend (works with no TPU grant), "
+                        "'auto'/'tpu' use the chip")
     p.add_argument("--quant", default="none", choices=["none", "int8"],
                    help="int8 encoder matmuls (2x the bf16 MXU rate; "
                         "DA/VDA/DA3/DepthPro families; the TRT INT8 engine analog)")
@@ -312,6 +317,34 @@ def _sink_kwargs(kind: str, args, settings) -> dict:
     return {}
 
 
+def _apply_device_choice(device: str) -> None:
+    """Pin the jax platform BEFORE any backend init.
+
+    'cpu' must go through jax.config (the host sitecustomize overrides the
+    JAX_PLATFORMS env var).  For 'auto'/'tpu', probe jax.devices() on a
+    daemon thread with a deadline: a dead axon tunnel relay makes that call
+    hang FOREVER (no exception), and an interactive CLI should print the
+    diagnostic instead of silently wedging (same guard as bench.py)."""
+    import jax
+
+    if device == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        return
+    ready = threading.Event()
+
+    def _probe():
+        jax.devices()
+        ready.set()
+
+    threading.Thread(target=_probe, daemon=True).start()
+    if not ready.wait(timeout=180.0):
+        print("[d2s] FATAL: jax.devices() did not return within 180s — "
+              "TPU tunnel relay down or another process holds the chip "
+              "grant.  Re-run with --device cpu, or wait for the relay.",
+              file=sys.stderr)
+        os._exit(2)  # the probe thread is unjoinably hung
+
+
 def run(args=None) -> int:
     args = build_parser().parse_args(args)
 
@@ -343,6 +376,7 @@ def run(args=None) -> int:
         settings = settings.replace(**overrides)
 
     apply_settings_defaults(args, settings)
+    _apply_device_choice(args.device)
     source, program, sink, settings = make_components(args, settings)
 
     if args.streams > 1:
