@@ -581,14 +581,17 @@ class ProgramCache:
         else:
             self._stateful = hasattr(model_apply, "first") and hasattr(model_apply, "step")
         self._step, self._first = self._build_steps(cfg)
-        # live display-mode switching (the reference's viewer hot-keys,
-        # reference viewer.py:2304): step variants per mode, lazily compiled;
-        # the carried state (EMA, temporal caches) is mode-independent and
-        # survives the switch
-        self._variants: Dict[str, Tuple[Callable, Callable]] = {
-            cfg.display_mode: (self._step, self._first)
+        # live display-mode + depth-strength switching (the reference's
+        # viewer hot-keys: TAB cycles modes, UP/DOWN/0 step the depth ratio,
+        # reference viewer.py:2304-2333): step variants per (mode, strength),
+        # lazily compiled and kept (the persistent XLA cache makes revisits
+        # ~instant); the carried state (EMA, temporal caches) is
+        # variant-independent and survives every switch
+        self._variants: Dict[Tuple[str, float], Tuple[Callable, Callable]] = {
+            self._variant_key(cfg): (self._step, self._first)
         }
-        self._pending_mode: Optional[str] = None
+        self._pending_variant: Optional[Tuple[str, float]] = None
+        self._strength_default = float(cfg.depth_strength)
         self._states: Dict[Tuple[int, int, int], FrameState] = {}
 
     def _build_steps(self, cfg: ProgramConfig, share_from=None):
@@ -613,6 +616,15 @@ class ProgramCache:
         )
         return step, first
 
+    MAX_DEPTH_STRENGTH = 10.0  # reference viewer.py:2321-2326 clamp
+
+    @staticmethod
+    def _variant_key(cfg: ProgramConfig) -> Tuple[str, float]:
+        return (cfg.display_mode, float(cfg.depth_strength))
+
+    def _pending_key(self) -> Tuple[str, float]:
+        return self._pending_variant or self._variant_key(self.cfg)
+
     def set_display_mode(self, mode: str) -> None:
         """Request a display-mode switch; applied atomically at the next
         frame (safe to call from any thread, e.g. a sink's key handler)."""
@@ -620,37 +632,58 @@ class ProgramCache:
 
         if mode not in DISPLAY_MODES:
             raise ValueError(f"unknown display mode {mode!r}")
-        self._pending_mode = mode
+        self._pending_variant = (mode, self._pending_key()[1])
 
     def cycle_display_mode(self, delta: int = 1) -> str:
         """Step through DISPLAY_MODES (viewer hot-key behavior); returns the
         newly requested mode."""
         from desktop2stereo_tpu.core.config import DISPLAY_MODES
 
-        cur = self._pending_mode or self.cfg.display_mode
-        idx = (DISPLAY_MODES.index(cur) + delta) % len(DISPLAY_MODES)
+        idx = (DISPLAY_MODES.index(self._pending_key()[0]) + delta) % len(
+            DISPLAY_MODES)
         self.set_display_mode(DISPLAY_MODES[idx])
         return DISPLAY_MODES[idx]
 
-    def _apply_pending_mode(self) -> None:
-        mode = self._pending_mode
-        if mode is None or mode == self.cfg.display_mode:
-            self._pending_mode = None
+    def set_depth_strength(self, value: float) -> float:
+        """Request a live depth-strength change (the reference viewer's
+        UP/DOWN-key `depth_ratio` adjustment, reference viewer.py:2321-2329),
+        clamped to [0, 10] and applied atomically at the next frame."""
+        value = min(self.MAX_DEPTH_STRENGTH, max(0.0, float(value)))
+        self._pending_variant = (self._pending_key()[0], value)
+        return value
+
+    def adjust_depth_strength(self, delta: float = 0.5) -> float:
+        """Step depth strength by ±delta (reference steps 0.5)."""
+        return self.set_depth_strength(self._pending_key()[1] + delta)
+
+    def reset_depth_strength(self) -> float:
+        """Back to the configured value (reference KEY_0 → original)."""
+        return self.set_depth_strength(self._strength_default)
+
+    @property
+    def depth_strength(self) -> float:
+        return self._pending_key()[1]
+
+    def _apply_pending(self) -> None:
+        key = self._pending_variant
+        self._pending_variant = None
+        if key is None or key == self._variant_key(self.cfg):
             return
-        if mode not in self._variants:
-            cfg = dataclasses.replace(self.cfg, display_mode=mode)
-            self._variants[mode] = self._build_steps(
+        if key not in self._variants:
+            cfg = dataclasses.replace(self.cfg, display_mode=key[0],
+                                      depth_strength=key[1])
+            self._variants[key] = self._build_steps(
                 cfg, share_from=(self._step, self._first))
-        self.cfg = dataclasses.replace(self.cfg, display_mode=mode)
-        self._step, self._first = self._variants[mode]
-        self._pending_mode = None
+        self.cfg = dataclasses.replace(self.cfg, display_mode=key[0],
+                                       depth_strength=key[1])
+        self._step, self._first = self._variants[key]
 
     def __call__(self, frame_u8: jax.Array, stream: int = 0):
         """`stream` keys the carried state (EMA depth, temporal caches) so
         several concurrent feeds — dual-display capture, multi-client
         serving — share the compiled programs without sharing state."""
-        if self._pending_mode is not None:
-            self._apply_pending_mode()
+        if self._pending_variant is not None:
+            self._apply_pending()
         h, w = frame_u8.shape[0], frame_u8.shape[1]
         oh, ow = process_frame_size(h, w, self.cfg.output_height)
         key = (stream, oh, ow)

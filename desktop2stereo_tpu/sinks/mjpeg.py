@@ -104,6 +104,40 @@ class MjpegSink:
                     self.end_headers()
                     self.wfile.write(body)
                     return
+                if self.path.startswith("/strength"):
+                    # live depth strength (the reference viewer's UP/DOWN/0
+                    # keys, reference viewer.py:2321-2329): GET /strength,
+                    # ?set=2.5, ?delta=0.5, ?reset=1
+                    import json as _json
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    sw = sink.mode_switcher
+                    if sw is None or not hasattr(sw, "set_depth_strength"):
+                        self.send_response(503)
+                        body = b'{"error": "no live pipeline attached"}'
+                    else:
+                        try:
+                            if "set" in q:
+                                v = sw.set_depth_strength(float(q["set"][0]))
+                            elif "delta" in q:
+                                v = sw.adjust_depth_strength(
+                                    float(q["delta"][0]))
+                            elif "reset" in q:
+                                v = sw.reset_depth_strength()
+                            else:
+                                v = sw.depth_strength
+                            self.send_response(200)
+                            body = _json.dumps(
+                                {"depth_strength": v}).encode()
+                        except ValueError as e:
+                            self.send_response(400)
+                            body = _json.dumps({"error": str(e)}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if self.path.startswith("/stats"):
                     # FPS / 1%-low / per-stage latency / frame + drop counts
                     # — the reference's title-bar readout as JSON (reference

@@ -102,6 +102,21 @@ class WindowSink:
                 if idx < len(DISPLAY_MODES):
                     self.mode_switcher.set_display_mode(DISPLAY_MODES[idx])
                     print(f"[window] display mode → {DISPLAY_MODES[idx]}")
+            # live depth strength (the reference viewer's UP/DOWN/0 keys,
+            # reference viewer.py:2321-2329; +/- here — cv2's waitKey
+            # cannot see arrow keys through the 0xFF mask)
+            elif key in (ord("+"), ord("=")) and hasattr(
+                    self.mode_switcher, "adjust_depth_strength"):
+                v = self.mode_switcher.adjust_depth_strength(+0.5)
+                print(f"[window] depth strength → {v:.1f}")
+            elif key == ord("-") and hasattr(
+                    self.mode_switcher, "adjust_depth_strength"):
+                v = self.mode_switcher.adjust_depth_strength(-0.5)
+                print(f"[window] depth strength → {v:.1f}")
+            elif key == ord("0") and hasattr(
+                    self.mode_switcher, "reset_depth_strength"):
+                v = self.mode_switcher.reset_depth_strength()
+                print(f"[window] depth strength reset → {v:.1f}")
 
     def close(self) -> None:
         if self._created:

@@ -171,6 +171,43 @@ def test_program_cache_live_display_mode_switch():
     assert np.asarray(sbs_c).shape == np.asarray(sbs_a).shape
 
 
+def test_program_cache_live_depth_strength():
+    """Live depth-strength stepping (the reference viewer's UP/DOWN/0 keys,
+    reference viewer.py:2321-2329): clamped 0.5 steps, applied at the next
+    frame, carried state survives, variants are cached for reuse."""
+    cfg = make_cfg(depth_strength=2.0)
+    program = ProgramCache(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    frame = np.asarray(
+        np.random.default_rng(3).integers(0, 255, (72, 128, 4), np.uint8))
+
+    sbs_a, _ = program(frame)
+    assert program.depth_strength == 2.0
+
+    assert program.adjust_depth_strength(+0.5) == 2.5
+    sbs_b, _ = program(frame)
+    assert program.cfg.depth_strength == 2.5
+    assert program._states, "carried state was dropped on strength switch"
+    assert not np.array_equal(np.asarray(sbs_a), np.asarray(sbs_b)), \
+        "stronger disparity must change the stereo output"
+
+    # clamps at both ends (reference clamps to [0, 10])
+    assert program.set_depth_strength(99.0) == program.MAX_DEPTH_STRENGTH
+    assert program.adjust_depth_strength(-999.0) == 0.0
+    # reset returns to the configured value; the 2.0 variant is reused
+    n_variants = len(program._variants)
+    assert program.reset_depth_strength() == 2.0
+    sbs_c, _ = program(frame)
+    assert len(program._variants) == n_variants
+    assert program.cfg.depth_strength == 2.0
+
+    # mode and strength compose into one pending switch
+    program.set_display_mode("Full-SBS")
+    program.set_depth_strength(3.0)
+    program(frame)
+    assert program.cfg.display_mode == "Full-SBS"
+    assert program.cfg.depth_strength == 3.0
+
+
 def test_mailbox_counts_drops():
     box = Mailbox()
     for i in range(5):

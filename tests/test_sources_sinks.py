@@ -134,6 +134,57 @@ def test_mjpeg_mode_endpoint():
         sink.close()
 
 
+def test_mjpeg_strength_endpoint():
+    """GET /strength: the HTTP analog of the reference viewer's UP/DOWN/0
+    depth-ratio keys (reference viewer.py:2321-2329)."""
+    import json
+
+    class FakeProgram:
+        def __init__(self):
+            self.value = 2.0
+
+        @property
+        def depth_strength(self):
+            return self.value
+
+        def set_depth_strength(self, v):
+            self.value = min(10.0, max(0.0, float(v)))
+            return self.value
+
+        def adjust_depth_strength(self, d):
+            return self.set_depth_strength(self.value + d)
+
+        def reset_depth_strength(self):
+            return self.set_depth_strength(2.0)
+
+    sink = MjpegSink(port=0, host="127.0.0.1")
+    try:
+        def get(path):
+            conn = http.client.HTTPConnection("127.0.0.1", sink.port, timeout=5)
+            conn.request("GET", path)
+            r = conn.getresponse()
+            body = r.read()
+            conn.close()
+            return r.status, json.loads(body)
+
+        status, _ = get("/strength")
+        assert status == 503  # no pipeline attached yet
+
+        sink.mode_switcher = FakeProgram()
+        status, body = get("/strength")
+        assert status == 200 and body["depth_strength"] == 2.0
+        status, body = get("/strength?delta=0.5")
+        assert status == 200 and body["depth_strength"] == 2.5
+        status, body = get("/strength?set=99")
+        assert status == 200 and body["depth_strength"] == 10.0
+        status, body = get("/strength?reset=1")
+        assert status == 200 and body["depth_strength"] == 2.0
+        status, body = get("/strength?set=bogus")
+        assert status == 400 and "error" in body
+    finally:
+        sink.close()
+
+
 def test_null_sink():
     s = NullSink()
     s.push(np.zeros((4, 4, 3), np.uint8), None, {})

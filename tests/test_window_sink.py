@@ -123,6 +123,34 @@ def test_display_mode_hotkeys(monkeypatch):
     assert prog.calls == [("cycle", 1), DISPLAY_MODES[4]]
 
 
+def test_depth_strength_hotkeys(monkeypatch):
+    """+/-/0 step the live depth strength (the reference viewer's
+    UP/DOWN/0 keys, reference viewer.py:2321-2329)."""
+    sink, fake = make_sink(monkeypatch)
+
+    class FakeProgram:
+        def __init__(self):
+            self.calls = []
+
+        def set_display_mode(self, m):
+            pass
+
+        def adjust_depth_strength(self, d):
+            self.calls.append(d)
+            return 2.0 + d
+
+        def reset_depth_strength(self):
+            self.calls.append("reset")
+            return 2.0
+
+    prog = FakeProgram()
+    sink.mode_switcher = prog
+    fake.key_queue = [ord("+"), ord("-"), ord("0"), ord("=")]
+    for _ in range(4):
+        sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    assert prog.calls == [0.5, -0.5, "reset", 0.5]
+
+
 def test_headless_construction_fails_cleanly(monkeypatch):
     monkeypatch.delenv("DISPLAY", raising=False)
     monkeypatch.delenv("WAYLAND_DISPLAY", raising=False)
