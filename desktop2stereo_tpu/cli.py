@@ -49,6 +49,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--settings is given, else mjpeg")
     p.add_argument("--show-fps", action="store_true",
                    help="green FPS overlay on the output (viewer sink)")
+    p.add_argument("--feather", action="store_true",
+                   help="per-eye edge feathering (the reference viewer's "
+                        "KEY_B effect; toggle live with 'b' in the window "
+                        "sink or GET /feather on the MJPEG sink)")
     p.add_argument("--out", help="output path/dir for png/video/rtmp sinks")
     p.add_argument("--frames", type=int, help="stop after N frames")
     p.add_argument("--duration", type=float, help="stop after N seconds")
@@ -156,6 +160,10 @@ def make_components(args, settings):
     compute_dtype = effective_compute_dtype(spec, policy.compute_dtype)
 
     cfg = ProgramConfig.from_settings(settings, quality=args.quality)
+    if getattr(args, "feather", False):
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, edge_feather=True)
     if args.streams > 1 and getattr(args, "batched", False):
         if args.crop and args.crop != "off":
             raise SystemExit("--batched does not support --crop")

@@ -249,7 +249,8 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
                       eye_offset: float, depth_strength: float,
                       convergence: float, edge_margin: float,
                       width: int, vshift: int, tile_h: int, tile_idx_max: int,
-                      out_mode: str = "eyes"):
+                      out_mode: str = "eyes",
+                      feather: float = 0.0, height: int = 0):
     """Both eyes in one pass: depth pre-smooth + shaping + edge falloff +
     per-eye warp/confidence + shared inpaint sweeps + blends (the whole
     dibr_render body, reference viewer.py:528-631).
@@ -406,6 +407,21 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
             out.append(color[c] + conf * (filled - color[c]))
         eye_out.append(out)
 
+    if feather > 0.0:
+        # per-eye viewport edge feathering (reference viewer.py:586-613,
+        # KEY_B): rgb × (fadeL·fadeR·fadeT·fadeB)^0.7, smoothstep fades over
+        # `feather` of the view.  Fused here where the rows are in VMEM —
+        # the mask is pure iota math, no extra input.
+        def fstep(x):
+            t = jnp.clip(x * (1.0 / feather), 0.0, 1.0)
+            return t * t * (3.0 - 2.0 * t)
+
+        row = (i * th + jax.lax.broadcasted_iota(jnp.int32, (th, wp), 0)
+               ).astype(jnp.float32)
+        v = (row + 0.5) / height
+        fmask = (fstep(u) * fstep(1.0 - u) * fstep(v) * fstep(1.0 - v)) ** 0.7
+        eye_out = [[c * fmask for c in eye] for eye in eye_out]
+
     if out_mode == "eyes":
         out_l_ref, out_r_ref = out_refs
         for c in range(3):
@@ -486,7 +502,7 @@ def pair_tiling(H: int, W: int) -> Tuple[int, int, int]:
     jax.jit,
     static_argnames=("width", "ipd", "depth_strength", "convergence",
                      "search_radius", "depth_tolerance", "edge_margin",
-                     "vshift", "out_mode", "interpret"),
+                     "vshift", "out_mode", "interpret", "feather", "height"),
 )
 def dibr_render_pair_planar(
     rgbp: jax.Array,         # [3, hp, wp] f32 0..255, edge-padded planar
@@ -501,6 +517,10 @@ def dibr_render_pair_planar(
     vshift: int = 2,
     out_mode: str = "eyes",
     interpret: bool = False,
+    feather: float = 0.0,    # >0: per-eye edge feathering over this view
+                             # fraction (reference KEY_B; 0.02 = reference)
+    height: int = 0,         # true frame height (for the feather v axis;
+                             # 0 = the padded hp)
 ):
     """Both stereo eyes in ONE fused pass over pre-padded planar inputs.
 
@@ -593,6 +613,7 @@ def dibr_render_pair_planar(
             depth_strength=depth_strength, convergence=convergence,
             edge_margin=edge_margin, width=W, vshift=vshift,
             tile_h=tile_h, tile_idx_max=nt - 1, out_mode=out_mode,
+            feather=feather, height=height or hp,
         ),
         out_shape=out_shape,
         grid=(nt,),

@@ -357,6 +357,29 @@ def dibr_render(
 # Display-mode composition (viewer aux shaders: reference viewer.py:633-1197)
 # --------------------------------------------------------------------------
 
+FEATHER_WIDTH = 0.02  # 2% of the view (reference viewer.py:1343)
+
+
+def edge_feather(eye: jax.Array, width: float = FEATHER_WIDTH) -> jax.Array:
+    """Per-eye viewport edge feathering (reference viewer.py:586-613, the
+    viewer's KEY_B toggle): rgb × (fadeL·fadeR·fadeT·fadeB)^0.7, each fade a
+    smoothstep of pixel-center distance to its edge over `width` of the
+    view.  pow distributes over the product, so the mask is SEPARABLE —
+    two rank-1 vectors instead of a [H,W] field."""
+    H, W = eye.shape[0], eye.shape[1]
+
+    def smoothstep(x: jax.Array) -> jax.Array:
+        t = jnp.clip(x / width, 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    def fade(n: int) -> jax.Array:
+        uv = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n
+        return (smoothstep(uv) * smoothstep(1.0 - uv)) ** 0.7
+
+    mask = fade(H)[:, None] * fade(W)[None, :]
+    return eye * mask[..., None].astype(eye.dtype)
+
+
 def compose_display(
     left: jax.Array,
     right: jax.Array,
@@ -414,11 +437,15 @@ def stereo_compose(
     convergence: float = 0.0,
     display_mode: str = "Half-SBS",
     quality: str = "high",
+    feather: bool = False,
 ) -> jax.Array:
-    """Full stereo stage: per-eye DIBR (or fast warp) + display arrangement."""
+    """Full stereo stage: per-eye DIBR (or fast warp) + optional per-eye
+    edge feathering (reference KEY_B) + display arrangement."""
     if display_mode == "Depth":
-        return depth_colormap_spectral(depth.astype(rgb.dtype))
+        out = depth_colormap_spectral(depth.astype(rgb.dtype))
+        return edge_feather(out) if feather else out
     if quality == "high":
+        left = right = None
         if _on_tpu():
             try:
                 from desktop2stereo_tpu.ops.pallas.dibr import dibr_render_pair
@@ -428,11 +455,14 @@ def stereo_compose(
                     ipd=ipd, depth_strength=depth_strength,
                     convergence=convergence,
                 )
-                return jnp.clip(compose_display(left, right, display_mode), 0.0, 255.0)
             except Exception:
-                pass  # fall back to per-eye path
-        left = dibr_render(rgb, depth, -ipd / 2.0, depth_strength, convergence)
-        right = dibr_render(rgb, depth, +ipd / 2.0, depth_strength, convergence)
+                left = right = None  # fall back to per-eye path
+        if left is None:
+            left = dibr_render(rgb, depth, -ipd / 2.0, depth_strength, convergence)
+            right = dibr_render(rgb, depth, +ipd / 2.0, depth_strength, convergence)
+        if feather:
+            left, right = edge_feather(left), edge_feather(right)
         return jnp.clip(compose_display(left, right, display_mode), 0.0, 255.0)
-    # fast path = legacy compositor semantics
+    # fast path = legacy compositor semantics (the reference's torch
+    # Streamer compositor has no feathering either, depth.py:2106-2231)
     return make_sbs(rgb, depth, ipd, depth_strength, convergence, display_mode)

@@ -126,6 +126,9 @@ class ProgramConfig:
     ema_alpha: float
     temporal_smooth: bool
     quality: str  # "high" (DIBR+inpaint) | "fast" (grid-shift compositor)
+    # per-eye viewport edge feathering (reference viewer.py:586-613,
+    # KEY_B toggle, default off, width 2% of view — viewer.py:1342-1343)
+    edge_feather: bool = False
 
     @classmethod
     def from_settings(cls, s: Settings, quality: str = "high") -> "ProgramConfig":
@@ -302,6 +305,7 @@ def _build_step(
             convergence=cfg.convergence,
             display_mode=cfg.display_mode,
             quality=cfg.quality,
+            feather=cfg.edge_feather,
         )
         return jnp.clip(sbs + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
@@ -347,8 +351,12 @@ def _build_step(
                             mode="edge")
             dep_h = jnp.pad(dep_h, ((0, hp2 - eh), (0, wp2 - ew)),
                             mode="edge")[None]
+            from desktop2stereo_tpu.ops.stereo import FEATHER_WIDTH
+
             kw = dict(ipd=cfg.ipd, depth_strength=cfg.depth_strength,
-                      convergence=cfg.convergence)
+                      convergence=cfg.convergence,
+                      feather=FEATHER_WIDTH if cfg.edge_feather else 0.0,
+                      height=eh)
             # The hwc modes emit the FINAL pixel-interleaved u8 layout from
             # inside the kernel (the planar→HWC transpose + eye concat cost
             # ~0.6 ms at 4K as XLA ops); gated on the flat row length being
@@ -619,10 +627,11 @@ class ProgramCache:
     MAX_DEPTH_STRENGTH = 10.0  # reference viewer.py:2321-2326 clamp
 
     @staticmethod
-    def _variant_key(cfg: ProgramConfig) -> Tuple[str, float]:
-        return (cfg.display_mode, float(cfg.depth_strength))
+    def _variant_key(cfg: ProgramConfig) -> Tuple[str, float, bool]:
+        return (cfg.display_mode, float(cfg.depth_strength),
+                bool(cfg.edge_feather))
 
-    def _pending_key(self) -> Tuple[str, float]:
+    def _pending_key(self) -> Tuple[str, float, bool]:
         return self._pending_variant or self._variant_key(self.cfg)
 
     def set_display_mode(self, mode: str) -> None:
@@ -632,7 +641,7 @@ class ProgramCache:
 
         if mode not in DISPLAY_MODES:
             raise ValueError(f"unknown display mode {mode!r}")
-        self._pending_variant = (mode, self._pending_key()[1])
+        self._pending_variant = (mode,) + self._pending_key()[1:]
 
     def cycle_display_mode(self, delta: int = 1) -> str:
         """Step through DISPLAY_MODES (viewer hot-key behavior); returns the
@@ -649,7 +658,8 @@ class ProgramCache:
         UP/DOWN-key `depth_ratio` adjustment, reference viewer.py:2321-2329),
         clamped to [0, 10] and applied atomically at the next frame."""
         value = min(self.MAX_DEPTH_STRENGTH, max(0.0, float(value)))
-        self._pending_variant = (self._pending_key()[0], value)
+        key = self._pending_key()
+        self._pending_variant = (key[0], value, key[2])
         return value
 
     def adjust_depth_strength(self, delta: float = 0.5) -> float:
@@ -664,6 +674,17 @@ class ProgramCache:
     def depth_strength(self) -> float:
         return self._pending_key()[1]
 
+    def toggle_feather(self) -> bool:
+        """Toggle per-eye edge feathering (the reference viewer's KEY_B,
+        reference viewer.py:2338-2339); returns the new state."""
+        key = self._pending_key()
+        self._pending_variant = (key[0], key[1], not key[2])
+        return not key[2]
+
+    @property
+    def edge_feather(self) -> bool:
+        return self._pending_key()[2]
+
     def _apply_pending(self) -> None:
         key = self._pending_variant
         self._pending_variant = None
@@ -671,11 +692,13 @@ class ProgramCache:
             return
         if key not in self._variants:
             cfg = dataclasses.replace(self.cfg, display_mode=key[0],
-                                      depth_strength=key[1])
+                                      depth_strength=key[1],
+                                      edge_feather=key[2])
             self._variants[key] = self._build_steps(
                 cfg, share_from=(self._step, self._first))
         self.cfg = dataclasses.replace(self.cfg, display_mode=key[0],
-                                       depth_strength=key[1])
+                                       depth_strength=key[1],
+                                       edge_feather=key[2])
         self._step, self._first = self._variants[key]
 
     def __call__(self, frame_u8: jax.Array, stream: int = 0):

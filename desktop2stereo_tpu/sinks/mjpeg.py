@@ -138,6 +138,28 @@ class MjpegSink:
                     self.end_headers()
                     self.wfile.write(body)
                     return
+                if self.path.startswith("/feather"):
+                    # per-eye edge feathering toggle (the reference viewer's
+                    # KEY_B, reference viewer.py:2338): GET /feather,
+                    # ?toggle=1
+                    import json as _json
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    sw = sink.mode_switcher
+                    if sw is None or not hasattr(sw, "toggle_feather"):
+                        self.send_response(503)
+                        body = b'{"error": "no live pipeline attached"}'
+                    else:
+                        on = (sw.toggle_feather() if "toggle" in q
+                              else sw.edge_feather)
+                        self.send_response(200)
+                        body = _json.dumps({"edge_feather": bool(on)}).encode()
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if self.path.startswith("/stats"):
                     # FPS / 1%-low / per-stage latency / frame + drop counts
                     # — the reference's title-bar readout as JSON (reference

@@ -117,6 +117,11 @@ class WindowSink:
                     self.mode_switcher, "reset_depth_strength"):
                 v = self.mode_switcher.reset_depth_strength()
                 print(f"[window] depth strength reset → {v:.1f}")
+            elif key == ord("b") and hasattr(
+                    self.mode_switcher, "toggle_feather"):
+                # the reference viewer's KEY_B (viewer.py:2338-2339)
+                on = self.mode_switcher.toggle_feather()
+                print(f"[window] edge feathering: {'ON' if on else 'OFF'}")
 
     def close(self) -> None:
         if self._created:

@@ -135,3 +135,46 @@ def test_depth_colormap_spectral_matches_reference_formula(rng):
     # the end keys still cover the range ends (support ±0.25 around centers)
     np.testing.assert_allclose(out[5], [0.0, 0.298, 0.651], atol=1e-6)
     np.testing.assert_allclose(out[6], [0.988, 0.0, 0.0], atol=1e-6)
+
+
+def test_edge_feather_matches_reference_formula(rng):
+    """edge_feather ≡ the GLSL block (reference viewer.py:586-613): per
+    pixel, rgb × (fadeL·fadeR·fadeT·fadeB)^0.7 with smoothstep fades —
+    checked against a direct (non-separable) numpy evaluation."""
+    from desktop2stereo_tpu.ops.stereo import edge_feather
+
+    H, W, width = 40, 64, 0.1
+    eye = rng.random((H, W, 3)).astype(np.float32) * 255.0
+
+    def ss(x):
+        t = np.clip(x / width, 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    u = (np.arange(W, dtype=np.float32) + 0.5) / W
+    v = (np.arange(H, dtype=np.float32) + 0.5) / H
+    fall = (ss(v)[:, None] * ss(1.0 - v)[:, None]
+            * ss(u)[None, :] * ss(1.0 - u)[None, :]) ** 0.7
+    want = eye * fall[..., None]
+
+    got = np.asarray(edge_feather(jnp.asarray(eye), width=width))
+    np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-5)
+    # interior is untouched, borders are darkened
+    assert np.allclose(got[H // 2, W // 2], eye[H // 2, W // 2])
+    # the corner pixel is strongly attenuated (its center sits well inside
+    # the smoothstep band, so it is small but nonzero — like the GLSL)
+    assert got[0, 0, 0] < 0.05 * eye[0, 0, 0]
+
+
+def test_stereo_compose_feather_flag(rng):
+    """feather=True darkens each eye's borders without changing shape."""
+    from desktop2stereo_tpu.ops.stereo import stereo_compose
+
+    rgb = jnp.asarray(rng.random((40, 64, 3)) * 255.0, jnp.float32)
+    depth = jnp.asarray(rng.random((40, 64)), jnp.float32)
+    plain = np.asarray(stereo_compose(rgb, depth, display_mode="Full-SBS"))
+    soft = np.asarray(stereo_compose(rgb, depth, display_mode="Full-SBS",
+                                     feather=True))
+    assert soft.shape == plain.shape
+    # each eye's outer corner fades to ~0; the seam between eyes too
+    assert soft[0, 0].sum() < plain[0, 0].sum() or plain[0, 0].sum() == 0
+    assert np.all(soft <= plain + 1e-3)

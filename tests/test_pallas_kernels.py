@@ -142,6 +142,32 @@ def test_dibr_pair_hwc_u8_modes_match_eyes_u8():
             np.asarray(r8)[:H, : 3 * W].reshape(H, W, 3), r_hwc)
 
 
+def test_dibr_pair_feather_matches_jnp():
+    """In-kernel per-eye edge feathering ≡ the jnp edge_feather applied to
+    the unfeathered kernel eyes (reference viewer.py:586-613 KEY_B)."""
+    from desktop2stereo_tpu.ops.pallas.dibr import (
+        dibr_render_pair_planar, pad_planar,
+    )
+    from desktop2stereo_tpu.ops.stereo import edge_feather
+
+    rng = np.random.default_rng(7)
+    H, W = 96, 256
+    rgb = jnp.asarray(rng.random((H, W, 3)) * 255.0, jnp.float32)
+    depth = jnp.asarray(rng.random((H, W)), jnp.float32)
+    rgbp, depp = pad_planar(rgb, depth)
+    kw = dict(ipd=0.064, depth_strength=2.0, convergence=0.01,
+              interpret=True)
+    width = 0.08  # wide band so it spans several pixels at this size
+    lf, rf = dibr_render_pair_planar(
+        rgbp, depp, W, out_mode="eyes", feather=width, height=H, **kw)
+    lp, rp = dibr_render_pair_planar(rgbp, depp, W, out_mode="eyes", **kw)
+    for got, plain in ((lf, lp), (rf, rp)):
+        eye = np.asarray(plain).transpose(1, 2, 0)[:H, :W]
+        want = np.asarray(edge_feather(jnp.asarray(eye), width=width))
+        have = np.asarray(got).transpose(1, 2, 0)[:H, :W]
+        np.testing.assert_allclose(have, want, atol=2e-2, rtol=1e-4)
+
+
 def test_dibr_pair_eyes_u8_quantizes_in_kernel():
     """out_mode='eyes_u8' ≡ out_mode='eyes' → clip(+0.5)→u8 per eye (the
     half-width Half-SBS tail's building block: each eye already renders at

@@ -207,6 +207,18 @@ def test_program_cache_live_depth_strength():
     assert program.cfg.display_mode == "Full-SBS"
     assert program.cfg.depth_strength == 3.0
 
+    # edge feathering toggles live too (reference KEY_B) and darkens the
+    # eye borders; mode/strength survive the toggle
+    assert program.toggle_feather() is True
+    sbs_f, _ = program(frame)
+    assert program.cfg.edge_feather is True
+    assert program.cfg.depth_strength == 3.0
+    assert float(np.asarray(sbs_f)[0].sum()) <= float(
+        np.asarray(program(frame)[0])[0].sum()) * 1.001  # smoke: no blowup
+    assert program.toggle_feather() is False
+    program(frame)
+    assert program.cfg.edge_feather is False
+
 
 def test_mailbox_counts_drops():
     box = Mailbox()
