@@ -308,7 +308,8 @@ def _sink_kwargs(kind: str, args, settings) -> dict:
                 "show_fps": args.show_fps or settings.show_fps}
     if kind == "window":
         return {"keep_aspect":
-                bool(settings.extra.get("Fix Viewer Aspect", False))}
+                bool(settings.extra.get("Fix Viewer Aspect", False)),
+                "fill_16_9": settings.fill_16_9}
     if kind == "xr":
         # advertise the settings-derived session config so workstation
         # clients at default flags render with the file's stereo params

@@ -685,6 +685,10 @@ class ProgramCache:
     def edge_feather(self) -> bool:
         return self._pending_key()[2]
 
+    @property
+    def display_mode(self) -> str:
+        return self._pending_key()[0]
+
     def _apply_pending(self) -> None:
         key = self._pending_variant
         self._pending_variant = None

@@ -13,6 +13,14 @@ stats and the basic key set:
     m / 1-9   cycle / select the display mode live (the reference's viewer
               hot-keys, reference viewer.py:2304; the pipeline re-targets a
               lazily-compiled program variant at the next frame)
+    + / - / 0 step / reset the live depth strength (reference UP/DOWN/0)
+    b         toggle per-eye edge feathering (reference KEY_B)
+    d         in Depth mode, flip between the depth map and the original
+              RGB (reference KEY_D, viewer.py:2310-2314)
+    a         toggle fill-16:9 letterboxing of the presented frame
+              (reference KEY_A, viewer.py:2340-2343)
+    l         toggle the viewer aspect-ratio lock live (reference KEY_L,
+              viewer.py:2344-2347)
 
 Headless hosts keep using the MJPEG viewer facade (sinks/viewer.py).
 """
@@ -33,7 +41,8 @@ class WindowCloseRequested(Exception):
 
 class WindowSink:
     def __init__(self, title: str = "desktop2stereo (TPU)",
-                 screenshot_dir: str = ".", keep_aspect: bool = False):
+                 screenshot_dir: str = ".", keep_aspect: bool = False,
+                 fill_16_9: bool = False):
         import cv2  # hard dependency for this sink; cli surfaces the error
 
         if not (os.environ.get("DISPLAY") or os.environ.get("WAYLAND_DISPLAY")
@@ -45,6 +54,9 @@ class WindowSink:
         # the settings 'Fix Viewer Aspect' knob (reference utils.py:902):
         # a resized window letterboxes instead of stretching
         self.keep_aspect = keep_aspect
+        # the settings 'Fill 16:9' knob (reference viewer.py:1346): pad the
+        # presented frame to a 16:9 canvas instead of showing it bare
+        self.fill_16_9 = fill_16_9
         self.screenshot_dir = screenshot_dir
         self._fullscreen = False
         self._created = False
@@ -52,6 +64,8 @@ class WindowSink:
         self.frames = 0
         # set by the CLI to the live ProgramCache: enables the m/1-9 keys
         self.mode_switcher = None
+        # KEY_D state: we temporarily swapped Depth → Mono to show the RGB
+        self._show_rgb_in_depth = False
 
     def _ensure_window(self) -> None:
         if not self._created:
@@ -61,11 +75,33 @@ class WindowSink:
             self._cv.namedWindow(self.title, flags)
             self._created = True
 
+    @staticmethod
+    def _pad_to_16_9(img: np.ndarray) -> np.ndarray:
+        """Letterbox/pillarbox the frame into a 16:9 canvas (the reference
+        viewer's fill-16:9 viewport fit, viewer.py:1760-1770)."""
+        h, w = img.shape[:2]
+        if w * 9 == h * 16:
+            return img
+        if w * 9 < h * 16:  # too narrow → pillarbox to width
+            new_w = -(-h * 16 // 9)
+            canvas = np.zeros((h, new_w) + img.shape[2:], img.dtype)
+            x0 = (new_w - w) // 2
+            canvas[:, x0:x0 + w] = img
+        else:  # too wide → letterbox to height
+            new_h = -(-w * 9 // 16)
+            canvas = np.zeros((new_h, w) + img.shape[2:], img.dtype)
+            y0 = (new_h - h) // 2
+            canvas[y0:y0 + h] = img
+        return canvas
+
     def push(self, sbs_u8: np.ndarray, depth: Optional[np.ndarray],
              stats: dict) -> None:
         cv = self._cv
         self._ensure_window()
-        cv.imshow(self.title, sbs_u8[..., ::-1])  # RGB → BGR
+        shown = sbs_u8[..., ::-1]  # RGB → BGR
+        if self.fill_16_9:
+            shown = self._pad_to_16_9(shown)
+        cv.imshow(self.title, shown)
         now = time.monotonic()
         if now - self._last_title > 0.5 and stats:
             # the reference's title-bar stats (main.py:1233-1251)
@@ -91,8 +127,27 @@ class WindowSink:
                                 f"d2s_screenshot_{int(time.time())}.png")
             cv.imwrite(path, sbs_u8[..., ::-1])
             print(f"[window] saved {path}")
+        elif key == ord("a"):
+            # the reference viewer's KEY_A fill-16:9 toggle (viewer.py:2340)
+            self.fill_16_9 = not self.fill_16_9
+            print(f"[window] fill 16:9: {'ON' if self.fill_16_9 else 'OFF'}")
+        elif key == ord("l"):
+            # the reference viewer's KEY_L aspect-lock toggle
+            # (viewer.py:2344); HighGUI window flags are creation-time, so
+            # re-create the window with the new flag at the next frame
+            self.keep_aspect = not self.keep_aspect
+            if self._created:
+                try:
+                    cv.destroyWindow(self.title)
+                except Exception:
+                    pass
+                self._created = False
+                self._fullscreen = False
+            print(f"[window] aspect lock: "
+                  f"{'ON' if self.keep_aspect else 'OFF'}")
         elif self.mode_switcher is not None:
             if key == ord("m"):
+                self._show_rgb_in_depth = False
                 print(f"[window] display mode → "
                       f"{self.mode_switcher.cycle_display_mode()}")
             elif ord("1") <= key <= ord("9"):
@@ -100,8 +155,23 @@ class WindowSink:
 
                 idx = key - ord("1")
                 if idx < len(DISPLAY_MODES):
+                    self._show_rgb_in_depth = False
                     self.mode_switcher.set_display_mode(DISPLAY_MODES[idx])
                     print(f"[window] display mode → {DISPLAY_MODES[idx]}")
+            elif key == ord("d"):
+                # the reference viewer's KEY_D: in Depth Map mode, flip
+                # between the depth map and the original RGB
+                # (viewer.py:2310-2314); here the flip re-targets the Mono
+                # program variant and back
+                if self._show_rgb_in_depth:
+                    self._show_rgb_in_depth = False
+                    self.mode_switcher.set_display_mode("Depth")
+                    print("[window] depth map mode: showing depth map")
+                elif getattr(self.mode_switcher, "display_mode",
+                             None) == "Depth":
+                    self._show_rgb_in_depth = True
+                    self.mode_switcher.set_display_mode("Mono")
+                    print("[window] depth map mode: showing original RGB")
             # live depth strength (the reference viewer's UP/DOWN/0 keys,
             # reference viewer.py:2321-2329; +/- here — cv2's waitKey
             # cannot see arrow keys through the 0xFF mask)

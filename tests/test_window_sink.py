@@ -59,6 +59,8 @@ def make_sink(monkeypatch):
     sink.frames = 0
     sink.mode_switcher = None
     sink.keep_aspect = False
+    sink.fill_16_9 = False
+    sink._show_rgb_in_depth = False
     return sink, fake
 
 
@@ -149,6 +151,76 @@ def test_depth_strength_hotkeys(monkeypatch):
     for _ in range(4):
         sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
     assert prog.calls == [0.5, -0.5, "reset", 0.5]
+
+
+def test_fill_16_9_letterboxes_presented_frame(monkeypatch):
+    """KEY_A parity (reference viewer.py:2340-2343): fill-16:9 pads the
+    shown frame into a 16:9 canvas, centered, toggled live."""
+    sink, fake = make_sink(monkeypatch)
+    sink.fill_16_9 = True
+    # 1:1 square → pillarboxed to 16:9 width
+    sink.push(np.full((90, 90, 3), 7, np.uint8), None, {})
+    shown = fake.shown[0]
+    assert shown.shape == (90, 160, 3)
+    assert shown[:, :35].max() == 0 and shown[:, -35:].max() == 0
+    assert (shown[:, 35:125] == 7).all()
+    # ultra-wide → letterboxed to 16:9 height
+    sink.push(np.full((10, 320, 3), 7, np.uint8), None, {})
+    assert fake.shown[1].shape == (180, 320, 3)
+    # exact 16:9 passes through untouched
+    sink.push(np.full((90, 160, 3), 7, np.uint8), None, {})
+    assert (fake.shown[2] == 7).all()
+    # 'a' toggles it off: next frame shown bare
+    fake.key_queue = [ord("a")]
+    sink.push(np.full((90, 90, 3), 7, np.uint8), None, {})
+    sink.push(np.full((90, 90, 3), 7, np.uint8), None, {})
+    assert fake.shown[-1].shape == (90, 90, 3)
+
+
+def test_aspect_lock_toggle_recreates_window(monkeypatch):
+    """KEY_L parity (reference viewer.py:2344-2347): live aspect-lock
+    toggle re-creates the window with WINDOW_KEEPRATIO."""
+    sink, fake = make_sink(monkeypatch)
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    assert not (fake.window_flags & FakeCv.WINDOW_KEEPRATIO)
+    fake.key_queue = [ord("l")]
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    assert sink.keep_aspect and not sink._created
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    assert fake.window_flags & FakeCv.WINDOW_KEEPRATIO
+
+
+def test_depth_mode_original_rgb_toggle(monkeypatch):
+    """KEY_D parity (reference viewer.py:2310-2314): in Depth mode, 'd'
+    flips to the original RGB (Mono program) and back; inert elsewhere."""
+    sink, fake = make_sink(monkeypatch)
+
+    class FakeProgram:
+        def __init__(self):
+            self.display_mode = "Depth"
+            self.calls = []
+
+        def set_display_mode(self, m):
+            self.display_mode = m
+            self.calls.append(m)
+
+    prog = FakeProgram()
+    sink.mode_switcher = prog
+    fake.key_queue = [ord("d"), ord("d")]
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    assert prog.calls == ["Mono", "Depth"]
+    # inert when not in Depth mode
+    prog.display_mode = "Half-SBS"
+    fake.key_queue = [ord("d")]
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    assert prog.calls == ["Mono", "Depth"]
+    # an explicit mode change clears the pending restore state
+    prog.display_mode = "Depth"
+    fake.key_queue = [ord("d"), ord("3")]
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    sink.push(np.zeros((2, 2, 3), np.uint8), None, {})
+    assert not sink._show_rgb_in_depth
 
 
 def test_headless_construction_fails_cleanly(monkeypatch):
