@@ -260,13 +260,46 @@ def run_kernel_parity() -> str:
         if hwc_err != 0:
             return f"FAIL sbs_hwc_u8 vs eyes_u8 maxdiff {hwc_err}"
 
+        # eyes_hwc_u8 — the production Half-TAB tail: per-eye flat-HWC rows
+        # must equal the eyes_u8 result relayouted (exact, same argument)
+        l8, r8 = dibr_render_pair_planar(
+            rgbp, depp, half, ipd=0.064, depth_strength=2.0,
+            convergence=0.01, out_mode="eyes_hwc_u8")
+        got_pair = np.concatenate(
+            [np.asarray(l8)[:H, : 3 * half].reshape(H, half, 3),
+             np.asarray(r8)[:H, : 3 * half].reshape(H, half, 3)], axis=1)
+        ehwc_err = int(np.abs(got_pair.astype(np.int32)
+                              - got.transpose(1, 2, 0).astype(np.int32)
+                              ).max())
+        if ehwc_err != 0:
+            return f"FAIL eyes_hwc_u8 vs eyes_u8 maxdiff {ehwc_err}"
+
+        # in-kernel per-eye edge feathering (KEY_B) vs the jnp edge_feather
+        # applied to the unfeathered kernel eyes
+        lf_k, rf_k = dibr_render_pair_planar(
+            rgbp, depp, half, ipd=0.064, depth_strength=2.0,
+            convergence=0.01, out_mode="eyes", feather=0.08, height=H)
+        lp_k, rp_k = dibr_render_pair_planar(
+            rgbp, depp, half, ipd=0.064, depth_strength=2.0,
+            convergence=0.01, out_mode="eyes")
+        feather_err = 0.0
+        for got_f, plain in ((lf_k, lp_k), (rf_k, rp_k)):
+            eye = np.asarray(plain).transpose(1, 2, 0)[:H, :half]
+            want_f = np.asarray(S.edge_feather(jnp.asarray(eye), width=0.08))
+            have_f = np.asarray(got_f).transpose(1, 2, 0)[:H, :half]
+            feather_err = max(feather_err,
+                              float(np.abs(have_f - want_f).max()))
+        if feather_err > 5e-1:
+            return f"FAIL in-kernel feather maxdiff {feather_err:.2e}"
+
         # fused int8 quant matmul (the --quant int8 hot path) vs the XLA
         # 3-pass formulation at a ViT-L block shape.  Same int8 operands
         # and f32 epilogue on both sides → near-exact.  Mosaic-only — on a
         # CPU smoke run the kernel can't lower, so report it skipped.
         if jax.devices()[0].platform != "tpu":
             return (f"ok (attn {att_err:.1e}, dibr {dibr_err:.1e}, "
-                    f"fused_u8 {fused_err} LSB, quant skipped: cpu)")
+                    f"fused_u8 {fused_err} LSB, feather {feather_err:.1e}, "
+                    f"quant skipped: cpu)")
         from desktop2stereo_tpu.ops.pallas.quant_matmul import (
             quant_dense_matmul)
         from desktop2stereo_tpu.ops.quant import (
@@ -287,7 +320,8 @@ def run_kernel_parity() -> str:
         if quant_err > 2e-2:
             return f"FAIL quant_dense_matmul rel-err {quant_err:.2e}"
         return (f"ok (attn {att_err:.1e}, dibr {dibr_err:.1e}, "
-                f"fused_u8 {fused_err} LSB, quant {quant_err:.1e})")
+                f"fused_u8 {fused_err} LSB, feather {feather_err:.1e}, "
+                f"quant {quant_err:.1e})")
     except Exception as e:  # never wedge the benchmark
         return f"ERROR {type(e).__name__}: {e}"
 

@@ -164,6 +164,15 @@ def make_components(args, settings):
         import dataclasses
 
         cfg = dataclasses.replace(cfg, edge_feather=True)
+    if settings.fill_16_9 and "window" in (args.sink or ""):
+        # the window sink does fill-16:9 at PRESENTATION time (the
+        # reference viewer's viewport fit, viewer.py:1760-1770, live 'a'
+        # key); baking the per-eye pad into the device program too would
+        # double-pad.  Device-side per-eye pad stays for the streamer-type
+        # sinks (reference Streamer main.py:1340).
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, fill_16_9=False)
     if args.streams > 1 and getattr(args, "batched", False):
         if args.crop and args.crop != "off":
             raise SystemExit("--batched does not support --crop")
@@ -340,10 +349,15 @@ def _apply_device_choice(device: str) -> None:
         jax.config.update("jax_platforms", "cpu")
         return
     ready = threading.Event()
+    result: dict = {}
 
     def _probe():
-        jax.devices()
-        ready.set()
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # e.g. ABORTED: another process holds the grant
+            result["error"] = e
+        finally:
+            ready.set()
 
     threading.Thread(target=_probe, daemon=True).start()
     if not ready.wait(timeout=180.0):
@@ -352,6 +366,18 @@ def _apply_device_choice(device: str) -> None:
               "grant.  Re-run with --device cpu, or wait for the relay.",
               file=sys.stderr)
         os._exit(2)  # the probe thread is unjoinably hung
+    if "error" in result:
+        print(f"[d2s] FATAL: TPU backend init failed: {result['error']}\n"
+              "Re-run with --device cpu, or wait for the chip holder to "
+              "exit.", file=sys.stderr)
+        raise SystemExit(2)
+    if device == "tpu" and result["devices"][0].platform not in (
+            "tpu", "axon"):
+        # an explicit --device tpu must not silently degrade to CPU speed
+        print(f"[d2s] FATAL: --device tpu requested but jax resolved "
+              f"platform {result['devices'][0].platform!r}; use "
+              f"--device auto to accept a CPU fallback.", file=sys.stderr)
+        raise SystemExit(2)
 
 
 def run(args=None) -> int:

@@ -438,9 +438,11 @@ def stereo_compose(
     display_mode: str = "Half-SBS",
     quality: str = "high",
     feather: bool = False,
+    fill_16_9: bool = False,
 ) -> jax.Array:
     """Full stereo stage: per-eye DIBR (or fast warp) + optional per-eye
-    edge feathering (reference KEY_B) + display arrangement."""
+    edge feathering (reference KEY_B) + optional per-eye 16:9 padding
+    (reference depth.py:2175-2177) + display arrangement."""
     if display_mode == "Depth":
         out = depth_colormap_spectral(depth.astype(rgb.dtype))
         return edge_feather(out) if feather else out
@@ -462,7 +464,12 @@ def stereo_compose(
             right = dibr_render(rgb, depth, +ipd / 2.0, depth_strength, convergence)
         if feather:
             left, right = edge_feather(left), edge_feather(right)
+        if fill_16_9:
+            # pad each EYE to 16:9 before arrangement (reference
+            # depth.py:2175-2177) — bars land beside each eye, not the pair
+            left, right = pad_to_aspect(left), pad_to_aspect(right)
         return jnp.clip(compose_display(left, right, display_mode), 0.0, 255.0)
     # fast path = legacy compositor semantics (the reference's torch
     # Streamer compositor has no feathering either, depth.py:2106-2231)
-    return make_sbs(rgb, depth, ipd, depth_strength, convergence, display_mode)
+    return make_sbs(rgb, depth, ipd, depth_strength, convergence, display_mode,
+                    fill_16_9=fill_16_9)

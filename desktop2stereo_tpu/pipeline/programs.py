@@ -15,6 +15,7 @@ compiles once (persistent-cache backed) and is then O(1) to look up.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from typing import Any, Callable, Dict, NamedTuple, Optional, Tuple
 
 import jax
@@ -129,6 +130,9 @@ class ProgramConfig:
     # per-eye viewport edge feathering (reference viewer.py:586-613,
     # KEY_B toggle, default off, width 2% of view — viewer.py:1342-1343)
     edge_feather: bool = False
+    # pad each eye to 16:9 before arrangement (the reference Streamer
+    # path's FILL_16_9, depth.py:2175-2177 / main.py:1340)
+    fill_16_9: bool = False
 
     @classmethod
     def from_settings(cls, s: Settings, quality: str = "high") -> "ProgramConfig":
@@ -145,6 +149,7 @@ class ProgramConfig:
             ema_alpha=s.ema_alpha,
             temporal_smooth=s.temporal_smooth,
             quality=quality,
+            fill_16_9=s.fill_16_9,
         )
 
 
@@ -224,6 +229,7 @@ def _build_step(
     # (the kernel emits finished u8 eye buffers).
     fused_stereo = (jit and allow_fused and cfg.quality == "high"
                     and cfg.display_mode in ("Half-SBS", "Half-TAB")
+                    and not cfg.fill_16_9  # per-eye pad → generic tail
                     and _stereo_on_tpu())
 
     def _shared_preprocess(frame_u8: jax.Array):
@@ -306,6 +312,7 @@ def _build_step(
             display_mode=cfg.display_mode,
             quality=cfg.quality,
             feather=cfg.edge_feather,
+            fill_16_9=cfg.fill_16_9,
         )
         return jnp.clip(sbs + 0.5, 0.0, 255.0).astype(jnp.uint8)
 
@@ -599,6 +606,10 @@ class ProgramCache:
             self._variant_key(cfg): (self._step, self._first)
         }
         self._pending_variant: Optional[Tuple[str, float]] = None
+        # guards the pending-variant read-modify-write: setters run on sink
+        # key-handler / HTTP threads while _apply_pending runs on the frame
+        # thread (RLock: adjust_* call set_* internally)
+        self._variant_lock = threading.RLock()
         self._strength_default = float(cfg.depth_strength)
         self._states: Dict[Tuple[int, int, int], FrameState] = {}
 
@@ -641,16 +652,18 @@ class ProgramCache:
 
         if mode not in DISPLAY_MODES:
             raise ValueError(f"unknown display mode {mode!r}")
-        self._pending_variant = (mode,) + self._pending_key()[1:]
+        with self._variant_lock:
+            self._pending_variant = (mode,) + self._pending_key()[1:]
 
     def cycle_display_mode(self, delta: int = 1) -> str:
         """Step through DISPLAY_MODES (viewer hot-key behavior); returns the
         newly requested mode."""
         from desktop2stereo_tpu.core.config import DISPLAY_MODES
 
-        idx = (DISPLAY_MODES.index(self._pending_key()[0]) + delta) % len(
-            DISPLAY_MODES)
-        self.set_display_mode(DISPLAY_MODES[idx])
+        with self._variant_lock:
+            idx = (DISPLAY_MODES.index(self._pending_key()[0]) + delta) % len(
+                DISPLAY_MODES)
+            self.set_display_mode(DISPLAY_MODES[idx])
         return DISPLAY_MODES[idx]
 
     def set_depth_strength(self, value: float) -> float:
@@ -658,13 +671,15 @@ class ProgramCache:
         UP/DOWN-key `depth_ratio` adjustment, reference viewer.py:2321-2329),
         clamped to [0, 10] and applied atomically at the next frame."""
         value = min(self.MAX_DEPTH_STRENGTH, max(0.0, float(value)))
-        key = self._pending_key()
-        self._pending_variant = (key[0], value, key[2])
+        with self._variant_lock:
+            key = self._pending_key()
+            self._pending_variant = (key[0], value, key[2])
         return value
 
     def adjust_depth_strength(self, delta: float = 0.5) -> float:
         """Step depth strength by ±delta (reference steps 0.5)."""
-        return self.set_depth_strength(self._pending_key()[1] + delta)
+        with self._variant_lock:
+            return self.set_depth_strength(self._pending_key()[1] + delta)
 
     def reset_depth_strength(self) -> float:
         """Back to the configured value (reference KEY_0 → original)."""
@@ -677,8 +692,9 @@ class ProgramCache:
     def toggle_feather(self) -> bool:
         """Toggle per-eye edge feathering (the reference viewer's KEY_B,
         reference viewer.py:2338-2339); returns the new state."""
-        key = self._pending_key()
-        self._pending_variant = (key[0], key[1], not key[2])
+        with self._variant_lock:
+            key = self._pending_key()
+            self._pending_variant = (key[0], key[1], not key[2])
         return not key[2]
 
     @property
@@ -690,6 +706,13 @@ class ProgramCache:
         return self._pending_key()[0]
 
     def _apply_pending(self) -> None:
+        # the lock covers clear-pending → rebuild → cfg/step swap as one
+        # unit: a setter racing the swap must see either the old pending or
+        # the NEW cfg, never the stale cfg with pending already cleared
+        with self._variant_lock:
+            self._apply_pending_locked()
+
+    def _apply_pending_locked(self) -> None:
         key = self._pending_variant
         self._pending_variant = None
         if key is None or key == self._variant_key(self.cfg):

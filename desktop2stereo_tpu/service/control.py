@@ -145,7 +145,10 @@ def _form_page(settings: Settings, lang: str = "en") -> bytes:
         n: list(s.resolutions) for n, s in MODEL_REGISTRY.items()
         if s.resolutions
     })
-    L = _L10N["zh" if lang == "zh" else "en"]
+    # normalize BEFORE any interpolation: `lang` is user-controlled query
+    # input and is echoed into HTML attributes below
+    lang = "zh" if lang == "zh" else "en"
+    L = _L10N[lang]
     other = "en" if lang == "zh" else "zh"
     html = f"""<!doctype html><html><head><meta charset="utf-8">
 <title>desktop2stereo-tpu control</title>
@@ -248,7 +251,9 @@ def serve(port: int = 8700, settings_path: str = "settings.yaml",
             length = int(self.headers.get("Content-Length", 0))
             fields = urllib.parse.parse_qs(self.rfile.read(length).decode())
             parsed = urllib.parse.urlparse(self.path)
+            # normalize: the decoded value is echoed into a Location header
             lang = urllib.parse.parse_qs(parsed.query).get("lang", ["en"])[0]
+            lang = "zh" if lang == "zh" else "en"
 
             def val(name, default):
                 return fields.get(name, [default])[0]

@@ -119,10 +119,16 @@ class MjpegSink:
                     else:
                         try:
                             if "set" in q:
-                                v = sw.set_depth_strength(float(q["set"][0]))
+                                # snap to the key-step grid: each distinct
+                                # strength is a separately COMPILED program
+                                # variant kept for the session, so an
+                                # arbitrary-float web slider must not mint
+                                # unbounded variants (ProgramCache._variants)
+                                v = sw.set_depth_strength(
+                                    round(float(q["set"][0]) * 2.0) / 2.0)
                             elif "delta" in q:
                                 v = sw.adjust_depth_strength(
-                                    float(q["delta"][0]))
+                                    round(float(q["delta"][0]) * 2.0) / 2.0)
                             elif "reset" in q:
                                 v = sw.reset_depth_strength()
                             else:

@@ -163,12 +163,15 @@ class WindowSink:
                 # between the depth map and the original RGB
                 # (viewer.py:2310-2314); here the flip re-targets the Mono
                 # program variant and back
+                mode_now = getattr(self.mode_switcher, "display_mode", None)
                 if self._show_rgb_in_depth:
                     self._show_rgb_in_depth = False
-                    self.mode_switcher.set_display_mode("Depth")
-                    print("[window] depth map mode: showing depth map")
-                elif getattr(self.mode_switcher, "display_mode",
-                             None) == "Depth":
+                    # only restore if nothing else (another sink's /mode
+                    # endpoint, a tee'd window) changed the mode meanwhile
+                    if mode_now == "Mono":
+                        self.mode_switcher.set_display_mode("Depth")
+                        print("[window] depth map mode: showing depth map")
+                elif mode_now == "Depth":
                     self._show_rgb_in_depth = True
                     self.mode_switcher.set_display_mode("Mono")
                     print("[window] depth map mode: showing original RGB")

@@ -133,3 +133,18 @@ def test_crop_detector_ignores_tiny_frames():
 
     stats = np.array([5.0, 5.0, 100.0, 0.5, 0.0, 0.0], np.float32)
     assert crop_from_stats(stats, 60, 48) == FULL
+
+
+def test_control_panel_sanitizes_lang_param():
+    """The user-controlled `lang` query value is echoed into HTML attributes
+    and a redirect Location header — it must be normalized to en/zh first
+    (reflected-XSS / header-injection guard)."""
+    from desktop2stereo_tpu.service.control import _form_page
+    from desktop2stereo_tpu.core.config import Settings
+
+    evil = '"><script>alert(1)</script>'
+    page = _form_page(Settings(), lang=evil).decode()
+    assert "<script>alert" not in page
+    assert 'action="/start?lang=en"' in page
+    # zh still selects the Chinese strings
+    assert "深度模型".encode() in _form_page(Settings(), lang="zh")

@@ -3,6 +3,8 @@ reference app is driven entirely by settings.yaml (capture mode/window/
 monitor utils.py:840,853-854, run mode 1046-1064, crop mode 1073), so
 unset CLI flags resolve from it.  Explicit flags always win."""
 
+import pytest
+
 from desktop2stereo_tpu.cli import (
     apply_settings_defaults,
     build_parser,
@@ -122,3 +124,40 @@ def test_tee_sink_fans_out_and_propagates_errors():
     with pytest.raises(RuntimeError):
         tee2.push(frame, None, {})
     assert len(ok.frames) == 1
+
+
+def test_device_probe_reports_backend_error_immediately(monkeypatch):
+    """A jax.devices() exception (e.g. ABORTED: chip grant held elsewhere)
+    must surface immediately, not masquerade as a 180 s tunnel hang."""
+    import time
+
+    import jax
+
+    from desktop2stereo_tpu.cli import _apply_device_choice
+
+    def boom():
+        raise RuntimeError("ABORTED: TPU backend error")
+
+    monkeypatch.setattr(jax, "devices", boom)
+    t0 = time.monotonic()
+    with pytest.raises(SystemExit) as e:
+        _apply_device_choice("auto")
+    assert e.value.code == 2
+    assert time.monotonic() - t0 < 30.0
+
+
+def test_device_tpu_refuses_cpu_fallback(monkeypatch):
+    """--device tpu must abort rather than silently run at CPU speed."""
+    import types as _types
+
+    import jax
+
+    from desktop2stereo_tpu.cli import _apply_device_choice
+
+    fake = _types.SimpleNamespace(platform="cpu")
+    monkeypatch.setattr(jax, "devices", lambda: [fake])
+    with pytest.raises(SystemExit) as e:
+        _apply_device_choice("tpu")
+    assert e.value.code == 2
+    # 'auto' accepts the CPU fallback
+    _apply_device_choice("auto")

@@ -178,3 +178,29 @@ def test_stereo_compose_feather_flag(rng):
     # each eye's outer corner fades to ~0; the seam between eyes too
     assert soft[0, 0].sum() < plain[0, 0].sum() or plain[0, 0].sum() == 0
     assert np.all(soft <= plain + 1e-3)
+
+
+def test_stereo_compose_fill_16_9_pads_each_eye(rng):
+    """FILL_16_9 parity (reference depth.py:2175-2177 via main.py:1340):
+    each EYE pads to 16:9 before arrangement, so bars sit beside each eye
+    rather than around the composed pair."""
+    from desktop2stereo_tpu.ops.stereo import stereo_compose
+
+    H, W = 90, 90  # square source → pillarboxed eyes
+    rgb = jnp.asarray(rng.random((H, W, 3)) * 255.0, jnp.float32)
+    depth = jnp.asarray(rng.random((H, W)), jnp.float32)
+    out = np.asarray(stereo_compose(rgb, depth, display_mode="Full-SBS",
+                                    fill_16_9=True))
+    assert out.shape == (90, 320, 3)  # each eye 90x160, concat → 320
+    # bars: left edge of each eye viewport is black
+    assert out[:, :35].max() == 0.0          # left bar of the left eye
+    assert out[:, 160:195].max() == 0.0      # left bar of the right eye
+    assert out[:, 35:125].mean() > 1.0       # content present
+    # Half-SBS squeezes the padded pair back to one eye's 16:9 footprint
+    half = np.asarray(stereo_compose(rgb, depth, display_mode="Half-SBS",
+                                     fill_16_9=True))
+    assert half.shape == (90, 160, 3)
+    # the fast (legacy make_sbs) path honors it too
+    fast = np.asarray(stereo_compose(rgb, depth, display_mode="Full-SBS",
+                                     quality="fast", fill_16_9=True))
+    assert fast.shape == (90, 320, 3)

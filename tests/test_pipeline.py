@@ -472,3 +472,62 @@ def test_frame_step_degenerate_shapes(shape):
     assert sbs.dtype == np.uint8 and sbs.ndim == 3
     assert np.isfinite(depth).all()
     assert not np.isnan(np.asarray(state.ema_depth)).any()
+
+
+def test_variant_setters_are_atomic_against_apply():
+    """A setter racing _apply_pending must see either the old pending or
+    the NEW cfg — never the stale cfg with pending already cleared (which
+    silently reverted an in-flight mode switch)."""
+    import threading
+
+    cfg = make_cfg(depth_strength=2.0)
+    program = ProgramCache(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    frame = np.zeros((72, 128, 4), np.uint8)
+    program(frame)  # build the base variant
+
+    in_apply = threading.Event()
+    release = threading.Event()
+    orig_build = program._build_steps
+
+    def slow_build(c, share_from=None):
+        in_apply.set()
+        assert release.wait(10.0)
+        return orig_build(c, share_from=share_from)
+
+    program._build_steps = slow_build
+    program.set_display_mode("Full-SBS")
+
+    worker = threading.Thread(target=program, args=(frame,), daemon=True)
+    worker.start()
+    assert in_apply.wait(10.0)
+    # mid-apply: a '+' press from the sink thread must block until the
+    # swap lands and then build on TOP of the new mode
+    got = {}
+
+    def press():
+        got["v"] = program.adjust_depth_strength(+0.5)
+
+    presser = threading.Thread(target=press, daemon=True)
+    presser.start()
+    time.sleep(0.1)
+    release.set()
+    worker.join(30.0)
+    presser.join(30.0)
+    assert got["v"] == 2.5
+    program._build_steps = orig_build
+    program(frame)
+    assert program.cfg.display_mode == "Full-SBS", \
+        "concurrent strength press reverted the in-flight mode switch"
+    assert program.cfg.depth_strength == 2.5
+
+
+def test_program_fill_16_9_pads_device_side():
+    """Settings.fill_16_9 reaches the device stereo stage: the composed
+    output is each eye padded to 16:9 (reference Streamer main.py:1340),
+    and the fused Half-SBS tail is bypassed for the generic one."""
+    cfg = make_cfg(fill_16_9=True)
+    program = ProgramCache(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    frame = np.zeros((72, 72, 4), np.uint8)  # square capture
+    sbs, _ = program(frame)
+    h, w = np.asarray(sbs).shape[:2]
+    assert (w * 9) == (h * 16), f"not 16:9: {h}x{w}"

@@ -181,6 +181,14 @@ def test_mjpeg_strength_endpoint():
         assert status == 200 and body["depth_strength"] == 2.0
         status, body = get("/strength?set=bogus")
         assert status == 400 and "error" in body
+        # arbitrary floats snap to the 0.5 key grid: every distinct value
+        # is a separately-compiled program variant kept for the session
+        status, body = get("/strength?set=2.47")
+        assert status == 200 and body["depth_strength"] == 2.5
+        status, body = get("/strength?delta=0.3")
+        assert status == 200 and body["depth_strength"] == 3.0
+        status, body = get("/strength?delta=0.2")  # rounds to a zero step
+        assert status == 200 and body["depth_strength"] == 3.0
     finally:
         sink.close()
 
