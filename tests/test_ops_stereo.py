@@ -204,3 +204,57 @@ def test_stereo_compose_fill_16_9_pads_each_eye(rng):
     fast = np.asarray(stereo_compose(rgb, depth, display_mode="Full-SBS",
                                      quality="fast", fill_16_9=True))
     assert fast.shape == (90, 320, 3)
+
+
+# ---------------------------------------------------------------------------
+# Tier 2: the reference's OWN compositor as the oracle (AST-extracted from
+# /root/reference/depth.py, same scheme as test_ops_depth_post) — this
+# parity cannot drift from the upstream source.
+# ---------------------------------------------------------------------------
+
+def _ref_sbs_ns():
+    import contextlib
+
+    from tests.reference_loader import load_reference_functions
+
+    return load_reference_functions(
+        "depth.py",
+        ["make_sbs_core", "pad_to_aspect_tensor"],
+        globals_extra={
+            "maybe_autocast": lambda _dev: contextlib.nullcontext(),
+            "IS_DIRECTML": False,  # the grid_sample path we mirror
+            "DEVICE": torch.device("cpu"),
+        },
+    )
+
+
+@pytest.mark.parametrize("mode", ["Half-SBS", "Full-SBS", "Half-TAB", "Full-TAB"])
+@pytest.mark.parametrize("fill", [False, True])
+def test_make_sbs_vs_actual_reference_source(rng, mode, fill):
+    ns = _ref_sbs_ns()
+    H, W = 72, 72  # square → fill_16_9 actually pads
+    rgb = (rng.random((H, W, 3)) * 255).astype(np.float32)
+    depth = rng.random((H, W)).astype(np.float32)
+    want = ns["make_sbs_core"](
+        torch.from_numpy(rgb).permute(2, 0, 1).contiguous(),
+        torch.from_numpy(depth), ipd_uv=0.064, depth_ratio=2.0,
+        display_mode=mode, fill_16_9=fill, convergence=0.1,
+    ).permute(1, 2, 0).numpy()
+    got = np.asarray(make_sbs(jnp.asarray(rgb), jnp.asarray(depth),
+                              convergence=0.1, display_mode=mode,
+                              fill_16_9=fill))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    assert np.abs(got - want).max() < 1e-2
+
+
+@pytest.mark.parametrize("shape", [(40, 90), (90, 40), (45, 80)])
+def test_pad_to_aspect_vs_actual_reference_source(rng, shape):
+    from desktop2stereo_tpu.ops.stereo import pad_to_aspect
+
+    ns = _ref_sbs_ns()
+    img = (rng.random(shape + (3,)) * 255).astype(np.float32)
+    want = ns["pad_to_aspect_tensor"](
+        torch.from_numpy(img).permute(2, 0, 1)).permute(1, 2, 0).numpy()
+    got = np.asarray(pad_to_aspect(jnp.asarray(img)))
+    assert got.shape == want.shape
+    assert np.abs(got - want).max() == 0.0
