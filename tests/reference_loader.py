@@ -106,19 +106,30 @@ def load_reference_functions(relpath, names, globals_extra=None):
     tree = ast.parse(open(path, encoding="utf-8").read())
     wanted = []
     found = set()
-    for node in tree.body:
-        if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) \
-                and node.name in names:
-            wanted.append(node)
-            found.add(node.name)
-        elif isinstance(node, ast.Assign) and any(
-                isinstance(t, ast.Name) and t.id in names
-                for t in node.targets):
-            wanted.append(node)
-            # record every matching target (a chained `A = B = ...` might
-            # match on the second name only)
-            found.update(t.id for t in node.targets
-                         if isinstance(t, ast.Name) and t.id in names)
+
+    def scan(body):
+        for node in body:
+            if isinstance(node, (ast.FunctionDef, ast.AsyncFunctionDef)) \
+                    and node.name in names and node.name not in found:
+                wanted.append(node)
+                found.add(node.name)
+            elif isinstance(node, ast.Assign) and any(
+                    isinstance(t, ast.Name) and t.id in names
+                    for t in node.targets):
+                wanted.append(node)
+                # record every matching target (a chained `A = B = ...` might
+                # match on the second name only)
+                found.update(t.id for t in node.targets
+                             if isinstance(t, ast.Name) and t.id in names)
+            elif isinstance(node, ast.If):
+                # defs guarded by top-level platform switches (e.g. the
+                # reference's `if IS_CUDA:` process(), depth.py:540);
+                # first definition found wins, callers pick the branch by
+                # listing only names unique to it
+                scan(node.body)
+                scan(node.orelse)
+
+    scan(tree.body)
     missing = set(names) - found
     if missing:
         raise AssertionError(

@@ -85,3 +85,26 @@ def test_resize_patch_aligned_vs_torch(rng):
     ref = _torch_resize(x, (nh, nw), "bicubic", False, True)
     assert out.shape[1:3] == (nh, nw)
     assert np.abs(ref - out).max() < 5e-4
+
+
+@pytest.mark.parametrize("target", [128, 720])
+def test_process_vs_actual_reference_source(rng, target):
+    """Oracle = the reference's own GPU-path process() (BGRA->RGB +
+    even-aligned bilinear+antialias downscale), AST-extracted from inside
+    its `if IS_CUDA:` guard (reference depth.py:540-566).  target=720 >= H
+    exercises the no-resize early return."""
+    from tests.reference_loader import load_reference_functions
+
+    from desktop2stereo_tpu.ops.normalize import process
+
+    ns = load_reference_functions(
+        "depth.py", ["process"],
+        globals_extra={"DEVICE": "cpu", "DTYPE": torch.float32})
+
+    frame = (rng.random((360, 640, 4)) * 255).astype(np.uint8)
+    want = ns["process"](torch.from_numpy(frame.copy()), target)
+    want = want.permute(1, 2, 0).numpy()
+    got = np.asarray(process(jnp.asarray(frame), target))
+    assert got.shape == want.shape, (got.shape, want.shape)
+    # 0-255 scale: 5e-3 abs = 2e-5 relative (resize kernel float rounding)
+    assert np.abs(got - want).max() < (5e-3 if target < 360 else 0.0) + 1e-6
