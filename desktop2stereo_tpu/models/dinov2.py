@@ -169,6 +169,12 @@ class Dinov2Layer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        # sequence-parallel hook: under parallel_frame_apply(...,
+        # sequence_parallel=True) this pins the residual stream token-sharded
+        # over the model axis (no-op otherwise; parallel/sharding.py)
+        from desktop2stereo_tpu.parallel.sharding import token_constraint
+
+        x = token_constraint(x)
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm1", dtype=x.dtype)(x)
         h = Attention(self.hidden_size, self.num_heads, quant=self.quant,
                       name="attention")(h)

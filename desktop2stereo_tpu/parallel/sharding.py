@@ -14,7 +14,7 @@ The reference is single-GPU; its only "parallelism" is a 3-thread pipeline
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +22,23 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from desktop2stereo_tpu.core.runtime import DATA_AXIS, MODEL_AXIS
+
+# Sequence-parallel (Megatron-SP) trace-time hook: when set, encoder blocks
+# constrain their residual-stream input [B,N,D] to this sharding (tokens
+# over the model axis).  GSPMD then turns each block's TP all-reduce pair
+# into reduce-scatter + all-gather and computes LayerNorm/residual adds on
+# 1/model_axis of the tokens per chip — the standard SP communication
+# pattern ("How to Scale Your Model", Megatron-LM SP).  None = off (the
+# single-chip and pure-DP paths trace with zero overhead).
+_TOKEN_SHARDING: Optional[NamedSharding] = None
+
+
+def token_constraint(x: jax.Array) -> jax.Array:
+    """Encoder blocks call this on their residual-stream input; a no-op
+    unless a sequence-parallel `parallel_frame_apply` is tracing."""
+    if _TOKEN_SHARDING is None:
+        return x
+    return jax.lax.with_sharding_constraint(x, _TOKEN_SHARDING)
 
 
 # ViT-trunk subtree names across every family (DA/DA3/VDA/BEiT/ZoeDepth/
@@ -97,32 +114,50 @@ def shard_params(params: Any, mesh: Mesh) -> Any:
 def parallel_frame_apply(
     model_apply: Callable,
     mesh: Mesh,
+    sequence_parallel: bool = False,
 ) -> Callable:
     """Wraps `model_apply(params, pixels)` for a data-sharded frame batch.
 
     pixels [B,H,W,3] is sharded on B over the data axis; params carry their
     own (TP or replicated) shardings; the output depth [B,h,w] stays
     data-sharded.  GSPMD inserts the TP all-reduces over ICI.
+
+    `sequence_parallel=True` additionally shards the encoder's residual
+    stream on the TOKEN dim over the model axis (see token_constraint):
+    LayerNorms/residual adds run on N/model_axis tokens per chip and the TP
+    all-reduce pair becomes reduce-scatter + all-gather — worthwhile for
+    giant encoders at 4K token counts where full-N activations dominate
+    VMEM/HBM traffic.
     """
     data_in = NamedSharding(mesh, P(DATA_AXIS))
     out_sharding = NamedSharding(mesh, P(DATA_AXIS))
+    sp = sequence_parallel and mesh.shape[MODEL_AXIS] > 1
 
     @jax.jit
     def run(params, pixels):
-        # Trace-time: force quantized Denses onto the XLA formulation.  A
-        # Pallas call is an opaque custom call to GSPMD — over TP-sharded
-        # weights it would be gathered/replicated per layer, defeating the
-        # sharding exactly where it matters.  The jit body executes once
-        # per trace, so this toggles dispatch, not runtime state.
+        # Trace-time: force quantized Denses and attention onto their XLA
+        # formulations.  A Pallas call is an opaque custom call to GSPMD —
+        # over TP-sharded weights (or SP-sharded tokens) its operands get
+        # gathered/replicated per layer, defeating the sharding exactly
+        # where it matters.  The jit body executes once per trace, so this
+        # toggles dispatch, not runtime state.
+        from desktop2stereo_tpu.ops import attention as attn
         from desktop2stereo_tpu.ops.pallas import quant_matmul as qm
 
-        prev = qm.FORCE_KERNEL
+        global _TOKEN_SHARDING
+        prev_q, prev_f = qm.FORCE_KERNEL, attn.FORCE_FLASH
+        prev_t = _TOKEN_SHARDING
         qm.FORCE_KERNEL = False
+        attn.FORCE_FLASH = False
+        if sp:
+            _TOKEN_SHARDING = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
         try:
             pixels = jax.lax.with_sharding_constraint(pixels, data_in)
             depth = model_apply(params, pixels)
         finally:
-            qm.FORCE_KERNEL = prev
+            qm.FORCE_KERNEL = prev_q
+            attn.FORCE_FLASH = prev_f
+            _TOKEN_SHARDING = prev_t
         return jax.lax.with_sharding_constraint(depth, out_sharding)
 
     return run

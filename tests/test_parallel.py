@@ -156,3 +156,34 @@ def test_tp_sharded_quantized_matches_unsharded():
     run = parallel_frame_apply(apply_fn, mesh)
     out = np.asarray(run(sharded, pixels))
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sp_sharded_matches_unsharded(small_model):
+    """Sequence-parallel (token-sharded residual stream over the model
+    axis, Megatron-SP via GSPMD) composed with TP must be numerically
+    identical to the single-device apply."""
+    apply_fn, params, _ = small_model
+    mesh = make_mesh(num_data=2, num_model=4)
+
+    pixels = _pix(2, rng_seed=3)
+    ref = np.asarray(apply_fn(params, pixels))
+
+    sharded = shard_params(params, mesh)
+    run = parallel_frame_apply(apply_fn, mesh, sequence_parallel=True)
+    out = np.asarray(run(sharded, pixels))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_sp_hook_is_noop_outside_parallel_apply(small_model):
+    """token_constraint must not leak: a plain single-device apply after an
+    SP trace sees no sharding constraint (the hook global is restored)."""
+    from desktop2stereo_tpu.parallel import sharding as sh
+
+    apply_fn, params, _ = small_model
+    mesh = make_mesh(num_data=1, num_model=8)
+    run = parallel_frame_apply(apply_fn, mesh, sequence_parallel=True)
+    run(shard_params(params, mesh), _pix(1))  # traces with the hook set
+    assert sh._TOKEN_SHARDING is None
+    # and the plain path still works (would raise if a stale NamedSharding
+    # from a dead mesh were applied)
+    np.asarray(apply_fn(params, _pix(1)))
