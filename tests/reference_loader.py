@@ -115,7 +115,13 @@ def load_reference_functions(relpath, names, globals_extra=None):
                 found.add(node.name)
             elif isinstance(node, ast.Assign) and any(
                     isinstance(t, ast.Name) and t.id in names
+                    and t.id not in found
                     for t in node.targets):
+                # first definition wins, same as for defs: a later rebind
+                # like the reference's guarded
+                # `make_sbs_core = torch_compile_with_runtime_fallback(...)`
+                # (depth.py:2233-2235) must not shadow the extracted def —
+                # its RHS isn't part of the extracted namespace anyway
                 wanted.append(node)
                 # record every matching target (a chained `A = B = ...` might
                 # match on the second name only)
