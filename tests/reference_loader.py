@@ -121,11 +121,18 @@ def load_reference_functions(relpath, names, globals_extra=None):
                 # like the reference's guarded
                 # `make_sbs_core = torch_compile_with_runtime_fallback(...)`
                 # (depth.py:2233-2235) must not shadow the extracted def —
-                # its RHS isn't part of the extracted namespace anyway
+                # its RHS isn't part of the extracted namespace anyway.
+                # For a chained `A = B = rhs` where A was already extracted,
+                # rebinding A would break first-definition-wins, so keep only
+                # the not-yet-found targets on the extracted node.
+                new_targets = [t for t in node.targets
+                               if not (isinstance(t, ast.Name)
+                                       and t.id in names and t.id in found)]
+                node = ast.Assign(targets=new_targets, value=node.value)
                 wanted.append(node)
                 # record every matching target (a chained `A = B = ...` might
                 # match on the second name only)
-                found.update(t.id for t in node.targets
+                found.update(t.id for t in new_targets
                              if isinstance(t, ast.Name) and t.id in names)
             elif isinstance(node, ast.If):
                 # defs guarded by top-level platform switches (e.g. the

@@ -75,6 +75,20 @@ def test_missing_name_raises(fake_reference):
         reference_loader.load_reference_functions(rel, ["absent"])
 
 
+def test_partially_new_chained_assign_keeps_first_definition(fake_reference):
+    """`A = B = rhs` where A is already extracted: B must still be bound,
+    but A's first definition must survive (the rewritten node binds only
+    the not-yet-found targets)."""
+    rel = _write(fake_reference, "mod.py", """
+        A = 1
+
+        A = B = 2
+        """)
+    ns = reference_loader.load_reference_functions(rel, ["A", "B"])
+    assert ns["A"] == 1
+    assert ns["B"] == 2
+
+
 def test_first_def_wins_across_branches(fake_reference):
     """Two same-named defs in different branches: the first found wins
     (callers select a branch by naming symbols unique to it)."""
