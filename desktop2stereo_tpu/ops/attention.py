@@ -43,6 +43,37 @@ def xla_attention(
 FORCE_FLASH: Optional[bool] = None
 
 
+def _sharded_flash(ctx, q, k, v) -> jax.Array:
+    """Run the flash kernel per-shard under a TP/SP trace.
+
+    A bare pallas_call is an opaque custom call to GSPMD, which would
+    gather/replicate its operands per layer — so instead shard_map splits
+    the HEAD axis over the model axis (attention is embarrassingly parallel
+    over heads between the column-parallel qkv and row-parallel proj; the
+    Megatron decomposition) and the batch over the data axis, and each
+    shard runs the Pallas kernel on its local [B/dp, N, H/tp, hd] block.
+    Interpret mode keeps the kernel in the graph on CPU meshes (the
+    multichip dryrun), compiling to the real Mosaic kernel on TPU.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from desktop2stereo_tpu.core.runtime import DATA_AXIS, MODEL_AXIS
+    from desktop2stereo_tpu.ops.pallas.flash_attention import flash_attention
+
+    spec = P(DATA_AXIS, None, MODEL_AXIS, None)
+    interp = _platform() != "tpu"
+
+    def local(ql, kl, vl):
+        return flash_attention(ql, kl, vl, interpret=interp)
+
+    # check_vma=False: pallas out_shapes carry no vma annotation, which the
+    # checker rejects; there are no collectives inside to validate anyway
+    return jax.shard_map(
+        local, mesh=ctx.mesh, in_specs=(spec, spec, spec), out_specs=spec,
+        check_vma=False,
+    )(q, k, v)
+
+
 def multi_head_attention(
     q: jax.Array,
     k: jax.Array,
@@ -62,9 +93,48 @@ def multi_head_attention(
     XLA vs 2.3 ms flash) needs the kernel as much as one long sequence
     (N=5548: 130 ms XLA vs 2.1 ms flash).  Below ~32M logits both paths are
     sub-ms and XLA's fused softmax wins slightly.
+
+    Under a `parallel_frame_apply` trace (TP/SP mesh), the kernel runs
+    per-shard via shard_map over the head axis (see _sharded_flash); shapes
+    that don't divide the mesh fall back to the XLA path, which GSPMD
+    shards exactly.
     """
     if use_flash is None:
         use_flash = FORCE_FLASH
+
+    from desktop2stereo_tpu.parallel.sharding import current_context
+
+    ctx = current_context()
+    if ctx is not None and ctx.tp > 1:
+        B, N, H, _ = q.shape
+        fits = bias is None and H % ctx.tp == 0 and B % ctx.dp == 0
+        if use_flash is None:
+            # per-shard logits volume decides, same threshold as below
+            use_flash = (
+                _platform() == "tpu"
+                and (N >= 1024
+                     or (B // ctx.dp) * (H // ctx.tp) * N * N >= 32_000_000)
+            )
+        if use_flash and fits:
+            try:
+                return _sharded_flash(ctx, q, k, v)
+            except Exception:
+                pass  # shard_map/pallas unavailable → GSPMD-sharded XLA
+        if fits:
+            # pin the Megatron layout (heads sharded, tokens gathered) so
+            # the softmax reduces over LOCAL key tokens: under SP, GSPMD
+            # would otherwise shard the key dim and reorder the max/sum —
+            # harmless in f32, but int8 models amplify the reordering
+            # through downstream round() decisions
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from desktop2stereo_tpu.core.runtime import DATA_AXIS, MODEL_AXIS
+
+            s = NamedSharding(ctx.mesh, P(DATA_AXIS, None, MODEL_AXIS, None))
+            q, k, v = (jax.lax.with_sharding_constraint(t, s)
+                       for t in (q, k, v))
+        return xla_attention(q, k, v, bias)
+
     if use_flash is None:
         B, N, H, _ = q.shape
         use_flash = (

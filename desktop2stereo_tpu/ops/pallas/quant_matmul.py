@@ -43,26 +43,41 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel_bias(x_ref, wq_ref, scale_ref, bias_ref, out_ref, *, out_dtype):
-    _body(x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype)
+def _kernel(*refs, has_bias: bool, has_sx: bool, out_dtype):
+    """Unpack the positional ref list (x, wq, scale[, bias][, sx], out)
+    according to the optional-input flags and run the tile body."""
+    it = iter(refs)
+    x_ref, wq_ref, scale_ref = next(it), next(it), next(it)
+    bias_ref = next(it) if has_bias else None
+    sx_ref = next(it) if has_sx else None
+    out_ref = next(it)
+    _body(x_ref, wq_ref, scale_ref, bias_ref, sx_ref, out_ref, out_dtype)
 
 
-def _kernel_nobias(x_ref, wq_ref, scale_ref, out_ref, *, out_dtype):
-    _body(x_ref, wq_ref, scale_ref, None, out_ref, out_dtype)
-
-
-def _body(x_ref, wq_ref, scale_ref, bias_ref, out_ref, out_dtype):
+def _body(x_ref, wq_ref, scale_ref, bias_ref, sx_ref, out_ref, out_dtype):
     """One (row, feature) tile: per-row quantize, int8 MXU dot, rescale."""
     xf = x_ref[...].astype(jnp.float32)
-    # per-row dynamic scale — same clamp/round as dynamic_quantize_rows
-    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
-                     1e-8) / 127.0
+    if sx_ref is not None:
+        # caller-supplied per-row scales — the row-parallel TP path, where
+        # the abs-max must span the FULL K dim, not this shard's slice
+        sx = sx_ref[...]
+    else:
+        # per-row dynamic scale — same clamp/round as dynamic_quantize_rows
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                         1e-8) / 127.0
     xq = jnp.clip(jnp.round(xf / sx), -127.0, 127.0).astype(jnp.int8)
     acc = jax.lax.dot_general(
         xq, wq_ref[...],
         (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
+    if out_dtype == jnp.int32:
+        # raw-accumulator mode (row-parallel TP): the caller psums the
+        # exact int32 partials across shards and dequantizes AFTER — f32
+        # partial rescales would reorder the summation and flip downstream
+        # int8 rounding decisions, compounding through the encoder
+        out_ref[...] = acc
+        return
     out = acc.astype(jnp.float32) * (sx * scale_ref[0, :][None, :])
     if bias_ref is not None:
         out = out + bias_ref[0, :][None, :]
@@ -103,18 +118,24 @@ def probe() -> bool:
     return _PROBE_OK
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "out_dtype"))
 def quant_dense_matmul(
     x: jax.Array,         # [..., K] float activations
     kernel_q: jax.Array,  # [K, F] int8
     scale: jax.Array,     # [F] f32 per-output-channel weight scales
     bias: Optional[jax.Array] = None,  # [F]
+    row_scale: Optional[jax.Array] = None,  # [..., 1] f32 per-row act scales
     interpret: bool = False,
+    out_dtype=None,       # default x.dtype; f32 for row-parallel partials
 ) -> jax.Array:
-    """Fused QuantDense forward; returns [..., F] in x.dtype.
+    """Fused QuantDense forward; returns [..., F] in out_dtype (x.dtype).
 
     Numerics match ops/quant.py xla_quant_dense exactly: same per-row
-    dynamic activation scales, same round/clip, f32 epilogue.
+    dynamic activation scales, same round/clip, f32 epilogue.  `row_scale`
+    overrides the in-kernel abs-max — the row-parallel TP path supplies
+    scales spanning the full (unsharded) K dim so per-shard quantization
+    matches the single-chip result (and takes f32 partials out, so the
+    cross-shard psum accumulates before the final cast).
     """
     K, F = kernel_q.shape
     lead = x.shape[:-1]
@@ -134,17 +155,23 @@ def quant_dense_matmul(
     ]
     args = [x2, kernel_q, scale.astype(jnp.float32).reshape(1, F)]
     if bias is not None:
-        kernel = functools.partial(_kernel_bias, out_dtype=x.dtype)
         in_specs.append(
             pl.BlockSpec((1, tf), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM))
         args.append(bias.astype(jnp.float32).reshape(1, F))
-    else:
-        kernel = functools.partial(_kernel_nobias, out_dtype=x.dtype)
+    if row_scale is not None:
+        in_specs.append(
+            pl.BlockSpec((tm, 1), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM))
+        args.append(row_scale.astype(jnp.float32).reshape(M, 1))
+    out_dtype = x.dtype if out_dtype is None else out_dtype
+    kernel = functools.partial(
+        _kernel, has_bias=bias is not None, has_sx=row_scale is not None,
+        out_dtype=out_dtype)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((M, F), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((M, F), out_dtype),
         grid=(nm, nf),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((tm, tf), lambda i, j: (i, j),

@@ -78,6 +78,90 @@ def xla_quant_dense(x: jax.Array, kernel_q: jax.Array, scale: jax.Array,
     return out.reshape(*lead, kernel_q.shape[1]).astype(x.dtype)
 
 
+def tp_quant_dense(ctx, x: jax.Array, kernel_q: jax.Array,
+                   scale: jax.Array, bias, role: "str | None"):
+    """Fused int8 kernel under a TP trace, or None when shapes don't fit.
+
+    A bare pallas_call is opaque to GSPMD, so the kernel runs per-shard via
+    `jax.shard_map` along its Megatron role: column-parallel layers split F
+    (each chip produces its feature slice, no collective), row-parallel
+    layers split K (each chip contributes a partial matmul, psum'd inside
+    the map).  Row-parallel activation scales must span the FULL K dim to
+    match single-chip numerics, so they're computed outside the map (GSPMD
+    inserts the cross-shard max) and fed to the kernel as `row_scale`.
+    Interpret mode keeps the kernel in the graph on CPU meshes (the
+    multichip dryrun); on TPU it compiles to the real Mosaic kernel.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from desktop2stereo_tpu.core.runtime import DATA_AXIS, MODEL_AXIS
+    from desktop2stereo_tpu.ops.pallas import quant_matmul as qm
+
+    if x.ndim != 3 or role not in ("col", "row"):
+        return None
+    B, N, K = x.shape
+    _, F = kernel_q.shape
+    tp, dp = ctx.tp, ctx.dp
+    if B % dp:
+        return None
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    interp = platform != "tpu"
+    if not interp and not qm.probe():
+        return None
+
+    if role == "col":
+        if F % tp or not qm.supported(kernel_q):
+            return None
+        x_spec = P(DATA_AXIS, None, None)
+        in_specs = [x_spec, P(None, MODEL_AXIS), P(MODEL_AXIS)]
+        args = [x, kernel_q, scale]
+        if bias is not None:
+            in_specs.append(P(MODEL_AXIS))
+            args.append(bias)
+
+        def local_col(xl, wq, s, b=None):
+            return qm.quant_dense_matmul(xl, wq, s, b, interpret=interp)
+
+        # check_vma=False: pallas out_shapes carry no vma annotation
+        return jax.shard_map(
+            local_col, mesh=ctx.mesh, in_specs=tuple(in_specs),
+            out_specs=P(DATA_AXIS, None, MODEL_AXIS), check_vma=False,
+        )(*args)
+
+    # row-parallel: K splits; per-shard K must still satisfy the kernel's
+    # lane alignment
+    k_local = K // tp
+    if K % tp or k_local % 128 or k_local > qm._MAX_K:
+        return None
+    xf = x.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                     1e-8) / 127.0  # [B,N,1], full-K abs-max
+
+    def local_row(xl, sxl, wq):
+        # raw int32 accumulators out: integer psum is exact and
+        # order-free, so the sharded result is BIT-IDENTICAL to the
+        # single-chip kernel (f32 partial rescales would reorder the sum
+        # and flip downstream int8 rounding, compounding per layer)
+        acc = qm.quant_dense_matmul(
+            xl, wq, jnp.ones((wq.shape[1],), jnp.float32),
+            row_scale=sxl, interpret=interp, out_dtype=jnp.int32)
+        return jax.lax.psum(acc, MODEL_AXIS)
+
+    acc = jax.shard_map(
+        local_row, mesh=ctx.mesh,
+        in_specs=(P(DATA_AXIS, None, MODEL_AXIS), P(DATA_AXIS, None, None),
+                  P(MODEL_AXIS, None)),
+        out_specs=P(DATA_AXIS, None, None), check_vma=False,
+    )(x, sx, kernel_q)
+    out = acc.astype(jnp.float32) * (sx * scale.astype(jnp.float32)[None, None, :])
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)[None, None, :]
+    return out.astype(x.dtype)
+
+
 def _use_kernel(kernel_q: jax.Array) -> bool:
     """Fused Pallas path on TPU (ops/pallas/quant_matmul.py — one kernel
     instead of quantize/matmul/dequant as three XLA passes); the plain XLA
@@ -119,6 +203,22 @@ class QuantDense(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (self.features,))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+
+        from desktop2stereo_tpu.parallel.sharding import (
+            current_context,
+            megatron_role,
+        )
+
+        ctx = current_context()
+        if ctx is not None and ctx.tp > 1:
+            # TP/SP trace: run the fused kernel per-shard along this
+            # Dense's Megatron role; shapes that don't divide the mesh use
+            # the XLA formulation, which GSPMD shards exactly.
+            out = tp_quant_dense(ctx, x, kernel_q, scale, bias,
+                                 megatron_role(self.name or ""))
+            if out is not None:
+                return out
+            return xla_quant_dense(x, kernel_q, scale, bias)
 
         rows = x.size // d_in if x.size else 0
         if rows >= 8 and _use_kernel(kernel_q):

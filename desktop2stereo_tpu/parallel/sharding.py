@@ -14,6 +14,9 @@ The reference is single-GPU; its only "parallelism" is a 3-thread pipeline
 
 from __future__ import annotations
 
+import contextvars
+from contextlib import contextmanager
+from dataclasses import dataclass
 from typing import Any, Callable, Optional, Tuple
 
 import jax
@@ -23,22 +26,71 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from desktop2stereo_tpu.core.runtime import DATA_AXIS, MODEL_AXIS
 
-# Sequence-parallel (Megatron-SP) trace-time hook: when set, encoder blocks
-# constrain their residual-stream input [B,N,D] to this sharding (tokens
-# over the model axis).  GSPMD then turns each block's TP all-reduce pair
-# into reduce-scatter + all-gather and computes LayerNorm/residual adds on
-# 1/model_axis of the tokens per chip — the standard SP communication
-# pattern ("How to Scale Your Model", Megatron-LM SP).  None = off (the
-# single-chip and pure-DP paths trace with zero overhead).
-_TOKEN_SHARDING: Optional[NamedSharding] = None
+
+@dataclass(frozen=True)
+class ParallelContext:
+    """Trace-time description of the active multi-chip configuration.
+
+    Installed (via a contextvar, so concurrent traces from ProgramCache's
+    HTTP/key threads cannot race each other) for the duration of a
+    `parallel_frame_apply` trace.  Encoder building blocks consult it:
+
+    - `token_constraint` pins the residual stream token-sharded (SP),
+    - attention dispatch keeps the Pallas flash kernel alive by running it
+      per-shard under `jax.shard_map` over TP-sharded heads,
+    - QuantDense does the same for the fused int8 kernel over its
+      Megatron-role-sharded weights.
+    """
+
+    mesh: Mesh
+    sequence_parallel: bool = False
+
+    @property
+    def dp(self) -> int:
+        return self.mesh.shape[DATA_AXIS]
+
+    @property
+    def tp(self) -> int:
+        return self.mesh.shape[MODEL_AXIS]
+
+    @property
+    def token_sharding(self) -> Optional[NamedSharding]:
+        if not (self.sequence_parallel and self.tp > 1):
+            return None
+        return NamedSharding(self.mesh, P(DATA_AXIS, MODEL_AXIS))
+
+
+_PARALLEL_CTX: contextvars.ContextVar[Optional[ParallelContext]] = (
+    contextvars.ContextVar("d2s_parallel_ctx", default=None)
+)
+
+
+def current_context() -> Optional[ParallelContext]:
+    """The ParallelContext of the trace in progress on THIS thread, if any."""
+    return _PARALLEL_CTX.get()
+
+
+@contextmanager
+def parallel_trace(ctx: ParallelContext):
+    token = _PARALLEL_CTX.set(ctx)
+    try:
+        yield ctx
+    finally:
+        _PARALLEL_CTX.reset(token)
 
 
 def token_constraint(x: jax.Array) -> jax.Array:
-    """Encoder blocks call this on their residual-stream input; a no-op
-    unless a sequence-parallel `parallel_frame_apply` is tracing."""
-    if _TOKEN_SHARDING is None:
+    """Encoder blocks call this on their residual-stream input [B,N,D]; a
+    no-op unless a sequence-parallel `parallel_frame_apply` is tracing on
+    this thread.  Under SP, GSPMD turns each block's TP all-reduce pair
+    into reduce-scatter + all-gather and computes LayerNorm/residual adds
+    on 1/model_axis of the tokens per chip — the standard Megatron-SP
+    communication pattern ("How to Scale Your Model")."""
+    ctx = current_context()
+    sharding = ctx.token_sharding if ctx is not None else None
+    if sharding is None:
         return x
-    return jax.lax.with_sharding_constraint(x, _TOKEN_SHARDING)
+    return jax.lax.with_sharding_constraint(x, sharding)
 
 
 # ViT-trunk subtree names across every family (DA/DA3/VDA/BEiT/ZoeDepth/
@@ -69,6 +121,11 @@ def _parent_role(parent: str) -> "str | None":
             or parent.startswith(("fc2", "weights_out")):
         return "row"
     return None
+
+
+# Public alias: QuantDense looks up its own Megatron role by module name to
+# pick the shard_map decomposition for its fused kernel (ops/quant.py).
+megatron_role = _parent_role
 
 
 def _tp_spec_for(path: str, shape: Tuple[int, ...],
@@ -131,33 +188,19 @@ def parallel_frame_apply(
     """
     data_in = NamedSharding(mesh, P(DATA_AXIS))
     out_sharding = NamedSharding(mesh, P(DATA_AXIS))
-    sp = sequence_parallel and mesh.shape[MODEL_AXIS] > 1
+    ctx = ParallelContext(mesh, sequence_parallel=sequence_parallel)
 
     @jax.jit
     def run(params, pixels):
-        # Trace-time: force quantized Denses and attention onto their XLA
-        # formulations.  A Pallas call is an opaque custom call to GSPMD —
-        # over TP-sharded weights (or SP-sharded tokens) its operands get
-        # gathered/replicated per layer, defeating the sharding exactly
-        # where it matters.  The jit body executes once per trace, so this
-        # toggles dispatch, not runtime state.
-        from desktop2stereo_tpu.ops import attention as attn
-        from desktop2stereo_tpu.ops.pallas import quant_matmul as qm
-
-        global _TOKEN_SHARDING
-        prev_q, prev_f = qm.FORCE_KERNEL, attn.FORCE_FLASH
-        prev_t = _TOKEN_SHARDING
-        qm.FORCE_KERNEL = False
-        attn.FORCE_FLASH = False
-        if sp:
-            _TOKEN_SHARDING = NamedSharding(mesh, P(DATA_AXIS, MODEL_AXIS))
-        try:
+        # Trace-time: install the ParallelContext so encoder building
+        # blocks re-route their Pallas kernels through per-shard shard_map
+        # calls (a bare pallas_call is an opaque custom call to GSPMD —
+        # over TP-sharded weights its operands would get gathered/
+        # replicated per layer, defeating the sharding).  Contextvar scoped
+        # to this thread's trace: concurrent traces cannot see it.
+        with parallel_trace(ctx):
             pixels = jax.lax.with_sharding_constraint(pixels, data_in)
             depth = model_apply(params, pixels)
-        finally:
-            qm.FORCE_KERNEL = prev_q
-            attn.FORCE_FLASH = prev_f
-            _TOKEN_SHARDING = prev_t
         return jax.lax.with_sharding_constraint(depth, out_sharding)
 
     return run

@@ -312,11 +312,12 @@ def test_cli_end_to_end_int8(tmp_path):
     assert pngs, "no SBS frames written"
 
 
-def test_parallel_frame_apply_gates_off_quant_kernel(monkeypatch):
-    """Under the SPMD wrapper a Pallas call is opaque to GSPMD (it would
-    gather TP-sharded weights per layer), so parallel_frame_apply traces
-    with the kernel disabled — even when dispatch is forced on."""
-    import desktop2stereo_tpu.ops.pallas.quant_matmul as qm
+def test_parallel_frame_apply_routes_quant_through_shard_map(monkeypatch):
+    """Under the SPMD wrapper the fused kernel must NOT be dispatched as a
+    bare pallas_call (opaque to GSPMD: TP-sharded weights would be gathered
+    per layer) — it goes through tp_quant_dense's shard_map decomposition
+    instead, with the XLA formulation for shapes that don't divide."""
+    import desktop2stereo_tpu.ops.quant as quant
     from desktop2stereo_tpu.core.runtime import make_mesh
     from desktop2stereo_tpu.parallel.sharding import (
         parallel_frame_apply, shard_params)
@@ -324,14 +325,14 @@ def test_parallel_frame_apply_gates_off_quant_kernel(monkeypatch):
     if len(jax.devices()) < 8:
         pytest.skip("needs the 8-device virtual mesh")
 
-    calls = []
+    roles = []
+    orig = quant.tp_quant_dense
 
-    def boom(*a, **k):
-        calls.append(1)
-        raise AssertionError("quant kernel dispatched inside SPMD trace")
+    def spy(ctx, x, kq, s, b, role):
+        roles.append(role)
+        return orig(ctx, x, kq, s, b, role)
 
-    monkeypatch.setattr(qm, "quant_dense_matmul", boom)
-    monkeypatch.setattr(qm, "FORCE_KERNEL", True)
+    monkeypatch.setattr(quant, "tp_quant_dense", spy)
 
     from desktop2stereo_tpu.models.factory import build_model
     apply_fn, params, _ = build_model("Depth-Anything-V2-Small",
@@ -343,7 +344,8 @@ def test_parallel_frame_apply_gates_off_quant_kernel(monkeypatch):
         np.random.default_rng(4).standard_normal((1, 56, 56, 3)),
         jnp.float32)
     out = np.asarray(run(sharded, pixels))
-    assert not calls
+    # every QuantDense consulted the shard_map router, both Megatron roles
+    assert "col" in roles and "row" in roles, roles
     assert np.isfinite(out).all()
 
 
