@@ -97,6 +97,59 @@ def _sample_const_offset(x: jax.Array, offset: float) -> jax.Array:
     return a * (1.0 - f) + b * f
 
 
+def _shift_2d(x: jax.Array, dx: float, dy: float) -> jax.Array:
+    """Sample x ([H,W] or [H,W,C]) at (j+dx, i+dy) for STATIC fractional
+    offsets (clamp-to-edge): a bilinear lerp of up to four static shifts —
+    the roll≠0 generalization of `_sample_const_offset` (the GLSL texture
+    taps along the rotated parallax direction, reference viewer.py:544)."""
+    import math as _math
+
+    ix, iy = _math.floor(dx), _math.floor(dy)
+    fx, fy = dx - ix, dy - iy
+    squeeze = x.ndim == 2
+    v = x[..., None] if squeeze else x
+
+    def at(jx: int, jy: int) -> jax.Array:
+        return _shift_rows(_shift_cols(v, jx), jy)
+
+    top = at(ix, iy)
+    if fx:
+        top = top * (1.0 - fx) + at(ix + 1, iy) * fx
+    if fy:
+        bot = at(ix, iy + 1)
+        if fx:
+            bot = bot * (1.0 - fx) + at(ix + 1, iy + 1) * fx
+        top = top * (1.0 - fy) + bot * fy
+    return top[..., 0] if squeeze else top
+
+
+def _sample_2d_bilinear(img: jax.Array, px: jax.Array, py: jax.Array) -> jax.Array:
+    """Full 2D clamp-to-edge bilinear gather at per-pixel continuous coords
+    (the roll≠0 warp: GLSL texture(shifted_uv), reference viewer.py:556).
+    Four flat gathers — fine for the jnp/XR path; the Pallas pair kernel
+    stays gated to roll≈0 where the warp is horizontal-only."""
+    H, W = img.shape[0], img.shape[1]
+    pxc = jnp.clip(px, 0.0, W - 1.0)
+    pyc = jnp.clip(py, 0.0, H - 1.0)
+    x0 = jnp.floor(pxc)
+    y0 = jnp.floor(pyc)
+    fx = (pxc - x0)[..., None]
+    fy = (pyc - y0)[..., None]
+    x0i = jnp.clip(x0.astype(jnp.int32), 0, W - 1)
+    x1i = jnp.clip(x0i + 1, 0, W - 1)
+    y0i = jnp.clip(y0.astype(jnp.int32), 0, H - 1)
+    y1i = jnp.clip(y0i + 1, 0, H - 1)
+    flat = img.reshape(H * W, -1)
+
+    def g(yi, xi):
+        return jnp.take(flat, (yi * W + xi).reshape(-1), axis=0).reshape(
+            H, W, -1)
+
+    top = g(y0i, x0i) * (1.0 - fx) + g(y0i, x1i) * fx
+    bot = g(y1i, x0i) * (1.0 - fx) + g(y1i, x1i) * fx
+    return top * (1.0 - fy) + bot * fy
+
+
 # --------------------------------------------------------------------------
 # 1. Legacy torch-compositor parity path
 # --------------------------------------------------------------------------
@@ -214,12 +267,28 @@ def push_pull_inpaint(
     search_radius: int = 12,
     depth_tolerance: float = 0.012,
     blur_radius: float = 2.5,
+    par_dir: Tuple[float, float] = (1.0, 0.0),
 ) -> jax.Array:
     """Directional background inpaint (reference viewer.py:437-506),
     vectorized over all pixels; the GLSL early-exit (weight>5) and the
     opposite-sweep fallback (weight<2) are reproduced with cumulative-weight
-    masks instead of control flow."""
+    masks instead of control flow.
+
+    `par_dir` = (cosθ, sinθ) of the parallax direction (screen roll).  The
+    GLSL sweep steps `g_par_dir * pixel_size.x * i` — both components scale
+    by the X pixel size (reference viewer.py:442), so the vertical pixel
+    offset of tap i is i·sinθ·(H/W); taps are rounded to integer pixel
+    shifts (same precedent as the vertical blur's 2.5→2 px rounding)."""
     H, W, _ = rgb.shape
+    cos_t, sin_t = par_dir
+
+    def tap(img: jax.Array, direction: float, i: int) -> jax.Array:
+        offx = int(round(direction * i * cos_t))
+        offy = int(round(direction * i * sin_t * (H / W)))
+        out = _shift_cols(img, offx)
+        if offy:
+            out = _shift_rows(out, offy)
+        return out
 
     def sweep(direction: float, decay: float, use_depth_weight: bool):
         colors = jnp.zeros_like(rgb)
@@ -227,9 +296,8 @@ def push_pull_inpaint(
         cum = jnp.zeros_like(depth)
         # static unroll: search_radius taps of pure shifts — XLA fuses these
         for i in range(1, search_radius + 1):
-            off = int(direction * i)
-            s_depth_inv = 1.0 - _shift_cols(depth[..., None], off)[..., 0]
-            s_color = _shift_cols(rgb, off)
+            s_depth_inv = 1.0 - tap(depth[..., None], direction, i)[..., 0]
+            s_color = tap(rgb, direction, i)
             is_bg = s_depth_inv > center_depth_inv + depth_tolerance
             dist_w = jnp.exp(-float(i) * decay)
             if use_depth_weight:
@@ -281,13 +349,23 @@ def dibr_render(
     search_radius: int = 12,
     depth_tolerance: float = 0.012,
     edge_margin: float = 0.05,
+    roll: float = 0.0,
 ) -> jax.Array:
     """Render one eye via the viewer's DIBR shader math (reference
-    viewer.py:528-631, roll=0).  `eye_offset` is ±ipd/2 in UV units
-    (reference viewer.py:2701-2746)."""
+    viewer.py:528-631).  `eye_offset` is ±ipd/2 in UV units (reference
+    viewer.py:2701-2746).  `roll` is the screen roll in radians: it rotates
+    the parallax direction (reference u_roll, viewer.py:399,544-556 —
+    shift applied as (px·cosθ, px·sinθ), pre-smooth/confidence taps along
+    the rotated direction).  roll≈0 keeps the horizontal-only fast path
+    (and the Pallas pair kernel); roll≠0 runs the 2D-gather jnp path."""
+    import math as _math
+
     H, W, _ = rgb.shape
     dt = rgb.dtype
     depth = depth.astype(dt)
+
+    cos_t, sin_t = _math.cos(roll), _math.sin(roll)
+    rolled = abs(sin_t) > 1e-6
 
     # 3-tap asymmetric Gaussian pre-smooth along the parallax direction at
     # ±1.5px (bilinear at half-texel → average of 1- and 2-px neighbours).
@@ -296,6 +374,10 @@ def dibr_render(
     par_sign = 1.0 if eye_offset > 0 else -1.0
 
     def sample_depth_at(offset_px: float) -> jax.Array:
+        if rolled:
+            # ds_dir = g_par_dir * pixel_size * k: per-axis pixel sizes, so
+            # the offset is k·cosθ px horizontally and k·sinθ px vertically
+            return _shift_2d(depth, offset_px * cos_t, offset_px * sin_t)
         return _sample_const_offset(depth, offset_px)
 
     d0 = depth
@@ -315,7 +397,8 @@ def dibr_render(
     edge_falloff = edge_falloff * ef2
 
     shift_uv = eye_offset * (depth_shaped + convergence) * depth_strength * edge_falloff
-    px = jnp.arange(W, dtype=dt)[None, :] - shift_uv * W
+    # shifted_uv = uv - (shift·cosθ, shift·sinθ) (reference viewer.py:556)
+    px = jnp.arange(W, dtype=dt)[None, :] - shift_uv * cos_t * W
 
     # static disparity bound for the kernel warp
     max_disp = int(abs(eye_offset) * (1.35 + abs(convergence))
@@ -328,12 +411,15 @@ def dibr_render(
     t = jnp.clip((jump - 0.04) / (0.10 - 0.04), 0.0, 1.0)
     conf = t * t * (3.0 - 2.0 * t)
     oob = (px < 0.0) | (px > W - 1.0)
+    if rolled:
+        py = jnp.arange(H, dtype=dt)[:, None] - shift_uv * sin_t * H
+        oob = oob | (py < 0.0) | (py > H - 1.0)
     conf = jnp.where(oob, 1.0, conf)
 
     sweep_sign = -1.0 if eye_offset > 0 else 1.0
     px_clamped = jnp.clip(px, 0.0, W - 1.0)
 
-    if _on_tpu():
+    if not rolled and _on_tpu():
         try:
             from desktop2stereo_tpu.ops.pallas.dibr import dibr_warp_fill_blend
 
@@ -346,9 +432,13 @@ def dibr_render(
         except Exception:
             pass  # fall back to the jnp reference path
 
-    color = _hsample(rgb, px_clamped, max_disp)
+    if rolled:
+        color = _sample_2d_bilinear(rgb, px, py).astype(dt)
+    else:
+        color = _hsample(rgb, px_clamped, max_disp)
     filled = push_pull_inpaint(
-        rgb, d, depth_inv, sweep_sign, search_radius, depth_tolerance
+        rgb, d, depth_inv, sweep_sign, search_radius, depth_tolerance,
+        par_dir=(cos_t, sin_t),
     )
     return color + conf[..., None] * (filled - color)
 
@@ -439,16 +529,22 @@ def stereo_compose(
     quality: str = "high",
     feather: bool = False,
     fill_16_9: bool = False,
+    roll: float = 0.0,
 ) -> jax.Array:
     """Full stereo stage: per-eye DIBR (or fast warp) + optional per-eye
     edge feathering (reference KEY_B) + optional per-eye 16:9 padding
-    (reference depth.py:2175-2177) + display arrangement."""
+    (reference depth.py:2175-2177) + display arrangement.  `roll` rotates
+    the parallax direction (reference u_roll, viewer.py:399) — the Pallas
+    pair kernel is horizontal-only, so roll≠0 takes the jnp DIBR path."""
+    import math as _math
+
     if display_mode == "Depth":
         out = depth_colormap_spectral(depth.astype(rgb.dtype))
         return edge_feather(out) if feather else out
+    rolled = abs(_math.sin(roll)) > 1e-6
     if quality == "high":
         left = right = None
-        if _on_tpu():
+        if _on_tpu() and not rolled:
             try:
                 from desktop2stereo_tpu.ops.pallas.dibr import dibr_render_pair
 
@@ -460,8 +556,10 @@ def stereo_compose(
             except Exception:
                 left = right = None  # fall back to per-eye path
         if left is None:
-            left = dibr_render(rgb, depth, -ipd / 2.0, depth_strength, convergence)
-            right = dibr_render(rgb, depth, +ipd / 2.0, depth_strength, convergence)
+            left = dibr_render(rgb, depth, -ipd / 2.0, depth_strength,
+                               convergence, roll=roll)
+            right = dibr_render(rgb, depth, +ipd / 2.0, depth_strength,
+                                convergence, roll=roll)
         if feather:
             left, right = edge_feather(left), edge_feather(right)
         if fill_16_9:

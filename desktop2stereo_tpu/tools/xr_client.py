@@ -7,16 +7,25 @@ reference does in its viewer fragment shader, reference viewer.py:386-631,
 and per-eye in OpenXR, reference xr_viewer/implementation.py:1724-2063),
 and presents:
 
+- ``--present openxr`` pyopenxr headset session: per-eye swapchain render
+  loop (wait_frame → begin_frame → locate_views → render → end_frame)
+  driven by the xr/session.py state machine (reference
+  xr_viewer/implementation.py:1724-2063, xr_session.py:117-226);
 - ``--present glfw``  moderngl + GLFW window, warp on the GPU (a compact
   GLSL port of the same DIBR math — parallax shift, 3-tap pre-smooth,
-  edge falloff, disocclusion confidence, directional background inpaint);
+  edge falloff, disocclusion confidence, directional background inpaint,
+  border alpha clip, rounded-corner SDF, roll-aware parallax);
 - ``--present cv``    OpenCV window, CPU numpy warp;
 - ``--present png``   offscreen PNG frames, CPU numpy warp (headless CI);
-- ``--present auto``  first of the above that imports.
+- ``--present auto``  first of glfw/cv/png that imports (openxr stays
+  explicit — a flat window should not race a headset runtime).
 
 The CPU warp is pure numpy — a workstation needs no JAX to run this.  It
 mirrors `ops/stereo.dibr_render` (itself validated against the reference
 shader's behavior) so server-side Half-SBS and client-side warp agree.
+NOTE: the numpy warp is CI/debug-grade (~dozens of full-frame passes per
+frame — single-digit FPS at 1080p); the glfw and openxr presenters are the
+real-time paths.
 
 Usage:
     python -m desktop2stereo_tpu.tools.xr_client --host <tpu-host> --port 1123
@@ -92,6 +101,44 @@ def _gather_bilinear_w(img: np.ndarray, px: np.ndarray) -> np.ndarray:
     return img[rows, i0] * (1.0 - frac) + img[rows, i1] * frac
 
 
+def _gather_bilinear_2d(img: np.ndarray, px: np.ndarray,
+                        py: np.ndarray) -> np.ndarray:
+    """Clamp-to-edge bilinear gather at per-pixel 2D coords (the roll≠0
+    warp: GLSL texture(shifted_uv), reference viewer.py:556)."""
+    H, W = img.shape[:2]
+    pxc = np.clip(px, 0.0, W - 1.0)
+    pyc = np.clip(py, 0.0, H - 1.0)
+    x0 = np.floor(pxc).astype(np.int64)
+    y0 = np.floor(pyc).astype(np.int64)
+    x1 = np.minimum(x0 + 1, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    fx = (pxc - x0).astype(img.dtype)[..., None]
+    fy = (pyc - y0).astype(img.dtype)[..., None]
+    top = img[y0, x0] * (1.0 - fx) + img[y0, x1] * fx
+    bot = img[y1, x0] * (1.0 - fx) + img[y1, x1] * fx
+    return top * (1.0 - fy) + bot * fy
+
+
+def _shift_2d(x: np.ndarray, dx: float, dy: float) -> np.ndarray:
+    """Static fractional 2D offset sample (clamp-to-edge) — the rotated
+    fixed-tap generalization of `_sample_const_offset`."""
+    ix, iy = int(np.floor(dx)), int(np.floor(dy))
+    fx, fy = dx - ix, dy - iy
+
+    def at(jx: int, jy: int) -> np.ndarray:
+        return _shift_rows(_shift_cols(x, jx), jy)
+
+    top = at(ix, iy)
+    if fx:
+        top = top * (1.0 - fx) + at(ix + 1, iy) * fx
+    if fy:
+        bot = at(ix, iy + 1)
+        if fx:
+            bot = bot * (1.0 - fx) + at(ix + 1, iy + 1) * fx
+        top = top * (1.0 - fy) + bot * fy
+    return top
+
+
 def _smoothstep(x: np.ndarray) -> np.ndarray:
     return x * x * (3.0 - 2.0 * x)
 
@@ -105,18 +152,29 @@ def warp_eye(
     search_radius: int = 12,
     depth_tolerance: float = 0.012,
     edge_margin: float = 0.05,
+    roll: float = 0.0,
 ) -> np.ndarray:
     """One eye of the DIBR warp — numpy mirror of ops/stereo.dibr_render
     (reference viewer.py:528-631 behavior): parallax gather + soft
-    disocclusion blend with directional background inpaint."""
+    disocclusion blend with directional background inpaint.  `roll`
+    rotates the parallax direction (reference u_roll, viewer.py:399)."""
+    import math
+
     H, W, _ = rgb.shape
     depth = depth.astype(np.float32)
     rgb = rgb.astype(np.float32)
     par_sign = 1.0 if eye_offset > 0 else -1.0
+    cos_t, sin_t = math.cos(roll), math.sin(roll)
+    rolled = abs(sin_t) > 1e-6
+
+    def dtap(k: float) -> np.ndarray:
+        if rolled:
+            return _shift_2d(depth, k * cos_t, k * sin_t)
+        return _sample_const_offset(depth, k)
 
     d = (depth * 0.7
-         + _sample_const_offset(depth, -par_sign * 1.5) * 0.15
-         + _sample_const_offset(depth, +par_sign * 1.5) * 0.15)
+         + dtap(-par_sign * 1.5) * 0.15
+         + dtap(+par_sign * 1.5) * 0.15)
     depth_inv = -d
     depth_shaped = depth_inv * (1.0 + 0.35 * (1.0 - d))
 
@@ -125,15 +183,31 @@ def warp_eye(
     ef *= _smoothstep(np.clip((1.0 - u) / edge_margin, 0.0, 1.0))
 
     shift_uv = eye_offset * (depth_shaped + convergence) * depth_strength * ef
-    px = np.arange(W, dtype=np.float32)[None, :] - shift_uv * W
+    px = np.arange(W, dtype=np.float32)[None, :] - shift_uv * cos_t * W
 
     # disocclusion confidence from the depth jump along the parallax dir
-    jump = np.abs(_sample_const_offset(depth, -par_sign * 2.0)
-                  - _sample_const_offset(depth, +par_sign * 2.0))
+    jump = np.abs(dtap(-par_sign * 2.0) - dtap(+par_sign * 2.0))
     conf = _smoothstep(np.clip((jump - 0.04) / 0.06, 0.0, 1.0))
-    conf = np.where((px < 0.0) | (px > W - 1.0), 1.0, conf)
+    oob = (px < 0.0) | (px > W - 1.0)
+    if rolled:
+        py = np.arange(H, dtype=np.float32)[:, None] - shift_uv * sin_t * H
+        oob |= (py < 0.0) | (py > H - 1.0)
+    conf = np.where(oob, 1.0, conf)
 
-    color = _gather_bilinear_w(rgb, px)
+    if rolled:
+        color = _gather_bilinear_2d(rgb, px, py)
+    else:
+        color = _gather_bilinear_w(rgb, px)
+
+    def tap_img(img: np.ndarray, direction: float, i: int) -> np.ndarray:
+        # sweep steps use the X pixel size for both axes (reference
+        # viewer.py:442), rounded to integer pixel shifts
+        offx = int(round(direction * i * cos_t))
+        offy = int(round(direction * i * sin_t * (H / W)))
+        out = _shift_cols(img, offx)
+        if offy:
+            out = _shift_rows(out, offy)
+        return out
 
     # directional background inpaint (reference viewer.py:437-506)
     sweep = -par_sign
@@ -141,23 +215,21 @@ def warp_eye(
     weights = np.zeros_like(d)
     cum = np.zeros_like(d)
     for i in range(1, search_radius + 1):
-        off = int(sweep * i)
-        s_dinv = 1.0 - _shift_cols(d[..., None], off)[..., 0]
+        s_dinv = 1.0 - tap_img(d[..., None], sweep, i)[..., 0]
         is_bg = s_dinv > depth_inv + depth_tolerance
         w = np.exp(-i * 0.15) * (1.0 + (s_dinv - depth_inv) * 10.0)
         w = np.where(is_bg & (cum <= 5.0), w, 0.0)
-        colors += _shift_cols(rgb, off) * w[..., None]
+        colors += tap_img(rgb, sweep, i) * w[..., None]
         weights += w
         cum += w
     # opposite sweep where the forward one found little background
     need = weights < 2.0
     cum2 = np.zeros_like(d)
     for i in range(1, search_radius + 1):
-        off = int(-sweep * i)
-        s_dinv = 1.0 - _shift_cols(d[..., None], off)[..., 0]
+        s_dinv = 1.0 - tap_img(d[..., None], -sweep, i)[..., 0]
         is_bg = s_dinv > depth_inv + depth_tolerance
         w = np.where(is_bg & (cum2 <= 5.0) & need, np.exp(-i * 0.2), 0.0)
-        colors += _shift_cols(rgb, off) * w[..., None]
+        colors += tap_img(rgb, -sweep, i) * w[..., None]
         weights += w
         cum2 += w
     found = weights > 0.01
@@ -178,15 +250,17 @@ def warp_eye(
 def render_stereo(
     rgb_u8: np.ndarray, depth: Optional[np.ndarray],
     ipd: float, depth_strength: float, convergence: float,
-    mode: str = "Full-SBS",
+    mode: str = "Full-SBS", roll: float = 0.0,
 ) -> np.ndarray:
     """(rgb, depth) → displayable stereo frame, uint8."""
     rgb = rgb_u8.astype(np.float32)
     if depth is None:
         left = right = rgb
     else:
-        left = warp_eye(rgb, depth, -ipd / 2, depth_strength, convergence)
-        right = warp_eye(rgb, depth, +ipd / 2, depth_strength, convergence)
+        left = warp_eye(rgb, depth, -ipd / 2, depth_strength, convergence,
+                        roll=roll)
+        right = warp_eye(rgb, depth, +ipd / 2, depth_strength, convergence,
+                         roll=roll)
     if mode == "Half-SBS":
         if left.shape[1] % 2:  # odd width (window capture): drop last col
             left, right = left[:, :-1], right[:, :-1]
@@ -248,7 +322,10 @@ class CvPresenter:
 
 # GLSL port of the DIBR warp (the reference's viewer fragment shader role,
 # reference viewer.py:386-631): runs per eye on the workstation GPU so
-# warp rate is decoupled from the network frame rate.
+# warp rate is decoupled from the network frame rate.  u_roll rotates the
+# parallax direction with screen/head roll (reference u_roll,
+# viewer.py:399,544-556); the screen-edge alpha clip and rounded-corner
+# SDF match reference viewer.py:595-631.
 _DIBR_FRAG = """
 #version 330
 uniform sampler2D u_color;
@@ -256,6 +333,8 @@ uniform sampler2D u_depth;
 uniform float u_eye_offset;     // ±ipd/2 (uv units)
 uniform float u_strength;
 uniform float u_convergence;
+uniform float u_roll;           // parallax-direction roll (radians)
+uniform float u_corner_radius;  // rounded-corner SDF radius (uv units)
 uniform vec2  u_texel;
 in vec2 v_uv;
 out vec4 f_color;
@@ -265,26 +344,29 @@ float depth_at(vec2 uv) { return texture(u_depth, uv).r; }
 
 void main() {
     float par = u_eye_offset > 0.0 ? 1.0 : -1.0;
-    vec2 dx = vec2(u_texel.x, 0.0);
+    vec2 pd = vec2(cos(u_roll), sin(u_roll));   // parallax direction
+    vec2 ds = pd * u_texel;                     // per-axis pixel steps
     float d = depth_at(v_uv) * 0.7
-            + depth_at(v_uv - par * 1.5 * dx) * 0.15
-            + depth_at(v_uv + par * 1.5 * dx) * 0.15;
+            + depth_at(v_uv - par * 1.5 * ds) * 0.15
+            + depth_at(v_uv + par * 1.5 * ds) * 0.15;
     float depth_inv = -d;
     float shaped = depth_inv * (1.0 + 0.35 * (1.0 - d));
     float ef = smoothstep01(v_uv.x / 0.05) * smoothstep01((1.0 - v_uv.x) / 0.05);
     float shift = u_eye_offset * (shaped + u_convergence) * u_strength * ef;
-    vec2 suv = vec2(v_uv.x - shift, v_uv.y);
+    vec2 suv = v_uv - shift * pd;
     vec3 color = texture(u_color, clamp(suv, 0.0, 1.0)).rgb;
 
-    float jump = abs(depth_at(v_uv - par * 2.0 * dx) - depth_at(v_uv + par * 2.0 * dx));
+    float jump = abs(depth_at(v_uv - par * 2.0 * ds) - depth_at(v_uv + par * 2.0 * ds));
     float conf = smoothstep01((jump - 0.04) / 0.06);
-    if (suv.x < 0.0 || suv.x > 1.0) conf = 1.0;
+    if (suv.x < 0.0 || suv.x > 1.0 || suv.y < 0.0 || suv.y > 1.0) conf = 1.0;
 
     // directional background inpaint, forward sweep + fallback
+    // (sweep steps scale both axes by the X pixel size, like the
+    // reference's `g_par_dir * pixel_size.x`)
     vec3 acc = vec3(0.0); float wsum = 0.0;
-    float sweep = -par;
+    vec2 sweep = -par * pd * u_texel.x;
     for (int i = 1; i <= 12; ++i) {
-        vec2 o = v_uv + sweep * float(i) * dx;
+        vec2 o = v_uv + sweep * float(i);
         float sdinv = 1.0 - depth_at(o);
         if (sdinv > depth_inv + 0.012) {
             float w = exp(-float(i) * 0.15) * (1.0 + (sdinv - depth_inv) * 10.0);
@@ -295,7 +377,7 @@ void main() {
     }
     if (wsum < 2.0) {
         for (int i = 1; i <= 12; ++i) {
-            vec2 o = v_uv - sweep * float(i) * dx;
+            vec2 o = v_uv - sweep * float(i);
             float sdinv = 1.0 - depth_at(o);
             if (sdinv > depth_inv + 0.012) {
                 float w = exp(-float(i) * 0.2);
@@ -306,7 +388,24 @@ void main() {
         }
     }
     vec3 filled = wsum > 0.01 ? acc / wsum : texture(u_color, v_uv).rgb;
-    f_color = vec4(mix(color, filled, conf), 1.0);
+    vec3 rgb = mix(color, filled, conf);
+
+    // screen-edge alpha clip: sub-pixel fade band so parallax overshoot
+    // past the screen edge fades out instead of smearing (reference
+    // viewer.py:595-600)
+    vec2 border = smoothstep(vec2(-0.001), vec2(0.001), suv)
+                * smoothstep(vec2(1.001), vec2(0.999), suv);
+    float alpha = min(border.x, border.y);
+
+    // rounded corners via the rounded-box SDF on screen-space uv
+    // (reference viewer.py:617-628)
+    if (u_corner_radius > 0.0) {
+        vec2 q = abs(v_uv - 0.5) - 0.5 + u_corner_radius;
+        float sdf = length(max(q, vec2(0.0))) + min(max(q.x, q.y), 0.0)
+                  - u_corner_radius;
+        alpha = min(alpha, 1.0 - smoothstep(0.0, 0.01, sdf));
+    }
+    f_color = vec4(rgb * alpha, alpha);
 }
 """
 
@@ -327,9 +426,13 @@ class GlfwPresenter:
 
     def __init__(self, ipd: float, depth_strength: float, convergence: float,
                  size: Tuple[int, int] = (1280, 720),
-                 title: str = "desktop2stereo XR client"):
+                 title: str = "desktop2stereo XR client",
+                 roll: float = 0.0, corner_radius: float = 0.0):
         import glfw
         import moderngl
+
+        self.roll = roll
+        self.corner_radius = corner_radius
 
         if not glfw.init():
             raise RuntimeError("glfw.init failed")
@@ -378,6 +481,8 @@ class GlfwPresenter:
         self.prog["u_depth"] = 1
         self.prog["u_strength"] = strength
         self.prog["u_convergence"] = conv
+        self.prog["u_roll"] = self.roll
+        self.prog["u_corner_radius"] = self.corner_radius
         self.prog["u_texel"] = (1.0 / rgb.shape[1], 1.0 / rgb.shape[0])
         for eye, vp in ((-1, (0, 0, fw // 2, fh)), (+1, (fw // 2, 0, fw - fw // 2, fh))):
             self.ctx.viewport = vp
@@ -391,6 +496,368 @@ class GlfwPresenter:
         self._glfw.terminate()
 
 
+# --------------------------------------------------------------------------
+# OpenXR presenter (headset path)
+# --------------------------------------------------------------------------
+
+def head_roll(orientation_xyzw) -> float:
+    """In-plane roll (radians) of a view pose quaternion: the angle the
+    head's RIGHT axis makes with world-horizontal — the rotation the
+    parallax direction must follow (reference viewer.py:399 u_roll fed
+    from the screen/head roll)."""
+    x, y, z, w = (float(v) for v in orientation_xyzw)
+    r00 = 1.0 - 2.0 * (y * y + z * z)
+    r10 = 2.0 * (x * y + w * z)
+    import math
+
+    return math.atan2(r10, r00)
+
+
+class XrView:
+    """One eye's located view for a frame (pose + fov)."""
+
+    def __init__(self, orientation_xyzw=(0.0, 0.0, 0.0, 1.0),
+                 position=(0.0, 0.0, 0.0), fov=(-0.8, 0.8, 0.8, -0.8)):
+        self.orientation = tuple(orientation_xyzw)
+        self.position = tuple(position)
+        self.fov = tuple(fov)  # (left, right, up, down) half-angles, rad
+
+
+class OpenXRPresenter:
+    """Headset presenter: the full OpenXR frame loop driven through the
+    runtime-agnostic session FSM (xr/session.py SessionManager).
+
+    Per frame (reference xr_viewer/implementation.py:1724-2063):
+    poll events → wait_frame → begin_frame → locate_views → per-eye
+    acquire/render(DIBR at the view's roll)/release → end_frame.  The
+    runtime behind it is the pyopenxr adapter (`_PyOpenXRRuntime`) on a
+    real headset, or any object with the same five frame-loop methods —
+    which is how the mocked-runtime test drives one complete frame
+    through the REAL state machine without a headset.
+    """
+
+    gpu_warp = True
+
+    def __init__(self, ipd: float, depth_strength: float, convergence: float,
+                 runtime=None, wait_attempts: Optional[int] = None,
+                 corner_radius: float = 0.0):
+        from desktop2stereo_tpu.xr.session import SessionManager, SessionPhase
+
+        self._SessionPhase = SessionPhase
+        if runtime is None:
+            runtime = _PyOpenXRRuntime(corner_radius=corner_radius)
+        self.runtime = runtime
+        self.params = (ipd, depth_strength, convergence)
+        self.session = SessionManager(runtime)
+        self.screen = ScreenPose()
+        info = self.session.wait_for_device(
+            should_stop=lambda: False, sleep=time.sleep,
+            max_attempts=wait_attempts)
+        if info is None:
+            raise RuntimeError("no XR headset appeared (runtime probe)")
+        self.session.bring_up()
+        self.frames_rendered = 0
+
+    def push_packet(self, rgb: np.ndarray, depth: Optional[np.ndarray]) -> bool:
+        SP = self._SessionPhase
+        for phase in self.runtime.poll_phase_events():
+            self.session.on_state(phase)
+        if self.session.phase in (SP.STOPPING, SP.EXITING):
+            return False
+        # OpenXR requires wait/begin/end every frame even when not visible
+        display_time, render_hint = self.runtime.wait_frame()
+        self.runtime.begin_frame()
+        rendered = False
+        if self.session.should_render and render_hint:
+            views = self.runtime.locate_views(display_time)
+            ipd, strength, conv = self.params
+            for eye, view in enumerate(views):
+                # parallax direction follows head roll relative to the
+                # virtual screen's own roll (reference viewer.py:544-556)
+                roll = head_roll(view.orientation) - self.screen.roll
+                eye_offset = (eye * 2 - 1) * ipd / 2.0
+                self.runtime.render_eye(
+                    eye, rgb, depth, view,
+                    eye_offset=eye_offset, strength=strength,
+                    convergence=conv, roll=roll)
+            rendered = True
+            self.frames_rendered += 1
+        self.runtime.end_frame(display_time, rendered)
+        return True
+
+    def close(self) -> None:
+        self.session.tear_down()
+
+
+class _PyOpenXRRuntime:
+    """pyopenxr + moderngl adapter: implements BOTH the SessionManager's
+    RuntimeAdapter (probe/create/destroy/suggest) and the presenter's
+    frame-loop interface against a real OpenXR runtime (SteamVR/Monado).
+
+    Session bring-up mirrors the reference's sequence (reference
+    xr_viewer/xr_session.py:117-226): instance with KHR_opengl_enable, HMD
+    system, GL session binding from a hidden GLFW context, per-eye sRGB
+    swapchains at the recommended size; frames render the shared
+    `_DIBR_FRAG` warp into each acquired swapchain image.
+    """
+
+    def __init__(self, corner_radius: float = 0.0):
+        try:
+            import xr  # pyopenxr
+        except ImportError as e:  # degrade cleanly: no headset stack here
+            raise RuntimeError(
+                "pyopenxr is not installed — `pip install pyopenxr` on the "
+                "workstation to use --present openxr") from e
+        import glfw
+        import moderngl
+
+        self._xr = xr
+        self._glfw = glfw
+        self._moderngl = moderngl
+        self.corner_radius = corner_radius
+        self.instance = xr.create_instance(xr.InstanceCreateInfo(
+            enabled_extension_names=[xr.KHR_OPENGL_ENABLE_EXTENSION_NAME],
+        ))
+        self.system_id = None
+        self.session = None
+        self.swapchains = []       # per eye
+        self.space = None
+        self._gl = None            # (ctx, prog, vao, fbo machinery)
+        self._phase_map = None
+
+    # ---- RuntimeAdapter (session FSM) ------------------------------------
+
+    def probe_system(self):
+        from desktop2stereo_tpu.xr.session import ReferenceSpace, SystemInfo
+
+        xr = self._xr
+        try:
+            self.system_id = xr.get_system(
+                self.instance,
+                xr.SystemGetInfo(form_factor=xr.FormFactor.HEAD_MOUNTED_DISPLAY),
+            )
+        except Exception:
+            return None  # headset not (yet) present: hot-wait retries
+        views = xr.enumerate_view_configuration_views(
+            self.instance, self.system_id,
+            xr.ViewConfigurationType.PRIMARY_STEREO)
+        w = int(views[0].recommended_image_rect_width)
+        h = int(views[0].recommended_image_rect_height)
+        return SystemInfo(
+            recommended_size=(w, h),
+            # filled in properly after session creation; sRGB preference
+            # is applied against the real list then
+            color_formats=(0x8C43, 0x8058),
+            reference_spaces=(ReferenceSpace.STAGE, ReferenceSpace.LOCAL),
+        )
+
+    def create_session(self, space, swapchains) -> None:
+        xr = self._xr
+        glfw = self._glfw
+        # hidden GL context for the XR GL binding (reference
+        # implementation.py:983-1046 hidden-window pattern)
+        if not glfw.init():
+            raise RuntimeError("glfw.init failed")
+        glfw.window_hint(glfw.VISIBLE, glfw.FALSE)
+        glfw.window_hint(glfw.CONTEXT_VERSION_MAJOR, 3)
+        glfw.window_hint(glfw.CONTEXT_VERSION_MINOR, 3)
+        glfw.window_hint(glfw.OPENGL_PROFILE, glfw.OPENGL_CORE_PROFILE)
+        self._win = glfw.create_window(64, 64, "d2s-xr", None, None)
+        glfw.make_context_current(self._win)
+        ctx = self._moderngl.create_context()
+
+        # GL graphics requirements must be queried before session create
+        xr.get_opengl_graphics_requirements_khr(self.instance, self.system_id)
+        binding = xr.utils.gl.create_graphics_binding()  # GLX/WGL per host
+        self.session = xr.create_session(self.instance, xr.SessionCreateInfo(
+            system_id=self.system_id, next=binding))
+
+        from desktop2stereo_tpu.xr.session import ReferenceSpace
+
+        ref_type = (xr.ReferenceSpaceType.STAGE
+                    if space == ReferenceSpace.STAGE
+                    else xr.ReferenceSpaceType.LOCAL)
+        self.space = xr.create_reference_space(
+            self.session, xr.ReferenceSpaceCreateInfo(reference_space_type=ref_type))
+
+        fmts = xr.enumerate_swapchain_formats(self.session)
+        from desktop2stereo_tpu.xr.session import choose_color_format
+
+        fmt = choose_color_format(list(fmts))
+        self.swapchains = []
+        for spec in swapchains:
+            sc = xr.create_swapchain(self.session, xr.SwapchainCreateInfo(
+                usage_flags=(xr.SwapchainUsageFlags.COLOR_ATTACHMENT_BIT
+                             | xr.SwapchainUsageFlags.SAMPLED_BIT),
+                format=fmt, sample_count=1,
+                width=spec.width, height=spec.height,
+                face_count=1, array_size=1, mip_count=1))
+            images = xr.enumerate_swapchain_images(
+                sc, xr.SwapchainImageOpenGLKHR)
+            self.swapchains.append((sc, images, (spec.width, spec.height)))
+
+        self._init_gl(ctx)
+        xr.begin_session(self.session, xr.SessionBeginInfo(
+            primary_view_configuration_type=xr.ViewConfigurationType.PRIMARY_STEREO))
+
+    def _init_gl(self, ctx) -> None:
+        prog = ctx.program(vertex_shader=_QUAD_VERT, fragment_shader=_DIBR_FRAG)
+        quad = np.array([-1, -1, 0, 1, 1, -1, 1, 1, -1, 1, 0, 0,
+                         1, -1, 1, 1, 1, 1, 1, 0, -1, 1, 0, 0],
+                        dtype=np.float32)
+        vbo = ctx.buffer(quad.tobytes())
+        vao = ctx.vertex_array(prog, [(vbo, "2f 2f", "in_pos", "in_uv")])
+        self._gl = {"ctx": ctx, "prog": prog, "vao": vao,
+                    "tex_c": None, "tex_d": None, "fbos": {}}
+
+    def suggest_bindings(self, profile, bindings) -> bool:
+        # stereo theater mode needs no controllers to put pixels up;
+        # accept the standard profiles so the runtime exposes poses later
+        xr = self._xr
+        try:
+            xr.string_to_path(self.instance, profile)
+            return True
+        except Exception:
+            return False
+
+    def destroy_session(self) -> None:
+        xr = self._xr
+        for sc, _imgs, _size in self.swapchains:
+            try:
+                xr.destroy_swapchain(sc)
+            except Exception:
+                pass
+        self.swapchains = []
+        if self.session is not None:
+            try:
+                xr.end_session(self.session)
+            except Exception:
+                pass
+            try:
+                xr.destroy_session(self.session)
+            except Exception:
+                pass
+            self.session = None
+
+    # ---- frame-loop interface ---------------------------------------------
+
+    def poll_phase_events(self):
+        from desktop2stereo_tpu.xr.session import SessionPhase
+
+        xr = self._xr
+        if self._phase_map is None:
+            self._phase_map = {
+                xr.SessionState.READY: SessionPhase.READY,
+                xr.SessionState.SYNCHRONIZED: SessionPhase.SYNCHRONIZED,
+                xr.SessionState.VISIBLE: SessionPhase.VISIBLE,
+                xr.SessionState.FOCUSED: SessionPhase.FOCUSED,
+                xr.SessionState.STOPPING: SessionPhase.STOPPING,
+                xr.SessionState.EXITING: SessionPhase.EXITING,
+            }
+        phases = []
+        while True:
+            try:
+                event = xr.poll_event(self.instance)
+            except xr.EventUnavailable:
+                break
+            if isinstance(event, xr.EventDataSessionStateChanged):
+                phase = self._phase_map.get(event.state)
+                if phase is not None:
+                    phases.append(phase)
+        return phases
+
+    def wait_frame(self):
+        xr = self._xr
+        state = xr.wait_frame(self.session, xr.FrameWaitInfo())
+        return state.predicted_display_time, bool(state.should_render)
+
+    def begin_frame(self) -> None:
+        self._xr.begin_frame(self.session, self._xr.FrameBeginInfo())
+
+    def locate_views(self, display_time):
+        xr = self._xr
+        _state, views = xr.locate_views(self.session, xr.ViewLocateInfo(
+            view_configuration_type=xr.ViewConfigurationType.PRIMARY_STEREO,
+            display_time=display_time, space=self.space))
+        self._views = views
+        return [
+            XrView(
+                orientation_xyzw=(v.pose.orientation.x, v.pose.orientation.y,
+                                  v.pose.orientation.z, v.pose.orientation.w),
+                position=(v.pose.position.x, v.pose.position.y,
+                          v.pose.position.z),
+                fov=(v.fov.angle_left, v.fov.angle_right,
+                     v.fov.angle_up, v.fov.angle_down),
+            )
+            for v in views
+        ]
+
+    def render_eye(self, eye, rgb, depth, view, *, eye_offset, strength,
+                   convergence, roll) -> None:
+        xr = self._xr
+        sc, images, (w, h) = self.swapchains[eye]
+        idx = xr.acquire_swapchain_image(sc, xr.SwapchainImageAcquireInfo())
+        xr.wait_swapchain_image(sc, xr.SwapchainImageWaitInfo(
+            timeout=xr.INFINITE_DURATION))
+        try:
+            gl = self._gl
+            ctx = gl["ctx"]
+            tex_id = images[idx].image
+            fbo = gl["fbos"].get((eye, idx))
+            if fbo is None:
+                fbo = ctx.external_framebuffer(
+                    color_attachments=[tex_id], size=(w, h)) \
+                    if hasattr(ctx, "external_framebuffer") else \
+                    ctx.framebuffer(color_attachments=[
+                        ctx.external_texture(tex_id, (w, h), 4, 0, "f1")])
+                gl["fbos"][(eye, idx)] = fbo
+            hh, ww = rgb.shape[:2]
+            if gl["tex_c"] is None or gl["tex_c"].size != (ww, hh):
+                gl["tex_c"] = ctx.texture((ww, hh), 3)
+                gl["tex_d"] = ctx.texture((ww, hh), 1, dtype="f4")
+            gl["tex_c"].write(np.ascontiguousarray(rgb))
+            if depth is not None:
+                gl["tex_d"].write(np.ascontiguousarray(depth, np.float32))
+            fbo.use()
+            ctx.viewport = (0, 0, w, h)
+            ctx.clear(0.0, 0.0, 0.0, 0.0)
+            prog = gl["prog"]
+            gl["tex_c"].use(0)
+            gl["tex_d"].use(1)
+            prog["u_color"] = 0
+            prog["u_depth"] = 1
+            prog["u_eye_offset"] = eye_offset
+            prog["u_strength"] = strength
+            prog["u_convergence"] = convergence
+            prog["u_roll"] = roll
+            prog["u_corner_radius"] = self.corner_radius
+            prog["u_texel"] = (1.0 / ww, 1.0 / hh)
+            gl["vao"].render()
+        finally:
+            xr.release_swapchain_image(sc, xr.SwapchainImageReleaseInfo())
+
+    def end_frame(self, display_time, rendered: bool) -> None:
+        xr = self._xr
+        layers = []
+        if rendered and getattr(self, "_views", None) is not None:
+            proj_views = []
+            for eye, view in enumerate(self._views):
+                sc, _images, (w, h) = self.swapchains[eye]
+                proj_views.append(xr.CompositionLayerProjectionView(
+                    pose=view.pose, fov=view.fov,
+                    sub_image=xr.SwapchainSubImage(
+                        swapchain=sc,
+                        image_rect=xr.Rect2Di(
+                            offset=xr.Offset2Di(0, 0),
+                            extent=xr.Extent2Di(w, h)))))
+            layers.append(xr.CompositionLayerProjection(
+                space=self.space, views=proj_views))
+        xr.end_frame(self.session, xr.FrameEndInfo(
+            display_time=display_time,
+            environment_blend_mode=xr.EnvironmentBlendMode.OPAQUE,
+            layers=layers))
+
+
 def make_presenter(kind: str, args) -> object:
     if kind == "auto":
         for cand in ("glfw", "cv", "png"):
@@ -399,8 +866,16 @@ def make_presenter(kind: str, args) -> object:
             except Exception:
                 continue
         raise SystemExit("no presenter available")
+    if kind == "openxr":
+        try:
+            return OpenXRPresenter(args.ipd, args.depth_strength,
+                                   args.convergence,
+                                   corner_radius=args.corner_radius)
+        except RuntimeError as e:
+            raise SystemExit(f"openxr presenter unavailable: {e}")
     if kind == "glfw":
-        return GlfwPresenter(args.ipd, args.depth_strength, args.convergence)
+        return GlfwPresenter(args.ipd, args.depth_strength, args.convergence,
+                             roll=args.roll, corner_radius=args.corner_radius)
     if kind == "cv":
         return CvPresenter()
     if kind == "png":
@@ -463,7 +938,7 @@ def run_client(args) -> int:
             else:
                 sbs = render_stereo(pkt.rgb, pkt.depth, args.ipd,
                                     args.depth_strength, args.convergence,
-                                    mode=args.mode)
+                                    mode=args.mode, roll=args.roll)
                 alive = presenter.push(sbs)
             frames += 1
             if args.verbose and frames % 30 == 0:
@@ -485,7 +960,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=1123)
     p.add_argument("--encoding", default="raw", choices=["raw", "jpeg"])
     p.add_argument("--present", default="auto",
-                   choices=["auto", "glfw", "cv", "png"])
+                   choices=["auto", "openxr", "glfw", "cv", "png"])
+    p.add_argument("--roll", type=float, default=0.0,
+                   help="screen roll in radians (parallax direction; the "
+                        "openxr presenter derives it from head pose)")
+    p.add_argument("--corner-radius", type=float, default=0.0,
+                   help="rounded-corner SDF radius in UV units (GPU "
+                        "presenters)")
     p.add_argument("--mode", default="Full-SBS",
                    choices=["Full-SBS", "Half-SBS"])
     p.add_argument("--ipd", type=float, default=None,

@@ -258,3 +258,100 @@ def test_pad_to_aspect_vs_actual_reference_source(rng, shape):
     got = np.asarray(pad_to_aspect(jnp.asarray(img)))
     assert got.shape == want.shape
     assert np.abs(got - want).max() == 0.0
+
+
+# --------------------------------------------------------------------------
+# Roll-aware parallax (reference u_roll, viewer.py:399,544-556)
+# --------------------------------------------------------------------------
+
+def _np_sample2d(img, px, py):
+    """Clamp-to-edge bilinear sample at pixel coords (numpy oracle)."""
+    H, W = img.shape[:2]
+    pxc = np.clip(px, 0.0, W - 1.0)
+    pyc = np.clip(py, 0.0, H - 1.0)
+    x0 = np.floor(pxc).astype(int)
+    y0 = np.floor(pyc).astype(int)
+    x1 = np.minimum(x0 + 1, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    fx = (pxc - x0)[..., None] if img.ndim == 3 else (pxc - x0)
+    fy = (pyc - y0)[..., None] if img.ndim == 3 else (pyc - y0)
+    top = img[y0, x0] * (1 - fx) + img[y0, x1] * fx
+    bot = img[y1, x0] * (1 - fx) + img[y1, x1] * fx
+    return top * (1 - fy) + bot * fy
+
+
+def _np_dibr_warp_oracle(rgb, depth, eye, strength, conv, roll):
+    """Independent numpy transcription of the reference shader's warp core
+    (reference viewer.py:540-556): 3-tap pre-smooth along the rotated
+    parallax direction, shaped depth, x-only edge falloff, shifted_uv =
+    uv - (px*cos, px*sin).  Inpaint/confidence excluded — callers pick
+    scenes where confidence is 0."""
+    H, W = depth.shape
+    c, s = np.cos(roll), np.sin(roll)
+    sign = 1.0 if eye > 0 else -1.0
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+
+    def dsamp(k):  # depth tap at k*(c,s) px (per-axis pixel sizes)
+        return _np_sample2d(depth.astype(np.float64), xx + k * c, yy + k * s)
+
+    d = (depth * 0.7 + dsamp(-sign * 1.5) * 0.15 + dsamp(+sign * 1.5) * 0.15)
+    shaped = -d * (1.0 + 0.35 * (1.0 - d))
+    u = (xx + 0.5) / W
+
+    def sstep(x):
+        t = np.clip(x / 0.05, 0.0, 1.0)
+        return t * t * (3.0 - 2.0 * t)
+
+    ef = sstep(u) * sstep(1.0 - u)
+    px_shift = eye * (shaped + conv) * strength * ef
+    return _np_sample2d(rgb.astype(np.float64),
+                        xx - px_shift * c * W, yy - px_shift * s * H)
+
+
+@pytest.mark.parametrize("roll", [0.3, -0.7, np.pi / 2])
+def test_dibr_roll_matches_reference_warp_math(rng, roll):
+    """roll≠0 warp vs the independently-transcribed shader oracle on a
+    smooth scene (depth gradient gentle enough that the disocclusion
+    confidence is 0 everywhere — the inpaint never blends in)."""
+    H, W = 64, 96
+    rgb = (rng.random((H, W, 3)) * 255).astype(np.float32)
+    yy, xx = np.mgrid[0:H, 0:W]
+    depth = (0.2 + 0.005 * xx + 0.003 * yy).astype(np.float32)  # gentle
+    out = np.asarray(dibr_render(
+        jnp.asarray(rgb), jnp.asarray(depth), +0.03,
+        depth_strength=1.0, convergence=0.1, roll=float(roll)))
+    ref = _np_dibr_warp_oracle(rgb, depth, +0.03, 1.0, 0.1, float(roll))
+    # interior only: within ~5px of the border the shifted coords go out of
+    # bounds, where the shader switches to conf=1 inpaint (oracle excludes)
+    assert np.abs(out[8:-8, 8:-8] - ref[8:-8, 8:-8]).max() < 1e-2
+
+
+def test_dibr_roll_quarter_turn_moves_parallax_vertical(rng):
+    """At roll=π/2 the parallax is purely vertical: constant near depth →
+    a uniform vertical translation (the roll=0 test's transposed twin)."""
+    W, H = 48, 128
+    rgb = (rng.random((H, W, 3)) * 255).astype(np.float32)
+    depth = np.ones((H, W), dtype=np.float32)
+    eye, strength = 0.05, 2.0
+    shift_px = eye * 1.0 * strength * H  # 12.8 px vertically
+    out = np.asarray(dibr_render(
+        jnp.asarray(rgb), jnp.asarray(depth), +eye, strength,
+        roll=float(np.pi / 2)))
+    ys = np.arange(H, dtype=np.float64)
+    mid = slice(30, 98)
+    src = ys + shift_px
+    col = 20  # columns keep full edge_falloff=1 away from x edges
+    expected = np.stack(
+        [np.interp(src[mid], ys, rgb[:, col, c]) for c in range(3)], axis=-1)
+    assert np.abs(out[mid, col] - expected).max() < 1e-2
+
+
+def test_stereo_compose_roll_plumbs_through(rng):
+    rgb = (rng.random((40, 64, 3)) * 255).astype(np.float32)
+    depth = rng.random((40, 64)).astype(np.float32)
+    a = np.asarray(stereo_compose(jnp.asarray(rgb), jnp.asarray(depth),
+                                  roll=0.0))
+    b = np.asarray(stereo_compose(jnp.asarray(rgb), jnp.asarray(depth),
+                                  roll=0.4))
+    assert a.shape == b.shape
+    assert np.abs(a - b).max() > 1.0  # roll visibly changes the warp

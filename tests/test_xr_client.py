@@ -144,3 +144,186 @@ def test_full_cli_server_client_end_to_end(tmp_path):
         open(stop_file, "w").close()
         t.join(timeout=30)
     assert server_rc.get("rc") == 0
+
+
+def test_warp_eye_roll_matches_jnp_dibr():
+    """roll≠0: the client's numpy warp equals ops/stereo.dibr_render at the
+    same roll (reference u_roll, viewer.py:399,544-556)."""
+    import jax.numpy as jnp
+
+    from desktop2stereo_tpu.ops import stereo as S
+
+    rng = np.random.default_rng(7)
+    H, W = 48, 96
+    rgb = (rng.random((H, W, 3)) * 255.0).astype(np.float32)
+    depth = rng.random((H, W)).astype(np.float32)
+
+    for roll in (0.3, -1.1):
+        got = XC.warp_eye(rgb, depth, +0.032, depth_strength=2.0,
+                          convergence=0.01, roll=roll)
+        want = np.asarray(S.dibr_render(
+            jnp.asarray(rgb), jnp.asarray(depth), +0.032, 2.0, 0.01,
+            roll=roll))
+        np.testing.assert_allclose(got, want, atol=1e-2, rtol=1e-4)
+
+
+def test_head_roll_from_quaternion():
+    import math
+
+    # identity → 0; 90° roll about Z (forward) → π/2
+    assert abs(XC.head_roll((0, 0, 0, 1))) < 1e-9
+    q = (0.0, 0.0, math.sin(math.pi / 4), math.cos(math.pi / 4))
+    assert abs(XC.head_roll(q) - math.pi / 2) < 1e-6
+
+
+# --------------------------------------------------------------------------
+# OpenXR presenter: mocked runtime drives the REAL session FSM
+# --------------------------------------------------------------------------
+
+class _FakeXrRuntime:
+    """Implements the SessionManager RuntimeAdapter + the presenter's
+    frame-loop interface; records the call sequence."""
+
+    def __init__(self, probe_misses: int = 1):
+        from desktop2stereo_tpu.xr.session import (
+            GL_SRGB8_ALPHA8, ReferenceSpace, SessionPhase, SystemInfo)
+
+        self._SP = SessionPhase
+        self._info = SystemInfo(
+            recommended_size=(64, 64),
+            color_formats=(GL_SRGB8_ALPHA8,),
+            reference_spaces=(ReferenceSpace.STAGE, ReferenceSpace.LOCAL),
+        )
+        self.probe_misses = probe_misses
+        self.calls = []
+        self.session_created = False
+        self.destroyed = False
+        self._pending_phases = [SessionPhase.SYNCHRONIZED,
+                                SessionPhase.VISIBLE, SessionPhase.FOCUSED]
+        self._time = 1000
+
+    # RuntimeAdapter
+    def probe_system(self):
+        if self.probe_misses > 0:
+            self.probe_misses -= 1
+            return None
+        return self._info
+
+    def create_session(self, space, swapchains):
+        self.calls.append("create_session")
+        self.space = space
+        self.swapchains = list(swapchains)
+        self.session_created = True
+
+    def destroy_session(self):
+        self.calls.append("destroy_session")
+        self.destroyed = True
+
+    def suggest_bindings(self, profile, bindings):
+        return "oculus" in profile  # one accepted vendor table
+
+    # frame loop
+    def poll_phase_events(self):
+        phases, self._pending_phases = self._pending_phases, []
+        return phases
+
+    def wait_frame(self):
+        self.calls.append("wait_frame")
+        self._time += 16_000_000
+        return self._time, True
+
+    def begin_frame(self):
+        self.calls.append("begin_frame")
+
+    def locate_views(self, display_time):
+        import math
+
+        self.calls.append("locate_views")
+        # headset tilted 30°: the presenter must feed that roll to the warp
+        q = (0.0, 0.0, math.sin(math.pi / 12), math.cos(math.pi / 12))
+        return [XC.XrView(orientation_xyzw=q), XC.XrView(orientation_xyzw=q)]
+
+    def render_eye(self, eye, rgb, depth, view, *, eye_offset, strength,
+                   convergence, roll):
+        self.calls.append(f"render_eye{eye}")
+        self.last_roll = roll
+        self.last_eye_offset = eye_offset
+
+    def end_frame(self, display_time, rendered):
+        self.calls.append(f"end_frame:{rendered}")
+
+
+def test_openxr_presenter_full_frame_through_fsm():
+    """One complete wait→begin→locate→render×2→end frame driven through the
+    real xr/session.py SessionManager (hot-wait probe retry included)."""
+    from desktop2stereo_tpu.xr.session import (
+        ReferenceSpace, SessionPhase)
+
+    rt = _FakeXrRuntime(probe_misses=1)
+    p = XC.OpenXRPresenter(0.064, 2.0, 0.01, runtime=rt, wait_attempts=None)
+    # bring-up went through the FSM
+    assert p.session.phase == SessionPhase.READY
+    assert rt.session_created and p.session.space == ReferenceSpace.STAGE
+    assert p.session.swapchains[0].width == 64
+    assert p.session.bound_profiles == [
+        "/interaction_profiles/oculus/touch_controller"]
+
+    rgb = np.zeros((32, 48, 3), np.uint8)
+    depth = np.zeros((32, 48), np.float32)
+    alive = p.push_packet(rgb, depth)
+    assert alive
+    # the state events advanced the FSM to FOCUSED before rendering
+    assert p.session.phase == SessionPhase.FOCUSED
+    assert rt.calls[-5:] == ["wait_frame", "begin_frame", "locate_views",
+                             "render_eye0", "render_eye1"] or \
+        rt.calls[-6:-1] == ["wait_frame", "begin_frame", "locate_views",
+                            "render_eye0", "render_eye1"]
+    assert rt.calls[-1] == "end_frame:True"
+    assert p.frames_rendered == 1
+    # head roll (30°) minus screen roll (0) reached the warp
+    import math
+
+    assert abs(rt.last_roll - math.pi / 6) < 1e-6
+    assert abs(rt.last_eye_offset - 0.032) < 1e-9
+
+    p.close()
+    assert rt.destroyed
+    assert p.session.phase == SessionPhase.IDLE
+
+
+def test_openxr_presenter_stops_on_stopping_event():
+    from desktop2stereo_tpu.xr.session import SessionPhase
+
+    rt = _FakeXrRuntime(probe_misses=0)
+    p = XC.OpenXRPresenter(0.064, 2.0, 0.01, runtime=rt)
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    assert p.push_packet(rgb, None)
+    rt._pending_phases = [SessionPhase.STOPPING]
+    assert not p.push_packet(rgb, None)  # loop must exit
+
+
+def test_openxr_presenter_degrades_cleanly_without_pyopenxr():
+    """--present openxr on a host without pyopenxr must exit with a clear
+    message, not a traceback (and --present auto never tries openxr)."""
+    import argparse
+
+    args = argparse.Namespace(ipd=0.064, depth_strength=2.0,
+                              convergence=0.01, out="/tmp/x", roll=0.0,
+                              corner_radius=0.0)
+    with pytest.raises(SystemExit, match="openxr presenter unavailable"):
+        XC.make_presenter("openxr", args)
+
+
+def test_openxr_presenter_waits_out_probe_misses():
+    """The hot-wait retry loop (reference xr_session.py:42-64) keeps
+    probing until the headset shows up."""
+    rt = _FakeXrRuntime(probe_misses=3)
+    p = XC.OpenXRPresenter(0.064, 2.0, 0.01, runtime=rt, wait_attempts=None)
+    assert rt.session_created
+    p.close()
+
+
+def test_openxr_presenter_gives_up_after_bounded_attempts():
+    rt = _FakeXrRuntime(probe_misses=10**9)
+    with pytest.raises(RuntimeError, match="no XR headset"):
+        XC.OpenXRPresenter(0.064, 2.0, 0.01, runtime=rt, wait_attempts=2)
