@@ -23,6 +23,33 @@ import time
 
 REFERENCE_4K_FPS = 18.0  # reference Benchmark.md:9 (best 4K→4K row)
 
+PCIE_BYTES_PER_S = 16e9  # production TPU-host link (PCIe gen4 x16 ≈ 16 GB/s)
+
+
+def project_pcie_fps(device_fps: float, h2d_bytes: int, d2h_bytes: int,
+                     link_bytes_per_s: float = PCIE_BYTES_PER_S) -> dict:
+    """Projected end-to-end FPS on a production TPU host, composing the
+    measured device rate with the measured frame traffic over PCIe instead
+    of this harness's network tunnel (~15-90 MB/s).
+
+    Two compositions bound the truth:
+    - serial: every frame pays compute + full transfer (no overlap) — the
+      conservative floor;
+    - overlapped: h2d of frame N+1 and d2h of frame N ride alongside
+      compute of frame N (the engine's actual dispatch order: async
+      device_put, async dispatch, copy_to_host_async) — the ceiling.
+    Real hosts land between; we report both and headline the serial floor.
+    """
+    xfer_s = (h2d_bytes + d2h_bytes) / link_bytes_per_s
+    dev_s = 1.0 / device_fps
+    return {
+        "pipeline_fps_projected_pcie": round(1.0 / (dev_s + xfer_s), 2),
+        "pipeline_fps_projected_pcie_overlapped": round(
+            1.0 / max(dev_s, xfer_s), 2),
+        "projected_pcie_xfer_ms": round(xfer_s * 1000, 2),
+        "projected_pcie_bytes_per_frame": int(h2d_bytes + d2h_bytes),
+    }
+
 
 def main() -> None:
     # A dead axon tunnel relay makes jax.devices() hang FOREVER (no error,
@@ -127,6 +154,10 @@ def main() -> None:
 
     kernel_parity = run_kernel_parity()
     int8_fps = run_int8_rate(settings, policy, frame, scalar)
+    # projected production e2e: measured device rate + measured frame bytes
+    # over PCIe (what replaces this harness's tunnel on a real TPU host)
+    projected = project_pcie_fps(fps, h2d_bytes=frame.nbytes,
+                                 d2h_bytes=sbs.nbytes)
     e2e = run_end_to_end(program, policy)
 
     result = {
@@ -143,6 +174,7 @@ def main() -> None:
         "config": "4K synthetic -> DA-V2 ViT-L @518 (random weights, bf16) -> Half-SBS 4K",
         "kernel_parity": kernel_parity,
         "int8_pipeline_fps": int8_fps,
+        **projected,
         **e2e,
     }
     print(json.dumps(result))
@@ -339,18 +371,24 @@ def run_end_to_end(program, policy) -> dict:
     from desktop2stereo_tpu.sources.synthetic import SyntheticSource
 
     try:
-        source = SyntheticSource(size=(2160, 3840), max_frames=64)
+        # ≥64 processed frames or 240 s, whichever first: at the tunnel's
+        # ~1 FPS that is ~1-2 min — enough samples for a real median (the
+        # r02 figure came from 3 frames and characterized nothing).
+        source = SyntheticSource(size=(2160, 3840), max_frames=4096)
         engine = FrameEngine(source, program, NullSink(), target_fps=60.0,
                              shutdown=threading.Event())
-        stats = engine.run(duration=30.0, max_frames=8)
+        stats = engine.run(duration=240.0, max_frames=64)
+        med = stats.latency_median or {}
         return {
             "pipeline_fps_end_to_end": round(stats.fps, 2),
             "pipeline_e2e_frames": stats.frames,
-            "pipeline_e2e_latency_ms": {
-                k: round(v * 1000, 1) for k, v in stats.latency.items()
+            "pipeline_e2e_stage_median_ms": {
+                k: round(v * 1000, 1) for k, v in med.items()
             },
             "pipeline_e2e_note": "tunnel-capped on this dev harness "
-                                 "(h2d+d2h over network, PCIe in prod)",
+                                 "(h2d+d2h over network; see "
+                                 "pipeline_fps_projected_pcie for the "
+                                 "production-host projection)",
         }
     except Exception as e:
         return {"pipeline_fps_end_to_end": None,

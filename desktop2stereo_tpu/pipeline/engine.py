@@ -72,9 +72,10 @@ class EngineStats:
     fps: float
     fps_1pct_low: float
     frame_ms: float
-    latency: dict
+    latency: dict            # per-stage EMA seconds (live view)
     frames: int
     dropped: int
+    latency_median: dict = None  # per-stage median seconds over the run
 
 
 class FrameEngine:
@@ -264,4 +265,5 @@ class FrameEngine:
             latency=self.latency.snapshot(),
             frames=self.frames,
             dropped=self.dropped,
+            latency_median=self.latency.medians(),
         )

@@ -15,22 +15,51 @@ from typing import Deque, Dict, Optional
 
 
 class StageLatency:
-    """Last-value + EMA latency per named stage."""
+    """Last-value + EMA + bounded-history latency per named stage.
 
-    def __init__(self) -> None:
+    The EMA feeds live displays (title bars, /stats); the history feeds
+    end-of-run medians — a 3-frame EMA is meaningless for benchmarking,
+    a median over the full run is (the reference reports avg + 1%-low
+    over its whole session, reference main.py:1202-1230)."""
+
+    def __init__(self, history: int = 4096) -> None:
         self._lock = threading.Lock()
         self._last: Dict[str, float] = {}
         self._ema: Dict[str, float] = {}
+        self._hist: Dict[str, Deque[float]] = {}
+        self._history = history
 
     def record(self, stage: str, seconds: float, ema_alpha: float = 0.9) -> None:
         with self._lock:
             self._last[stage] = seconds
             prev = self._ema.get(stage)
             self._ema[stage] = seconds if prev is None else prev * ema_alpha + seconds * (1 - ema_alpha)
+            hist = self._hist.get(stage)
+            if hist is None:
+                hist = self._hist[stage] = deque(maxlen=self._history)
+            hist.append(seconds)
 
     def snapshot(self) -> Dict[str, float]:
         with self._lock:
             return dict(self._ema)
+
+    def medians(self) -> Dict[str, float]:
+        """Per-stage median over the recorded history (up to `history`
+        most recent samples)."""
+        with self._lock:
+            out = {}
+            for stage, hist in self._hist.items():
+                xs = sorted(hist)
+                n = len(xs)
+                if n == 0:
+                    continue
+                mid = n // 2
+                out[stage] = xs[mid] if n % 2 else 0.5 * (xs[mid - 1] + xs[mid])
+            return out
+
+    def counts(self) -> Dict[str, int]:
+        with self._lock:
+            return {stage: len(hist) for stage, hist in self._hist.items()}
 
     def total(self) -> float:
         with self._lock:

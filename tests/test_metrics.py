@@ -49,3 +49,51 @@ def test_fps_counter_degenerate():
     assert fps.stats()["fps"] == 0.0          # one tick
     fps.tick(now=5.0)                          # zero-delta pair ignored
     assert fps.stats()["fps"] == 0.0
+
+
+def test_stage_latency_medians():
+    from desktop2stereo_tpu.pipeline.metrics import StageLatency
+
+    lat = StageLatency()
+    for v in (0.030, 0.010, 0.020, 0.500, 0.015):  # one outlier
+        lat.record("depth+compose", v)
+    lat.record("sink", 0.001)
+    med = lat.medians()
+    assert med["depth+compose"] == 0.020  # odd count → middle sample
+    assert med["sink"] == 0.001
+    assert lat.counts() == {"depth+compose": 5, "sink": 1}
+    # even count → mean of the middle pair
+    lat.record("sink", 0.003)
+    assert abs(lat.medians()["sink"] - 0.002) < 1e-12
+    # the outlier still dominates the EMA-free last/mean views but NOT the
+    # median — the property the e2e bench relies on
+    assert med["depth+compose"] < sum((0.030, 0.010, 0.020, 0.500, 0.015)) / 5
+
+
+def test_stage_latency_history_bounded():
+    from desktop2stereo_tpu.pipeline.metrics import StageLatency
+
+    lat = StageLatency(history=8)
+    for i in range(100):
+        lat.record("s", float(i))
+    assert lat.counts()["s"] == 8
+    assert lat.medians()["s"] == (95 + 96) / 2.0
+
+
+def test_projected_pcie_fps_math():
+    import bench
+
+    # 83 FPS device rate, 4K BGRA up (33.2 MB) + 4K RGB down (24.9 MB)
+    h2d = 2160 * 3840 * 4
+    d2h = 2160 * 3840 * 3
+    p = bench.project_pcie_fps(83.0, h2d, d2h)
+    xfer_s = (h2d + d2h) / 16e9
+    assert abs(p["projected_pcie_xfer_ms"] - xfer_s * 1000) < 0.01
+    serial = 1.0 / (1.0 / 83.0 + xfer_s)
+    assert abs(p["pipeline_fps_projected_pcie"] - serial) < 0.01
+    # overlapped: compute-bound here (12 ms > 3.6 ms) → the device rate
+    assert abs(p["pipeline_fps_projected_pcie_overlapped"] - 83.0) < 0.01
+    assert p["projected_pcie_bytes_per_frame"] == h2d + d2h
+    # transfer-bound regime: huge frames flip the overlapped bound
+    p2 = bench.project_pcie_fps(1000.0, int(16e9), 0)
+    assert abs(p2["pipeline_fps_projected_pcie_overlapped"] - 1.0) < 1e-6
