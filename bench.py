@@ -153,7 +153,15 @@ def main() -> None:
     h2d_s = time.time() - t0
 
     kernel_parity = run_kernel_parity()
-    int8_fps = run_int8_rate(settings, policy, frame, scalar)
+    # per-stage Amdahl breakdown of the headline bf16 program (what int8 —
+    # which only touches the model stage — can and cannot buy)
+    try:
+        from benchmarks._timing import stage_slopes
+
+        stage_ms = stage_slopes(program, frame, n1=16, n2=64, repeats=3)
+    except Exception as e:
+        stage_ms = {"error": f"{type(e).__name__}: {e}"}
+    int8_fps, int8_stage_ms = run_int8_rate(settings, policy, frame, scalar)
     # projected production e2e: measured device rate + measured frame bytes
     # over PCIe (what replaces this harness's tunnel on a real TPU host)
     projected = project_pcie_fps(fps, h2d_bytes=frame.nbytes,
@@ -173,7 +181,9 @@ def main() -> None:
         "compile_s": round(compile_s, 1),
         "config": "4K synthetic -> DA-V2 ViT-L @518 (random weights, bf16) -> Half-SBS 4K",
         "kernel_parity": kernel_parity,
+        "stage_ms": stage_ms,
         "int8_pipeline_fps": int8_fps,
+        "int8_stage_ms": int8_stage_ms,
         **projected,
         **e2e,
     }
@@ -193,7 +203,7 @@ def run_int8_rate(settings, policy, frame, scalar):
         # off-TPU the dispatch resolves to plain XLA int8 — reporting that
         # as the fused-kernel metric would misrepresent what ran (and the
         # 64-frame batches take minutes per time check on CPU)
-        return "skipped: not tpu"
+        return "skipped: not tpu", {}
     try:
         bound, spec = build_bound(settings.model, init_size=126, quant="int8")
         cfg = ProgramConfig.from_settings(settings, quality="high")
@@ -209,9 +219,16 @@ def run_int8_rate(settings, policy, frame, scalar):
                 sbs, _ = program(frame)
                 frames += 1
             float(scalar(sbs))
-        return round(frames / (time.time() - t0), 2)
+        fps = round(frames / (time.time() - t0), 2)
+        try:
+            from benchmarks._timing import stage_slopes
+
+            stage_ms = stage_slopes(program, frame, n1=16, n2=64, repeats=3)
+        except Exception as e:
+            stage_ms = {"error": f"{type(e).__name__}: {e}"}
+        return fps, stage_ms
     except Exception as e:  # never wedge the scored artifact
-        return f"ERROR {type(e).__name__}: {e}"
+        return f"ERROR {type(e).__name__}: {e}", {}
 
 
 def run_kernel_parity() -> str:

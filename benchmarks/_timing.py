@@ -61,3 +61,53 @@ def timeit(name: str, fn, *args, n1: int = 20, n2: int = 60,
     ms = slope_ms(fn, *args, n1=n1, n2=n2, repeats=repeats)
     print(f"{name:34s} {ms:7.3f} ms", flush=True)
     return ms
+
+
+def stage_slopes(prog, frame, n1: int = 20, n2: int = 60,
+                 repeats: int = 3) -> dict:
+    """Per-stage milliseconds of a ProgramCache's CURRENT variant — the
+    Amdahl breakdown behind any whole-pipeline number (pre / model / tail,
+    or pre / model / post / stereo on the generic tail).
+
+    Stateless models only: a stateful model's carry is donated per call,
+    so replaying one stage with a fixed state argument would reuse donated
+    buffers."""
+    from desktop2stereo_tpu.pipeline.programs import init_state
+    from desktop2stereo_tpu.ops.normalize import process_frame_size
+
+    if getattr(prog, "_stateful", False):
+        return {"note": "stateful model: per-stage split skipped "
+                        "(donated temporal carry)"}
+    step = prog._step
+    stages = getattr(step, "stages", None)
+    model_j = getattr(step, "model_j", None)
+    if stages is None or model_j is None:
+        return {"note": "program has no staged split (eager/batched mode)"}
+    params = getattr(prog._model_apply, "params", ())
+    oh, ow = process_frame_size(frame.shape[0], frame.shape[1],
+                                prog.cfg.output_height)
+    state = init_state(oh, ow)
+
+    pre = stages[0]
+    rgb_pre, model_in = pre(frame)
+    out = {"pre_ms": round(slope_ms(lambda f: pre(f)[1], frame,
+                                    n1=n1, n2=n2, repeats=repeats), 3)}
+    raw, _ = model_j(params, model_in, state.model)
+    out["model_ms"] = round(slope_ms(
+        lambda mi: model_j(params, mi, state.model)[0], model_in,
+        n1=n1, n2=n2, repeats=repeats), 3)
+    if len(stages) == 2:  # fused Pallas stereo tail
+        tail = stages[1]
+        out["tail_ms"] = round(slope_ms(
+            lambda r: tail(r, state.ema_depth, rgb_pre)[0], raw,
+            n1=n1, n2=n2, repeats=repeats), 3)
+    else:
+        post, stereo = stages[1], stages[2]
+        depth = post(raw, state.ema_depth)
+        out["post_ms"] = round(slope_ms(
+            lambda r: post(r, state.ema_depth), raw,
+            n1=n1, n2=n2, repeats=repeats), 3)
+        out["stereo_ms"] = round(slope_ms(
+            lambda d: stereo(rgb_pre, d), depth,
+            n1=n1, n2=n2, repeats=repeats), 3)
+    return out

@@ -26,7 +26,8 @@ CONFIGS = [
 ]
 
 
-def measure(name: str, res: int, quant: str = "none") -> None:
+def measure(name: str, res: int, quant: str = "none",
+            stages: bool = False) -> None:
     import jax
     import numpy as np
 
@@ -64,22 +65,36 @@ def measure(name: str, res: int, quant: str = "none") -> None:
     tag = f" [{quant}]" if quant != "none" else ""
     print(f"{name:32s} @{res}{tag}  {ms:7.2f} ms/frame  {1000.0/ms:6.1f} FPS"
           f"  (compile {compile_s:.0f}s)", flush=True)
+    if stages:
+        try:
+            from benchmarks._timing import stage_slopes
+        except ImportError:
+            from _timing import stage_slopes
+        br = stage_slopes(prog, frame, n1=20, n2=80, repeats=3)
+        parts = "  ".join(f"{k[:-3]}={v}" for k, v in br.items()
+                          if k.endswith("_ms"))
+        note = br.get("note", "")
+        print(f"{'':32s}  stages[ms]: {parts}{note}", flush=True)
 
 
 def main() -> None:
     args = sys.argv[1:]
     quant = "none"
+    stages = "--stages" in args
+    if stages:
+        args.remove("--stages")
     if "--quant" in args:
         i = args.index("--quant")
         if i + 1 >= len(args) or args[i + 1] not in ("none", "int8"):
-            sys.exit("usage: families.py [--quant none|int8] [family ...]")
+            sys.exit("usage: families.py [--quant none|int8] [--stages] "
+                     "[family ...]")
         quant = args[i + 1]
         args = args[:i] + args[i + 2:]
     names = args
     if names:
         configs = [c for c in CONFIGS if c[0] in names]
         for name, res in configs:
-            measure(name, res, quant)
+            measure(name, res, quant, stages=stages)
         return
     # one fresh process per family (serialized: one TPU holder at a time).
     # The repo root must ride in PYTHONPATH: the child starts as a plain
@@ -92,6 +107,8 @@ def main() -> None:
         cmd = [sys.executable, os.path.abspath(__file__), name]
         if quant != "none":
             cmd += ["--quant", quant]
+        if stages:
+            cmd += ["--stages"]
         rc = subprocess.call(cmd, cwd=root, env=env)
         if rc != 0:
             print(f"{name}: FAILED rc={rc}", flush=True)

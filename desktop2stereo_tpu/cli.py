@@ -461,8 +461,10 @@ def run(args=None) -> int:
     if probe is not None and hasattr(program, "warmup"):
         t0 = time.perf_counter()
         print(f"[d2s] compiling for frame shape {probe.shape} ...")
-        program.warmup(probe.shape)
-        print(f"[d2s] compiled in {time.perf_counter() - t0:.1f}s")
+        rep = program.warmup(probe.shape)
+        detail = ("  (" + ", ".join(f"{k[:-2]} {v}s" for k, v in rep.items())
+                  + ")") if rep else ""
+        print(f"[d2s] compiled in {time.perf_counter() - t0:.1f}s{detail}")
     if probe is not None:
         engine.preload(probe)  # the shape probe is frame 0, not a casualty
 
@@ -601,8 +603,10 @@ def _run_multi(args, settings, source0, program, sink0) -> int:
     if probe is not None and hasattr(program, "warmup"):
         print(f"[d2s] compiling for frame shape {probe.shape} ...")
         t0 = time.perf_counter()
-        program.warmup(probe.shape)
-        print(f"[d2s] compiled in {time.perf_counter() - t0:.1f}s")
+        rep = program.warmup(probe.shape)
+        detail = ("  (" + ", ".join(f"{k[:-2]} {v}s" for k, v in rep.items())
+                  + ")") if rep else ""
+        print(f"[d2s] compiled in {time.perf_counter() - t0:.1f}s{detail}")
 
     engine_cls = (BatchedStreamEngine if getattr(args, "batched", False)
                   else MultiStreamEngine)

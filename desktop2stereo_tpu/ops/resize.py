@@ -138,7 +138,11 @@ def resize_weights(
 
 def _apply_1d(x: jax.Array, w: np.ndarray, axis: int) -> jax.Array:
     """Contract `axis` of x with the [out,in] weight matrix on the MXU."""
-    wj = jnp.asarray(w, dtype=jnp.float32)
+    from desktop2stereo_tpu.ops.hoist import hoist_const
+
+    # weight matrices reach many MB at 4K: under a HoistedJit they become
+    # runtime arguments instead of inline HLO constants (see ops/hoist.py)
+    wj = hoist_const(w.astype(np.float32, copy=False))
     if x.dtype != jnp.float32:
         wj = wj.astype(x.dtype)
     # f32 inputs demand full-precision accumulation (on TPU the MXU would

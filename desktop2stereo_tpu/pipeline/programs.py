@@ -30,6 +30,7 @@ from desktop2stereo_tpu.ops import (
     stereo_compose,
 )
 from desktop2stereo_tpu.ops.depth_post import ema as ema_op
+from desktop2stereo_tpu.ops.hoist import hjit
 from desktop2stereo_tpu.ops.normalize import process_frame_size
 from desktop2stereo_tpu.ops.resize import patch_aligned_size, resize
 from desktop2stereo_tpu.ops.stereo import _on_tpu as _stereo_on_tpu
@@ -430,10 +431,10 @@ def _build_step(
         if shared_stages is not None:
             stages = shared_stages
         elif fused_stereo:
-            stages = (jax.jit(preprocess), jax.jit(jax.vmap(post_stereo_stage)))
+            stages = (hjit(preprocess), hjit(jax.vmap(post_stereo_stage)))
         else:
-            stages = (jax.jit(preprocess), jax.jit(jax.vmap(post_stage)),
-                      jax.jit(jax.vmap(stereo_stage)))
+            stages = (hjit(preprocess), hjit(jax.vmap(post_stage)),
+                      hjit(jax.vmap(stereo_stage)))
         model_j = jax.jit(batched_model) if first else jax.jit(
             batched_model, donate_argnums=(2,))
         if len(stages) == 2:
@@ -462,9 +463,9 @@ def _build_step(
         # NOTE: the EMA carry is NOT donated — the returned depth array IS
         # the next carry and is also handed to the sink thread, which may
         # still be reading it when the next step runs.
-        stages = (jax.jit(preprocess), jax.jit(post_stereo_stage))
+        stages = (hjit(preprocess), hjit(post_stereo_stage))
     else:
-        stages = (jax.jit(preprocess), jax.jit(post_stage), jax.jit(stereo_stage))
+        stages = (hjit(preprocess), hjit(post_stage), hjit(stereo_stage))
     # the model carry is donated so streaming state updates in place;
     # params ride as jit ARGUMENTS (see BoundModel docstring).  The model
     # program is display-mode-independent, so mode variants share it
@@ -504,7 +505,7 @@ def _build_step(
                 except Exception as e:
                     print(f"[programs] fused stereo tail failed "
                           f"({type(e).__name__}); falling back to jnp tail")
-                    tail = fallback["tail"] = jax.jit(_generic_tail)
+                    tail = fallback["tail"] = hjit(_generic_tail)
             sbs, depth = tail(raw, state.ema_depth, rgb_pre)
             return sbs, depth, FrameState(ema_depth=depth, model=mstate)
     else:
@@ -748,11 +749,50 @@ class ProgramCache:
     def reset(self) -> None:
         self._states.clear()
 
-    def warmup(self, frame_shape: Tuple[int, ...], steps: int = 2) -> None:
+    def warmup(self, frame_shape: Tuple[int, ...], steps: int = 2) -> dict:
         """Pre-compile + prime for a capture shape (reference depth.py:
-        1587-1631 warmup_model): run `steps` dummy frames and discard state."""
+        1587-1631 warmup_model): run `steps` dummy frames and discard state.
+
+        Returns (and stores as `self.compile_report`) per-program first-call
+        seconds — jit compile is synchronous on the first call, so wall
+        time around it IS the compile cost.  Cold-compile budget is a
+        user-visible regression axis; this is where it's accounted."""
+        import time as _time
+
         dummy = jnp.zeros(frame_shape, jnp.uint8)
+        report: Dict[str, float] = {}
+        step = self._first
+        stages = getattr(step, "stages", None)
+        model_j = getattr(step, "model_j", None)
+        if stages is not None and model_j is not None and not self._stateful:
+            # time each chained program's first call individually
+            oh, ow = process_frame_size(frame_shape[0], frame_shape[1],
+                                        self.cfg.output_height)
+            state = init_state(oh, ow)
+            params = getattr(self._model_apply, "params", ())
+            t0 = _time.time()
+            rgb_pre, model_in = stages[0](dummy)
+            report["pre_s"] = round(_time.time() - t0, 2)
+            t0 = _time.time()
+            raw, _ms = model_j(params, model_in, state.model)
+            report["model_s"] = round(_time.time() - t0, 2)
+            t0 = _time.time()
+            if len(stages) == 2:
+                stages[1](raw, state.ema_depth, rgb_pre)
+                report["fused_tail_s"] = round(_time.time() - t0, 2)
+            else:
+                depth = stages[1](raw, state.ema_depth)
+                report["post_s"] = round(_time.time() - t0, 2)
+                t0 = _time.time()
+                stages[2](rgb_pre, depth)
+                report["stereo_s"] = round(_time.time() - t0, 2)
+        else:
+            t0 = _time.time()
+            sbs, _ = self(dummy)
+            report["first_step_s"] = round(_time.time() - t0, 2)
         for _ in range(max(1, steps)):
             sbs, _ = self(dummy)
         jax.block_until_ready(sbs)
         self.reset()
+        self.compile_report = report
+        return report

@@ -531,3 +531,20 @@ def test_program_fill_16_9_pads_device_side():
     sbs, _ = program(frame)
     h, w = np.asarray(sbs).shape[:2]
     assert (w * 9) == (h * 16), f"not 16:9: {h}x{w}"
+
+
+def test_warmup_returns_compile_report():
+    """warmup() accounts per-program first-call seconds (the cold-compile
+    budget is a user-visible regression axis; bench/CLI surface this)."""
+    cfg = make_cfg()
+    cache = ProgramCache(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    rep = cache.warmup((144, 256, 4))
+    assert rep and rep is cache.compile_report
+    # staged split for the stateless fake model: pre + model + tail programs
+    assert "pre_s" in rep and "model_s" in rep
+    assert ("fused_tail_s" in rep) or ("post_s" in rep and "stereo_s" in rep)
+    assert all(isinstance(v, float) and v >= 0 for v in rep.values())
+    # warmup must still leave the cache stateless (reset) and callable
+    assert not cache._states
+    sbs, _ = cache(jnp.zeros((144, 256, 4), jnp.uint8))
+    assert sbs.shape == (72, 128, 3)
