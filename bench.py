@@ -5,6 +5,10 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline compares against the reference's best published 4K→4K number
 (18 FPS, depth-res 384, RX 9060XT — reference Benchmark.md:9; see
 BASELINE.md); the north star (≥60 FPS at the much larger ViT-L) needs ~3.3×.
+Because 18 FPS is an END-TO-END figure, vs_baseline is computed from
+pipeline_fps_projected_pcie (device rate composed with measured frame bytes
+over a production PCIe link, serial floor); vs_baseline_device_only keeps
+the raw device-rate multiplier.
 
 The metric is the DEVICE pipeline rate: every stage the reference counts in
 its FPS (preprocess → ViT-L → depth post → DIBR stereo composite) runs on
@@ -168,11 +172,16 @@ def main() -> None:
                                  d2h_bytes=sbs.nbytes)
     e2e = run_end_to_end(program, policy)
 
+    # vs_baseline uses the PROJECTED end-to-end serial floor (device rate +
+    # PCIe-composed frame traffic), not the device-only rate: the reference's
+    # 18 FPS is an end-to-end number, so the multiplier must be one too.
+    projected_e2e = projected["pipeline_fps_projected_pcie"]
     result = {
         "metric": "device_pipeline_fps_4k_halfsbs_vitl518",
         "value": round(fps, 2),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / REFERENCE_4K_FPS, 3),
+        "vs_baseline": round(projected_e2e / REFERENCE_4K_FPS, 3),
+        "vs_baseline_device_only": round(fps / REFERENCE_4K_FPS, 3),
         "frames": frames,
         "frame_ms": round(1000.0 * elapsed / max(frames, 1), 2),
         "tunnel_h2d_ms": round(h2d_s * 1000, 1),
