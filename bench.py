@@ -110,7 +110,7 @@ def main() -> None:
     program = ProgramCache(cfg, bound, spec, compute_dtype=policy.compute_dtype)
 
     frame_shape = (2160, 3840, 4)
-    program.warmup(frame_shape, steps=2)
+    compile_report = program.warmup(frame_shape, steps=2)
     compile_s = time.time() - t0
 
     # one synthetic 4K frame resident in HBM (the capture stage's product)
@@ -188,6 +188,7 @@ def main() -> None:
         "platform": policy.platform,
         "devices": policy.description,
         "compile_s": round(compile_s, 1),
+        "compile_breakdown_s": compile_report,
         "config": "4K synthetic -> DA-V2 ViT-L @518 (random weights, bf16) -> Half-SBS 4K",
         "kernel_parity": kernel_parity,
         "stage_ms": stage_ms,
