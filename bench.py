@@ -106,12 +106,14 @@ def main() -> None:
     )
     t0 = time.time()
     bound, spec = build_bound(model_name, init_size=126)
+    build_s = time.time() - t0
     cfg = ProgramConfig.from_settings(settings, quality="high")
     program = ProgramCache(cfg, bound, spec, compute_dtype=policy.compute_dtype)
 
     frame_shape = (2160, 3840, 4)
     compile_report = program.warmup(frame_shape, steps=2)
     compile_s = time.time() - t0
+    compile_report = dict(compile_report, build_model_s=round(build_s, 2))
 
     # one synthetic 4K frame resident in HBM (the capture stage's product)
     frame = jax.device_put(
