@@ -380,9 +380,35 @@ def run_kernel_parity() -> str:
                      / max(float(np.abs(want_q).max()), 1e-6))
         if quant_err > 2e-2:
             return f"FAIL quant_dense_matmul rel-err {quant_err:.2e}"
+
+        # row_scale mode (the row-parallel TP path, ops/quant.py
+        # tp_quant_dense): external full-K activation scales must reproduce
+        # the oracle run at those scales
+        xf = xq_in.astype(jnp.float32)
+        sx = jnp.maximum(jnp.max(jnp.abs(xf), axis=-1, keepdims=True),
+                         1e-8) / 127.0
+        got_rs = np.asarray(quant_dense_matmul(
+            xq_in, wq, wscale, qb, row_scale=sx), np.float32)
+        rs_err = (float(np.abs(got_rs - want_q).max())
+                  / max(float(np.abs(want_q).max()), 1e-6))
+        if rs_err > 2e-2:
+            return f"FAIL quant row_scale rel-err {rs_err:.2e}"
+
+        # raw int32 accumulator mode (psum'd across row-parallel shards):
+        # Mosaic must return the EXACT integer dot — no f32 slack allowed
+        acc = np.asarray(quant_dense_matmul(
+            xq_in, wq, jnp.ones((wq.shape[1],), jnp.float32),
+            row_scale=sx, out_dtype=jnp.int32))
+        xq_np = np.clip(np.round(np.asarray(xf) / np.asarray(sx)),
+                        -127, 127)
+        want_acc = xq_np.astype(np.int64) @ np.asarray(wq, np.int64)
+        acc_err = int(np.abs(acc.astype(np.int64) - want_acc).max())
+        if acc_err != 0:
+            return f"FAIL quant int32 accumulator maxdiff {acc_err}"
         return (f"ok (attn {att_err:.1e}, dibr {dibr_err:.1e}, "
                 f"fused_u8 {fused_err} LSB, feather {feather_err:.1e}, "
-                f"quant {quant_err:.1e})")
+                f"quant {quant_err:.1e}, quant_rs {rs_err:.1e}, "
+                f"quant_i32 {acc_err} exact)")
     except Exception as e:  # never wedge the benchmark
         return f"ERROR {type(e).__name__}: {e}"
 

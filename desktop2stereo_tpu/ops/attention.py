@@ -105,7 +105,11 @@ def multi_head_attention(
     from desktop2stereo_tpu.parallel.sharding import current_context
 
     ctx = current_context()
-    if ctx is not None and ctx.tp > 1:
+    if ctx is not None:
+        # ANY parallel trace — including a pure-DP mesh (tp==1, where the
+        # head spec is a no-op): a bare pallas_call is opaque to GSPMD and
+        # would gather/replicate operands, so the kernel must always enter
+        # the graph through _sharded_flash's shard_map
         B, N, H, _ = q.shape
         fits = bias is None and H % ctx.tp == 0 and B % ctx.dp == 0
         if use_flash is None:

@@ -326,35 +326,35 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
         conf = jnp.where(oob, 1.0, conf_base)
         return color, conf
 
-    # --- inpaint sweeps: one pass per direction feeds BOTH eyes --------------
-    # For each direction the depth-weighted role (decay .15) is the forward
-    # sweep of one eye while the plain role (decay .2) is the backward sweep
-    # of the other — the shifted depth/rgb taps are shared.
-    def sweep_dir(direction: int):
+    # --- inpaint sweeps: shared by BOTH eyes -----------------------------------
+    # The reference's sweep direction is eye-independent: g_par_dir folds in
+    # sign(eye_offset) and g_sweep_sign is -sign(eye_offset), so their
+    # product is always -x (reference viewer.py:442,540-543).  One forward
+    # sweep (depth-weighted, decay .15, direction -1) and one opposite
+    # fallback (plain, decay .2, direction +1) therefore serve both eyes —
+    # half the sweep taps of a per-eye pairing.
+    def sweep_role(direction: int, depth_weighted: bool, decay: float):
         # the reference's cum-gate accumulator is identical to the weight sum
         # (both add w every tap), so one accumulator serves as both
-        dwc = [jnp.zeros((th, wp), jnp.float32) for _ in range(3)]
-        dww = jnp.zeros((th, wp), jnp.float32)
-        plc = [jnp.zeros((th, wp), jnp.float32) for _ in range(3)]
-        plw = jnp.zeros((th, wp), jnp.float32)
+        acc = [jnp.zeros((th, wp), jnp.float32) for _ in range(3)]
+        wsum = jnp.zeros((th, wp), jnp.float32)
         for t in range(1, search_radius + 1):
             off = direction * t
             s_depth_inv = _shift_cols_clamp(inv_smooth, off)
             is_bg = s_depth_inv > cdi + depth_tolerance
             s_rgb = [_shift_cols_clamp(rgb[c], off) for c in range(3)]
-            w_dw = math.exp(-float(t) * 0.15) * (1.0 + (s_depth_inv - cdi) * 10.0)
-            w_dw = jnp.where(jnp.logical_and(is_bg, dww <= 5.0), w_dw, 0.0)
-            w_pl = jnp.where(jnp.logical_and(is_bg, plw <= 5.0),
-                             math.exp(-float(t) * 0.2), 0.0)
+            if depth_weighted:
+                w = math.exp(-float(t) * decay) * (1.0 + (s_depth_inv - cdi) * 10.0)
+            else:
+                w = math.exp(-float(t) * decay)
+            w = jnp.where(jnp.logical_and(is_bg, wsum <= 5.0), w, 0.0)
             for c in range(3):
-                dwc[c] = dwc[c] + s_rgb[c] * w_dw
-                plc[c] = plc[c] + s_rgb[c] * w_pl
-            dww = dww + w_dw
-            plw = plw + w_pl
-        return (dwc, dww), (plc, plw)
+                acc[c] = acc[c] + s_rgb[c] * w
+            wsum = wsum + w
+        return acc, wsum
 
-    dw_pos, pl_pos = sweep_dir(+1)
-    dw_neg, pl_neg = sweep_dir(-1)
+    fwd_shared = sweep_role(-1, depth_weighted=True, decay=0.15)
+    bwd_shared = sweep_role(+1, depth_weighted=False, decay=0.2)
 
     # --- vertical blur taps (fully eye-independent) ---------------------------
     up_ok = i > 0
@@ -387,11 +387,10 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
         vert_w = vert_w + w
     inv_vw = 1.0 / vert_w
 
-    # --- per-eye: warp + role pairing + blend ---------------------------------
-    # left eye (eye<0) sweeps forward in +1; right eye forward in -1
+    # --- per-eye: warp + blend (sweeps shared, see above) ----------------------
     eye_cfg = (
-        (-abs(eye_offset), dq_l, dw_pos, pl_neg),
-        (+abs(eye_offset), dq_r, dw_neg, pl_pos),
+        (-abs(eye_offset), dq_l, fwd_shared, bwd_shared),
+        (+abs(eye_offset), dq_r, fwd_shared, bwd_shared),
     )
     eye_out = []
     for eye, dq, (fwd_c, fwd_w), (bwd_c, bwd_w) in eye_cfg:

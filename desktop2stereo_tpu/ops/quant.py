@@ -210,10 +210,12 @@ class QuantDense(nn.Module):
         )
 
         ctx = current_context()
-        if ctx is not None and ctx.tp > 1:
-            # TP/SP trace: run the fused kernel per-shard along this
-            # Dense's Megatron role; shapes that don't divide the mesh use
-            # the XLA formulation, which GSPMD shards exactly.
+        if ctx is not None:
+            # ANY parallel trace — including pure DP (tp==1), where a bare
+            # pallas_call would be opaque to GSPMD: run the fused kernel
+            # per-shard along this Dense's Megatron role; shapes that don't
+            # divide the mesh use the XLA formulation, which GSPMD shards
+            # exactly.
             out = tp_quant_dense(ctx, x, kernel_q, scale, bias,
                                  megatron_role(self.name or ""))
             if out is not None:

@@ -97,6 +97,16 @@ def _sample_const_offset(x: jax.Array, offset: float) -> jax.Array:
     return a * (1.0 - f) + b * f
 
 
+def _is_rolled(roll: float) -> bool:
+    """True unless the parallax direction (cosθ, sinθ) is ≈ (1, 0).  Both
+    terms matter: roll≈π has sin≈0 but a flipped direction, and must NOT be
+    routed to the horizontal-only fast paths (Pallas pair kernel, const-
+    offset taps) whose sweep/fill directions assume cosθ=+1."""
+    import math as _math
+
+    return abs(_math.sin(roll)) > 1e-6 or (1.0 - _math.cos(roll)) > 1e-6
+
+
 def _shift_2d(x: jax.Array, dx: float, dy: float) -> jax.Array:
     """Sample x ([H,W] or [H,W,C]) at (j+dx, i+dy) for STATIC fractional
     offsets (clamp-to-edge): a bilinear lerp of up to four static shifts —
@@ -365,7 +375,7 @@ def dibr_render(
     depth = depth.astype(dt)
 
     cos_t, sin_t = _math.cos(roll), _math.sin(roll)
-    rolled = abs(sin_t) > 1e-6
+    rolled = _is_rolled(roll)
 
     # 3-tap asymmetric Gaussian pre-smooth along the parallax direction at
     # ±1.5px (bilinear at half-texel → average of 1- and 2-px neighbours).
@@ -416,7 +426,11 @@ def dibr_render(
         oob = oob | (py < 0.0) | (py > H - 1.0)
     conf = jnp.where(oob, 1.0, conf)
 
-    sweep_sign = -1.0 if eye_offset > 0 else 1.0
+    # The reference's sweep direction is EYE-INDEPENDENT: g_par_dir folds in
+    # sign(eye_offset) and g_sweep_sign is -sign(eye_offset), so their
+    # product is always -(cosθ, sinθ) (reference viewer.py:442,540-543) —
+    # both eyes inpaint from the same side of the disocclusion.
+    sweep_sign = -1.0
     px_clamped = jnp.clip(px, 0.0, W - 1.0)
 
     if not rolled and _on_tpu():
@@ -541,7 +555,7 @@ def stereo_compose(
     if display_mode == "Depth":
         out = depth_colormap_spectral(depth.astype(rgb.dtype))
         return edge_feather(out) if feather else out
-    rolled = abs(_math.sin(roll)) > 1e-6
+    rolled = _is_rolled(roll)
     if quality == "high":
         left = right = None
         if _on_tpu() and not rolled:

@@ -778,8 +778,16 @@ class ProgramCache:
             report["model_s"] = round(_time.time() - t0, 2)
             t0 = _time.time()
             if len(stages) == 2:
-                stages[1](raw, state.ema_depth, rgb_pre)
-                report["fused_tail_s"] = round(_time.time() - t0, 2)
+                try:
+                    stages[1](raw, state.ema_depth, rgb_pre)
+                    report["fused_tail_s"] = round(_time.time() - t0, 2)
+                except Exception:
+                    # a Pallas lowering/VMEM failure at this resolution must
+                    # degrade to step()'s jnp fallback tail, not kill startup
+                    # — the priming loop below runs through step(), whose
+                    # try/except installs _generic_tail (see _build_step)
+                    report["fused_tail_s"] = round(_time.time() - t0, 2)
+                    report["fused_tail_error"] = True
             else:
                 depth = stages[1](raw, state.ema_depth)
                 report["post_s"] = round(_time.time() - t0, 2)

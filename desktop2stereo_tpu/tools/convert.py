@@ -165,6 +165,14 @@ def verify_depth(model_name: str, checkpoint: str | None = None,
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    if jax.default_backend() != "cpu":
+        # config.update is ineffective once another backend initialized
+        # (CLAUDE.md: force CPU BEFORE other jax use); a TPU run would
+        # silently do bf16 f32-matmuls (~1e-2) and eat the whole tolerance
+        raise SystemExit(
+            "--verify-depth needs a CPU-only JAX process but the "
+            f"{jax.default_backend()!r} backend is already initialized; "
+            "run it as a standalone command")
     import jax.numpy as jnp
     import numpy as np
     import torch
@@ -296,6 +304,12 @@ def main() -> None:
     p.add_argument("--skip-download", action="store_true",
                    help="with --verify-depth: use local caches, no hub pull")
     args = p.parse_args()
+    if args.verify_depth:
+        # force CPU before ANYTHING initializes a jax backend (--verify
+        # builds the flax tree first and would otherwise pin the TPU)
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if args.model_path:
         reserialize(args.model_path)
     if args.model:

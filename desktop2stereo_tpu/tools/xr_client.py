@@ -165,7 +165,9 @@ def warp_eye(
     rgb = rgb.astype(np.float32)
     par_sign = 1.0 if eye_offset > 0 else -1.0
     cos_t, sin_t = math.cos(roll), math.sin(roll)
-    rolled = abs(sin_t) > 1e-6
+    # both terms: roll≈pi has sin≈0 but a flipped parallax direction, which
+    # the const-offset fast taps (cos=+1 assumption) would silently mis-warp
+    rolled = abs(sin_t) > 1e-6 or (1.0 - cos_t) > 1e-6
 
     def dtap(k: float) -> np.ndarray:
         if rolled:
@@ -209,8 +211,11 @@ def warp_eye(
             out = _shift_rows(out, offy)
         return out
 
-    # directional background inpaint (reference viewer.py:437-506)
-    sweep = -par_sign
+    # directional background inpaint (reference viewer.py:437-506).  The
+    # sweep direction is EYE-INDEPENDENT: the reference's g_par_dir folds in
+    # sign(eye_offset) and g_sweep_sign is -sign(eye_offset), so their
+    # product is always -(cos,sin) (reference viewer.py:540-543)
+    sweep = -1.0
     colors = np.zeros_like(rgb)
     weights = np.zeros_like(d)
     cum = np.zeros_like(d)
@@ -362,9 +367,11 @@ void main() {
 
     // directional background inpaint, forward sweep + fallback
     // (sweep steps scale both axes by the X pixel size, like the
-    // reference's `g_par_dir * pixel_size.x`)
+    // reference's `g_par_dir * pixel_size.x`).  Sweep direction is
+    // eye-independent: the reference's g_par_dir x g_sweep_sign double
+    // sign-flip cancels to -(cos,sin) for both eyes.
     vec3 acc = vec3(0.0); float wsum = 0.0;
-    vec2 sweep = -par * pd * u_texel.x;
+    vec2 sweep = -pd * u_texel.x;
     for (int i = 1; i <= 12; ++i) {
         vec2 o = v_uv + sweep * float(i);
         float sdinv = 1.0 - depth_at(o);
@@ -376,6 +383,8 @@ void main() {
         }
     }
     if (wsum < 2.0) {
+        // no early exit here: the reference's phase-2 fallback sweeps all
+        // taps unconditionally
         for (int i = 1; i <= 12; ++i) {
             vec2 o = v_uv - sweep * float(i);
             float sdinv = 1.0 - depth_at(o);
@@ -383,7 +392,6 @@ void main() {
                 float w = exp(-float(i) * 0.2);
                 acc += texture(u_color, o).rgb * w;
                 wsum += w;
-                if (wsum > 5.0) break;
             }
         }
     }
@@ -564,6 +572,12 @@ class OpenXRPresenter:
             self.session.on_state(phase)
         if self.session.phase in (SP.STOPPING, SP.EXITING):
             return False
+        # wait/begin/end_frame are only legal while the session runs
+        # (after the runtime's READY event triggered begin_session);
+        # until then stay alive and drop the frame — latest-wins semantics
+        # mean the next packet renders fresh anyway
+        if not getattr(self.runtime, "running", True):
+            return True
         # OpenXR requires wait/begin/end every frame even when not visible
         display_time, render_hint = self.runtime.wait_frame()
         self.runtime.begin_frame()
@@ -624,6 +638,7 @@ class _PyOpenXRRuntime:
         self.space = None
         self._gl = None            # (ctx, prog, vao, fbo machinery)
         self._phase_map = None
+        self._running = False      # begin_session .. end_session window
 
     # ---- RuntimeAdapter (session FSM) ------------------------------------
 
@@ -697,8 +712,10 @@ class _PyOpenXRRuntime:
             self.swapchains.append((sc, images, (spec.width, spec.height)))
 
         self._init_gl(ctx)
-        xr.begin_session(self.session, xr.SessionBeginInfo(
-            primary_view_configuration_type=xr.ViewConfigurationType.PRIMARY_STEREO))
+        # xr.begin_session is NOT called here: the spec requires waiting
+        # for the runtime's SESSION_STATE_READY event first (reference
+        # xr_session.py:117-226 does the same) — poll_phase_events begins
+        # the session when that event arrives.
 
     def _init_gl(self, ctx) -> None:
         prog = ctx.program(vertex_shader=_QUAD_VERT, fragment_shader=_DIBR_FRAG)
@@ -729,10 +746,12 @@ class _PyOpenXRRuntime:
                 pass
         self.swapchains = []
         if self.session is not None:
-            try:
-                xr.end_session(self.session)
-            except Exception:
-                pass
+            if self._running:
+                try:
+                    xr.end_session(self.session)
+                except Exception:
+                    pass
+                self._running = False
             try:
                 xr.destroy_session(self.session)
             except Exception:
@@ -742,6 +761,8 @@ class _PyOpenXRRuntime:
     # ---- frame-loop interface ---------------------------------------------
 
     def poll_phase_events(self):
+        import ctypes
+
         from desktop2stereo_tpu.xr.session import SessionPhase
 
         xr = self._xr
@@ -757,14 +778,43 @@ class _PyOpenXRRuntime:
         phases = []
         while True:
             try:
-                event = xr.poll_event(self.instance)
+                buf = xr.poll_event(self.instance)
             except xr.EventUnavailable:
                 break
-            if isinstance(event, xr.EventDataSessionStateChanged):
-                phase = self._phase_map.get(event.state)
-                if phase is not None:
-                    phases.append(phase)
+            # poll_event returns a generic EventDataBuffer whose payload
+            # must be reinterpreted by its structure type tag
+            event = None
+            if isinstance(buf, xr.EventDataSessionStateChanged):
+                event = buf  # a runtime/test double may hand typed events
+            elif (xr.StructureType(buf.type)
+                  == xr.StructureType.EVENT_DATA_SESSION_STATE_CHANGED):
+                event = ctypes.cast(
+                    ctypes.byref(buf),
+                    ctypes.POINTER(xr.EventDataSessionStateChanged)).contents
+            if event is None:
+                continue
+            phase = self._phase_map.get(xr.SessionState(event.state))
+            if phase is not None:
+                phases.append(phase)
+                # the spec's session-begin handshake: READY → begin_session,
+                # STOPPING → end_session (reference xr_session.py:117-226)
+                if phase is SessionPhase.READY and not self._running:
+                    xr.begin_session(self.session, xr.SessionBeginInfo(
+                        primary_view_configuration_type=(
+                            xr.ViewConfigurationType.PRIMARY_STEREO)))
+                    self._running = True
+                elif phase is SessionPhase.STOPPING and self._running:
+                    try:
+                        xr.end_session(self.session)
+                    finally:
+                        self._running = False
         return phases
+
+    @property
+    def running(self) -> bool:
+        """True between begin_session and end_session — the only window in
+        which wait_frame/begin_frame/end_frame are legal to call."""
+        return self._running
 
     def wait_frame(self):
         xr = self._xr

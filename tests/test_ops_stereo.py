@@ -308,7 +308,7 @@ def _np_dibr_warp_oracle(rgb, depth, eye, strength, conv, roll):
                         xx - px_shift * c * W, yy - px_shift * s * H)
 
 
-@pytest.mark.parametrize("roll", [0.3, -0.7, np.pi / 2])
+@pytest.mark.parametrize("roll", [0.3, -0.7, np.pi / 2, np.pi])
 def test_dibr_roll_matches_reference_warp_math(rng, roll):
     """roll≠0 warp vs the independently-transcribed shader oracle on a
     smooth scene (depth gradient gentle enough that the disocclusion
@@ -324,6 +324,44 @@ def test_dibr_roll_matches_reference_warp_math(rng, roll):
     # interior only: within ~5px of the border the shifted coords go out of
     # bounds, where the shader switches to conf=1 inpaint (oracle excludes)
     assert np.abs(out[8:-8, 8:-8] - ref[8:-8, 8:-8]).max() < 1e-2
+
+
+def test_inpaint_sweep_direction_is_eye_independent(rng):
+    """The reference's inpaint sweep direction is the SAME for both eyes:
+    g_par_dir folds in sign(eye_offset) and g_sweep_sign = -sign(eye_offset),
+    so their product is always -x (reference viewer.py:442,540-543).  At
+    conf=1 the output is the fill alone, so fully-disoccluded pixels must
+    render IDENTICALLY in the two eyes — a per-eye sweep pairing (the old
+    behavior) pulls background from opposite sides and fails this."""
+    H, W = 48, 128
+    # sharp vertical depth edge → jump=0.6 ≥ 0.10 → conf=1 within 2px of it
+    depth = np.full((H, W), 0.8, np.float32)
+    depth[:, : W // 2] = 0.2
+    # asymmetric colors so opposite sweeps would disagree loudly
+    rgb = np.zeros((H, W, 3), np.float32)
+    rgb[:, : W // 2, 0] = 200.0   # left half red
+    rgb[:, W // 2:, 2] = 200.0    # right half blue
+    out_l = np.asarray(dibr_render(jnp.asarray(rgb), jnp.asarray(depth),
+                                   -0.02, depth_strength=1.0))
+    out_r = np.asarray(dibr_render(jnp.asarray(rgb), jnp.asarray(depth),
+                                   +0.02, depth_strength=1.0))
+    edge = W // 2
+    band = slice(edge - 1, edge + 2)   # |d(x-2)-d(x+2)| = 0.6 → conf = 1
+    np.testing.assert_allclose(out_l[4:-4, band], out_r[4:-4, band],
+                               atol=1e-3)
+
+
+def test_roll_gate_rejects_half_turn():
+    """roll=π has sin≈0 but a FLIPPED parallax direction — the fast-path
+    gate must classify it as rolled, or it lands on the horizontal-only
+    Pallas/const-offset paths with the wrong sweep sign."""
+    from desktop2stereo_tpu.ops.stereo import _is_rolled
+
+    assert not _is_rolled(0.0)
+    assert not _is_rolled(2.0 * np.pi)   # full turn IS the identity
+    assert _is_rolled(np.pi)
+    assert _is_rolled(-np.pi)
+    assert _is_rolled(0.3)
 
 
 def test_dibr_roll_quarter_turn_moves_parallax_vertical(rng):

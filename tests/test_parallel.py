@@ -189,20 +189,7 @@ def test_sp_hook_is_noop_outside_parallel_apply(small_model):
     np.asarray(apply_fn(params, _pix(1)))
 
 
-def _count_prims(jaxpr, name: str) -> int:
-    n = 0
-    for eqn in jaxpr.eqns:
-        if name in eqn.primitive.name:
-            n += 1
-        for v in eqn.params.values():
-            leaves = jax.tree_util.tree_leaves(
-                v, is_leaf=lambda x: hasattr(x, "eqns") or hasattr(x, "jaxpr"))
-            for j in leaves:
-                if hasattr(j, "jaxpr"):
-                    n += _count_prims(j.jaxpr, name)
-                elif hasattr(j, "eqns"):
-                    n += _count_prims(j, name)
-    return n
+from desktop2stereo_tpu.parallel.introspect import count_prims as _count_prims
 
 
 def test_flash_kernel_survives_tp_trace():
@@ -228,6 +215,85 @@ def test_flash_kernel_survives_tp_trace():
         assert _count_prims(closed.jaxpr, "shard_map") >= 12
     finally:
         attn.FORCE_FLASH = prev
+
+
+def test_kernels_survive_pure_dp_trace():
+    """A pure-DP mesh (tp==1) is still a GSPMD trace: the flash and quant
+    kernels must enter the graph through shard_map (a bare pallas_call is
+    opaque to GSPMD and would gather/replicate its operands per layer) —
+    and match the unsharded run."""
+    from desktop2stereo_tpu.ops import attention as attn
+
+    apply_fn, params, _ = build_model("Depth-Anything-V2-Small", init_size=56)
+    mesh = make_mesh(num_data=4, num_model=1)
+    pixels = _pix(4, rng_seed=11)
+    ref = np.asarray(apply_fn(params, pixels))
+    sharded = shard_params(params, mesh)
+
+    prev = attn.FORCE_FLASH
+    attn.FORCE_FLASH = True  # CPU mesh → interpret-mode kernel
+    try:
+        run = parallel_frame_apply(apply_fn, mesh)
+        out = np.asarray(run(sharded, pixels))
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-4)
+        closed = jax.make_jaxpr(lambda p, x: run(p, x))(sharded, pixels)
+        n_pallas = _count_prims(closed.jaxpr, "pallas_call")
+        n_smap = _count_prims(closed.jaxpr, "shard_map")
+        assert n_pallas >= 12, f"flash dropped from the DP graph ({n_pallas})"
+        assert n_smap >= n_pallas, "kernels must be wrapped, not bare"
+        # and every pallas_call sits INSIDE a shard_map body, none at the
+        # top level where GSPMD would see an opaque custom call
+        assert _count_prims_top_level(closed.jaxpr, "pallas_call") == 0
+    finally:
+        attn.FORCE_FLASH = prev
+
+
+def _count_prims_top_level(jaxpr, name: str) -> int:
+    """Count matching prims NOT nested under a shard_map (recursing through
+    pjit/scan bodies but stopping at shard_map boundaries)."""
+    n = 0
+    for eqn in jaxpr.eqns:
+        if name in eqn.primitive.name:
+            n += 1
+        if "shard_map" in eqn.primitive.name:
+            continue
+        for v in eqn.params.values():
+            leaves = jax.tree_util.tree_leaves(
+                v, is_leaf=lambda x: hasattr(x, "eqns") or hasattr(x, "jaxpr"))
+            for j in leaves:
+                if hasattr(j, "jaxpr"):
+                    n += _count_prims_top_level(j.jaxpr, name)
+                elif hasattr(j, "eqns"):
+                    n += _count_prims_top_level(j, name)
+    return n
+
+
+def test_quant_kernel_survives_pure_dp_trace():
+    """Same guarantee for the fused int8 kernel under DP-only: QuantDense
+    must route through tp_quant_dense's shard_map whenever ANY parallel
+    context is live, bit-identical to the GSPMD XLA formulation."""
+    import desktop2stereo_tpu.ops.quant as quant
+
+    apply_fn, params, _ = build_model("Depth-Anything-V2-Small",
+                                      init_size=56, quant="int8")
+    mesh = make_mesh(num_data=4, num_model=1)
+    pixels = _pix(4, rng_seed=12)
+    sharded = shard_params(params, mesh)
+
+    orig = quant.tp_quant_dense
+    quant.tp_quant_dense = lambda *a, **k: None  # GSPMD-XLA-only baseline
+    try:
+        out_xla = np.asarray(
+            parallel_frame_apply(apply_fn, mesh)(sharded, pixels))
+    finally:
+        quant.tp_quant_dense = orig
+
+    run = parallel_frame_apply(apply_fn, mesh)
+    out = np.asarray(run(sharded, pixels))
+    np.testing.assert_array_equal(out, out_xla)
+    closed = jax.make_jaxpr(lambda p, x: run(p, x))(sharded, pixels)
+    assert _count_prims(closed.jaxpr, "pallas_call") >= 36
+    assert _count_prims_top_level(closed.jaxpr, "pallas_call") == 0
 
 
 def test_quant_kernel_survives_tp_and_sp_trace():

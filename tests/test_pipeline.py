@@ -548,3 +548,27 @@ def test_warmup_returns_compile_report():
     assert not cache._states
     sbs, _ = cache(jnp.zeros((144, 256, 4), jnp.uint8))
     assert sbs.shape == (72, 128, 3)
+
+
+def test_warmup_degrades_when_fused_tail_fails(monkeypatch):
+    """A Pallas tail failure during warmup must NOT kill startup: warmup
+    reports the error and the priming loop installs step()'s jnp fallback
+    tail (the reference's engine->PyTorch downgrade analog)."""
+    import desktop2stereo_tpu.ops.pallas.dibr as dibr
+    import desktop2stereo_tpu.pipeline.programs as P
+
+    monkeypatch.setattr(P, "_stereo_on_tpu", lambda: True)
+
+    def boom(*a, **k):
+        raise RuntimeError("mosaic lowering failed (simulated)")
+
+    monkeypatch.setattr(dibr, "dibr_render_pair_planar", boom)
+
+    cfg = make_cfg(display_mode="Half-SBS")
+    cache = ProgramCache(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    assert len(cache._step.stages) == 2, "fused structure not active"
+    rep = cache.warmup((64, 96, 4))
+    assert rep.get("fused_tail_error") is True
+    # and the cache still serves frames through the fallback tail
+    sbs, depth = cache(jnp.zeros((64, 96, 4), jnp.uint8))
+    assert sbs.shape[-1] == 3 and depth.ndim == 2

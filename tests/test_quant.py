@@ -278,6 +278,66 @@ def test_quant_dense_module_kernel_dispatch_and_fallback():
     assert np.allclose(want, forced)
 
 
+def test_quant_matmul_kernel_row_scale_mode():
+    """`row_scale` overrides the in-kernel abs-max (the row-parallel TP
+    path feeds full-K scales).  Supplying the scales the kernel would have
+    computed itself must reproduce the default mode exactly; supplying
+    DIFFERENT scales must match the XLA formulation run at those scales."""
+    from desktop2stereo_tpu.ops.pallas.quant_matmul import quant_dense_matmul
+
+    rng = np.random.default_rng(5)
+    M, K, F = 96, 256, 384
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.5, jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, F)) * 0.05, jnp.float32)
+    wq, ws = quantize_weight(w)
+    b = jnp.asarray(rng.standard_normal(F) * 0.1, jnp.float32)
+
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
+                     1e-8) / 127.0
+    base = np.asarray(quant_dense_matmul(x, wq, ws, b, interpret=True))
+    ext = np.asarray(quant_dense_matmul(x, wq, ws, b, row_scale=sx,
+                                        interpret=True))
+    # separately-compiled epilogues may differ by 1 ULP (XLA is free to
+    # rewrite xf/(max/127) as xf*(127/max) in one of them) — the quantized
+    # integers themselves are checked bit-exactly in the int32 test below
+    noop_err = np.abs(base - ext).max() / max(np.abs(base).max(), 1e-6)
+    assert noop_err < 1e-6, f"self-computed row_scale drifted {noop_err:.2e}"
+
+    # doubled scales (a wider-K shard's abs-max would look like this)
+    sx2 = sx * 2.0
+    got = np.asarray(quant_dense_matmul(x, wq, ws, b, row_scale=sx2,
+                                        interpret=True))
+    xq = np.clip(np.round(np.asarray(x) / np.asarray(sx2)), -127, 127)
+    acc = xq.astype(np.int32) @ np.asarray(wq, np.int32)
+    want = (acc.astype(np.float32)
+            * (np.asarray(sx2) * np.asarray(ws)[None, :])
+            + np.asarray(b)[None, :])
+    err = np.abs(got - want).max() / max(np.abs(want).max(), 1e-6)
+    assert err < 1e-5, f"row_scale mode vs oracle rel-err {err:.2e}"
+
+
+def test_quant_matmul_kernel_int32_accumulator_exact():
+    """`out_dtype=int32` returns RAW accumulators (the row-parallel psum
+    path, ops/quant.py tp_quant_dense): must be BIT-IDENTICAL to the
+    integer dot of the quantized activations — integer math has no
+    associativity slack to hide behind."""
+    from desktop2stereo_tpu.ops.pallas.quant_matmul import quant_dense_matmul
+
+    rng = np.random.default_rng(6)
+    M, K, F = 64, 128, 256
+    x = jnp.asarray(rng.standard_normal((M, K)) * 0.5, jnp.float32)
+    wq = jnp.asarray(rng.integers(-127, 128, (K, F)), jnp.int8)
+    sx = jnp.maximum(jnp.max(jnp.abs(x), axis=-1, keepdims=True),
+                     1e-8) / 127.0
+    acc = np.asarray(quant_dense_matmul(
+        x, wq, jnp.ones((F,), jnp.float32), row_scale=sx,
+        interpret=True, out_dtype=jnp.int32))
+    assert acc.dtype == np.int32
+    xq = np.clip(np.round(np.asarray(x) / np.asarray(sx)), -127, 127)
+    want = xq.astype(np.int32) @ np.asarray(wq, np.int32)
+    assert np.array_equal(acc, want), "raw int32 accumulators must be exact"
+
+
 def test_quant_matmul_kernel_under_vmap():
     """--batched multi-stream vmaps every stage; the kernel must batch
     (pallas batching rule) with per-sample activation scales, matching the

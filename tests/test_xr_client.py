@@ -302,6 +302,52 @@ def test_openxr_presenter_stops_on_stopping_event():
     assert not p.push_packet(rgb, None)  # loop must exit
 
 
+class _HandshakeRuntime(_FakeXrRuntime):
+    """Models the spec's begin_session handshake: wait_frame is ILLEGAL
+    until the runtime's READY event has begun the session (the real
+    _PyOpenXRRuntime exposes the same `running` property)."""
+
+    def __init__(self):
+        super().__init__(probe_misses=0)
+        self._pending_phases = []   # runtime hasn't signalled READY yet
+        self.running = False
+        self.begun = 0
+
+    def poll_phase_events(self):
+        phases = super().poll_phase_events()
+        for ph in phases:
+            if ph is self._SP.READY and not self.running:
+                self.running = True   # begin_session
+                self.begun += 1
+        return phases
+
+    def wait_frame(self):
+        assert self.running, "wait_frame before begin_session (spec violation)"
+        return super().wait_frame()
+
+
+def test_openxr_presenter_waits_for_ready_before_frame_loop():
+    """Until the runtime delivers SESSION_STATE_READY (which triggers
+    begin_session), push_packet must stay alive WITHOUT touching the frame
+    loop — xrWaitFrame before xrBeginSession is a spec violation the
+    previous code committed on every pre-READY packet."""
+    from desktop2stereo_tpu.xr.session import SessionPhase
+
+    rt = _HandshakeRuntime()
+    p = XC.OpenXRPresenter(0.064, 2.0, 0.01, runtime=rt)
+    rgb = np.zeros((16, 16, 3), np.uint8)
+
+    assert p.push_packet(rgb, None)      # pre-READY: alive, no frame calls
+    assert rt.calls[-1] != "wait_frame" and "wait_frame" not in rt.calls
+
+    rt._pending_phases = [SessionPhase.READY, SessionPhase.SYNCHRONIZED,
+                          SessionPhase.VISIBLE, SessionPhase.FOCUSED]
+    assert p.push_packet(rgb, None)      # READY begins the session + renders
+    assert rt.begun == 1
+    assert "wait_frame" in rt.calls and rt.calls[-1] == "end_frame:True"
+    assert p.frames_rendered == 1
+
+
 def test_openxr_presenter_degrades_cleanly_without_pyopenxr():
     """--present openxr on a host without pyopenxr must exit with a clear
     message, not a traceback (and --present auto never tries openxr)."""
