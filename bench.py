@@ -395,13 +395,19 @@ def run_kernel_parity() -> str:
             return f"FAIL quant row_scale rel-err {rs_err:.2e}"
 
         # raw int32 accumulator mode (psum'd across row-parallel shards):
-        # Mosaic must return the EXACT integer dot — no f32 slack allowed
+        # the MXU dot itself must be the EXACT integer product.  Use
+        # exact-integer activations with scale 1.0 so in-kernel
+        # quantization has no rounding ties — Mosaic's VPU division is
+        # not bit-identical to IEEE, so round(x/s) near a tie can
+        # legitimately differ ±1 from numpy; that belongs to the f32-mode
+        # rel-err checks above, not to the accumulator-exactness claim.
+        xi_np = rng.integers(-127, 128, size=(777, 1024))
+        xi = jnp.asarray(xi_np, jnp.bfloat16)  # ints ≤127 exact in bf16
+        ones_sx = jnp.ones((777, 1), jnp.float32)
         acc = np.asarray(quant_dense_matmul(
-            xq_in, wq, jnp.ones((wq.shape[1],), jnp.float32),
-            row_scale=sx, out_dtype=jnp.int32))
-        xq_np = np.clip(np.round(np.asarray(xf) / np.asarray(sx)),
-                        -127, 127)
-        want_acc = xq_np.astype(np.int64) @ np.asarray(wq, np.int64)
+            xi, wq, jnp.ones((wq.shape[1],), jnp.float32),
+            row_scale=ones_sx, out_dtype=jnp.int32))
+        want_acc = xi_np.astype(np.int64) @ np.asarray(wq, np.int64)
         acc_err = int(np.abs(acc.astype(np.int64) - want_acc).max())
         if acc_err != 0:
             return f"FAIL quant int32 accumulator maxdiff {acc_err}"

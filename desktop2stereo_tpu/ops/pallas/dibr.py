@@ -258,9 +258,11 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
     Eye-sharing: the 3-tap pre-smooth and disocclusion jump are SYMMETRIC
     sums (tap(-1.5s)+tap(+1.5s) is sign-invariant), so the smoothed depth,
     confidence base, background masks and every shifted column/row array
-    are identical for both eyes — computed once.  Only the warp direction,
-    the sweep-role pairing (which direction is depth-weighted) and the
-    final blends are per-eye."""
+    are identical for both eyes — computed once.  The inpaint sweeps are
+    ALSO eye-independent (the reference's g_par_dir × g_sweep_sign double
+    sign-flip cancels to -x for both eyes, reference viewer.py:442,540-543)
+    so one forward + one backward sweep serves both; only the warp
+    direction and the final blends are per-eye."""
     th = tile_h
     wp = dep_c_ref.shape[2]
     ng = wp // LANES
