@@ -951,9 +951,50 @@ def adopt_server_meta(args, meta: dict) -> None:
                      "convergence": 0.01}[flag])
 
 
+class SelfTestSource:
+    """Standalone smoke source: white 1280×720 RGB + zero depth, no server.
+
+    The reference ships `python xrviewer.py` — a harness that pre-seeds
+    the viewer's frame queue with a white 1280×720 frame and zero depth so
+    presentation, controllers, and keyboard can be exercised without the
+    capture/depth pipeline (reference xrviewer.py:13-14,
+    xr_viewer/implementation.py:2321-2351).  This is that harness for the
+    workstation client: `--test` swaps it in for FrameNetClient, so every
+    presenter (openxr/glfw/cv/png) can be smoke-driven offline.
+    Zero depth ⇒ zero parallax ⇒ both eyes must be the unwarped source —
+    a self-evident visual pass/fail, same as the reference's."""
+
+    def __init__(self, size=(1280, 720), fps: float = 60.0):
+        w, h = size
+        self._rgb = np.full((h, w, 3), 255, np.uint8)
+        self._depth = np.zeros((h, w), np.float32)
+        self._seq = 0
+        self._interval = 1.0 / fps if fps > 0 else 0.0
+        self._next = time.perf_counter()
+
+    def meta(self) -> dict:
+        return {}
+
+    def poll(self, timeout: float = 1.0):
+        from desktop2stereo_tpu.xr.frame_server import FramePacket
+
+        now = time.perf_counter()
+        if now < self._next:
+            time.sleep(self._next - now)
+        self._next = time.perf_counter() + self._interval
+        self._seq += 1
+        return FramePacket(self._rgb, self._depth, self._seq, time.time())
+
+    def close(self) -> None:
+        pass
+
+
 def run_client(args) -> int:
-    client = FrameNetClient(host=args.host, port=args.port,
-                            encoding=args.encoding)
+    if getattr(args, "test", False):
+        client = SelfTestSource()
+    else:
+        client = FrameNetClient(host=args.host, port=args.port,
+                                encoding=args.encoding)
     try:
         meta = client.meta()
     except Exception:
@@ -1025,6 +1066,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="default: the server's settings value, else 2.0")
     p.add_argument("--convergence", type=float, default=None,
                    help="default: the server's settings value, else 0.01")
+    p.add_argument("--test", action="store_true",
+                   help="standalone smoke mode: white 1280x720 + zero depth, "
+                        "no server (the reference's `python xrviewer.py` "
+                        "harness)")
     p.add_argument("--frames", type=int, help="stop after N frames")
     p.add_argument("--out", default="xr_frames", help="png presenter dir")
     p.add_argument("--poll-timeout", type=float, default=1.0)

@@ -146,6 +146,36 @@ def test_full_cli_server_client_end_to_end(tmp_path):
     assert server_rc.get("rc") == 0
 
 
+def test_selftest_source_standalone_smoke(tmp_path):
+    """`--test` drives a presenter with NO server — the reference's
+    standalone `python xrviewer.py` smoke harness (white 1280×720 + zero
+    depth pre-seeded into the viewer, reference xrviewer.py:13-14,
+    xr_viewer/implementation.py:2321-2351).  Zero depth ⇒ zero parallax ⇒
+    the Full-SBS output must be the pure white source in both eyes."""
+    out = tmp_path / "smoke"
+    rc = XC.main([
+        "--test", "--present", "png", "--out", str(out), "--frames", "1",
+    ])
+    assert rc == 0
+    pngs = sorted(out.glob("*.png"))
+    assert len(pngs) == 1
+    from PIL import Image
+
+    arr = np.asarray(Image.open(pngs[0]))
+    assert arr.shape == (720, 2 * 1280, 3)
+    assert arr.min() == 255, "zero-depth white smoke frame must stay white"
+
+
+def test_selftest_source_paces_and_sequences():
+    src = XC.SelfTestSource(size=(32, 16), fps=0.0)
+    p1 = src.poll()
+    p2 = src.poll()
+    assert (p1.seq, p2.seq) == (1, 2)
+    assert p1.rgb.shape == (16, 32, 3) and p1.rgb.min() == 255
+    assert p1.depth.shape == (16, 32) and float(p1.depth.max()) == 0.0
+    src.close()
+
+
 def test_warp_eye_roll_matches_jnp_dibr():
     """roll≠0: the client's numpy warp equals ops/stereo.dibr_render at the
     same roll (reference u_roll, viewer.py:399,544-556)."""
