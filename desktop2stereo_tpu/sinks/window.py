@@ -7,13 +7,18 @@ on-device, so the window's only job is to blit frames — an OpenCV HighGUI
 window does that everywhere a display exists, with the reference's title-bar
 stats and the basic key set:
 
-    q / ESC   quit (stops the whole pipeline via the engine's error path)
-    f         toggle fullscreen
+    q / ESC       quit (stops the whole pipeline via the engine's error path)
+    f / Enter / Space  toggle fullscreen (reference Enter/Space,
+              readme.md:367-375)
     s         save a screenshot PNG next to the working dir
-    m / 1-9   cycle / select the display mode live (the reference's viewer
-              hot-keys, reference viewer.py:2304; the pipeline re-targets a
-              lazily-compiled program variant at the next frame)
-    + / - / 0 step / reset the live depth strength (reference UP/DOWN/0)
+    m / Tab / 1-9  cycle / select the display mode live (the reference's
+              viewer hot-keys, reference viewer.py:2304; the pipeline
+              re-targets a lazily-compiled program variant at the next frame)
+    ↑ / ↓ / + / - / 0  step / reset the live depth strength (reference
+              UP/DOWN/0, viewer.py:2321-2329; +/- kept as aliases for
+              terminals whose HighGUI build eats arrow codes)
+    ← / →     move the window to the previous / next monitor (reference
+              LEFT/RIGHT, readme.md:374-375; xrandr monitor rects)
     b         toggle per-eye edge feathering (reference KEY_B)
     d         in Depth mode, flip between the depth map and the original
               RGB (reference KEY_D, viewer.py:2310-2314)
@@ -21,6 +26,11 @@ stats and the basic key set:
               (reference KEY_A, viewer.py:2340-2343)
     l         toggle the viewer aspect-ratio lock live (reference KEY_L,
               viewer.py:2344-2347)
+
+The reference's KEY_M mouse pass-through (click-through window) is a
+compositor capability HighGUI does not expose — that toggle lives at the
+host-shim boundary with the other OS-input injection (xr/input_map.py's
+SendInput analog).
 
 Headless hosts keep using the MJPEG viewer facade (sinks/viewer.py).
 """
@@ -37,6 +47,15 @@ import numpy as np
 class WindowCloseRequested(Exception):
     """Raised out of push() so FrameEngine's error propagation performs the
     shutdown (the reference's window_should_close loop, main.py:1194)."""
+
+
+# Extended key codes as returned by cv.waitKeyEx: GTK/X11 keysyms and
+# Windows VK codes (HighGUI passes whichever the platform backend emits).
+_KEYS_LEFT = frozenset({65361, 2424832})
+_KEYS_UP = frozenset({65362, 2490368})
+_KEYS_RIGHT = frozenset({65363, 2555904})
+_KEYS_DOWN = frozenset({65364, 2621440})
+_KEYS_ENTER = frozenset({10, 13, 65293, 65421})  # LF/CR, GTK Return/KP_Enter
 
 
 class WindowSink:
@@ -94,6 +113,38 @@ class WindowSink:
             canvas[y0:y0 + h] = img
         return canvas
 
+    def _move_to_adjacent_monitor(self, step: int) -> None:
+        """Reference LEFT/RIGHT keys: relocate the viewer window to the
+        previous/next monitor (readme.md:374-375 — the reference calls
+        glfwSetWindowMonitor on the adjacent GLFW monitor).  Here: xrandr
+        monitor rects + cv.moveWindow; fullscreen is re-applied on the
+        target monitor."""
+        from desktop2stereo_tpu.core.display import list_monitors
+
+        mons = list_monitors()
+        if len(mons) < 2 or not self._created:
+            return
+        cur = 0
+        try:
+            x, y = self._cv.getWindowImageRect(self.title)[:2]
+            for i, (_n, mx, my, mw, mh) in enumerate(mons):
+                if mx <= x < mx + mw and my <= y < my + mh:
+                    cur = i
+                    break
+        except Exception:
+            pass
+        name, mx, my, _mw, _mh = mons[(cur + step) % len(mons)]
+        cv = self._cv
+        was_fullscreen = self._fullscreen
+        if was_fullscreen:  # un-fullscreen so moveWindow lands on the target
+            cv.setWindowProperty(self.title, cv.WND_PROP_FULLSCREEN,
+                                 cv.WINDOW_NORMAL)
+        cv.moveWindow(self.title, mx + 32, my + 32)
+        if was_fullscreen:
+            cv.setWindowProperty(self.title, cv.WND_PROP_FULLSCREEN,
+                                 cv.WINDOW_FULLSCREEN)
+        print(f"[window] moved to monitor {name}")
+
     def push(self, sbs_u8: np.ndarray, depth: Optional[np.ndarray],
              stats: dict) -> None:
         cv = self._cv
@@ -114,14 +165,20 @@ class WindowSink:
                 f"dropped {dropped})")
             self._last_title = now
         self.frames += 1
-        key = cv.waitKey(1) & 0xFF
+        # waitKeyEx sees arrow/function keysyms that the classic
+        # `waitKey & 0xFF` mask destroys; ASCII keys come through unchanged
+        raw = int(getattr(cv, "waitKeyEx", cv.waitKey)(1))
+        key = raw & 0xFF if 0 <= raw < 256 else raw
         if key in (27, ord("q")):
             raise WindowCloseRequested("window closed by user")
-        if key == ord("f"):
+        if key in (ord("f"), ord(" ")) or raw in _KEYS_ENTER:
             self._fullscreen = not self._fullscreen
             cv.setWindowProperty(
                 self.title, cv.WND_PROP_FULLSCREEN,
                 cv.WINDOW_FULLSCREEN if self._fullscreen else cv.WINDOW_NORMAL)
+        elif raw in _KEYS_LEFT or raw in _KEYS_RIGHT:
+            # reference LEFT/RIGHT: move the window to the adjacent monitor
+            self._move_to_adjacent_monitor(+1 if raw in _KEYS_RIGHT else -1)
         elif key == ord("s"):
             path = os.path.join(self.screenshot_dir,
                                 f"d2s_screenshot_{int(time.time())}.png")
@@ -146,7 +203,7 @@ class WindowSink:
             print(f"[window] aspect lock: "
                   f"{'ON' if self.keep_aspect else 'OFF'}")
         elif self.mode_switcher is not None:
-            if key == ord("m"):
+            if key in (ord("m"), 9):  # 9 = Tab, the reference's cycle key
                 self._show_rgb_in_depth = False
                 print(f"[window] display mode → "
                       f"{self.mode_switcher.cycle_display_mode()}")
@@ -178,11 +235,11 @@ class WindowSink:
             # live depth strength (the reference viewer's UP/DOWN/0 keys,
             # reference viewer.py:2321-2329; +/- here — cv2's waitKey
             # cannot see arrow keys through the 0xFF mask)
-            elif key in (ord("+"), ord("=")) and hasattr(
+            elif (key in (ord("+"), ord("=")) or raw in _KEYS_UP) and hasattr(
                     self.mode_switcher, "adjust_depth_strength"):
                 v = self.mode_switcher.adjust_depth_strength(+0.5)
                 print(f"[window] depth strength → {v:.1f}")
-            elif key == ord("-") and hasattr(
+            elif (key == ord("-") or raw in _KEYS_DOWN) and hasattr(
                     self.mode_switcher, "adjust_depth_strength"):
                 v = self.mode_switcher.adjust_depth_strength(-0.5)
                 print(f"[window] depth strength → {v:.1f}")

@@ -125,6 +125,81 @@ def test_display_mode_hotkeys(monkeypatch):
     assert prog.calls == [("cycle", 1), DISPLAY_MODES[4]]
 
 
+def test_reference_key_aliases_tab_enter_space_arrows(monkeypatch):
+    """The reference's own bindings (readme.md:367-388): Tab cycles the
+    display mode, Enter/Space toggle fullscreen, Up/Down arrows step the
+    depth strength — delivered as waitKeyEx extended codes (GTK keysym
+    65362 and Windows VK 2621440 both accepted)."""
+    sink, fake = make_sink(monkeypatch)
+
+    class FakeProgram:
+        def __init__(self):
+            self.calls = []
+
+        def cycle_display_mode(self, delta=1):
+            self.calls.append(("cycle", delta))
+            return "Full-SBS"
+
+        def adjust_depth_strength(self, delta):
+            self.calls.append(("adjust", delta))
+            return 1.0
+
+    prog = FakeProgram()
+    sink.mode_switcher = prog
+    frame = np.zeros((2, 2, 3), np.uint8)
+    fake.key_queue = [9, 13, ord(" "), 65362, 2621440]
+    sink.push(frame, None, {})  # Tab → cycle
+    sink.push(frame, None, {})  # Enter → fullscreen on
+    assert fake.props[-1] == (FakeCv.WND_PROP_FULLSCREEN,
+                              FakeCv.WINDOW_FULLSCREEN)
+    sink.push(frame, None, {})  # Space → fullscreen off
+    assert fake.props[-1] == (FakeCv.WND_PROP_FULLSCREEN,
+                              FakeCv.WINDOW_NORMAL)
+    sink.push(frame, None, {})  # GTK Up → +0.5
+    sink.push(frame, None, {})  # Windows Down → -0.5
+    assert prog.calls == [("cycle", 1), ("adjust", 0.5), ("adjust", -0.5)]
+
+
+def test_monitor_move_keys(monkeypatch):
+    """Left/Right arrows relocate the window to the adjacent monitor
+    (reference readme.md:374-375), re-applying fullscreen on the target."""
+    from desktop2stereo_tpu.core import display as display_mod
+
+    sink, fake = make_sink(monkeypatch)
+    monkeypatch.setattr(
+        display_mod, "list_monitors",
+        lambda: [("eDP-1", 0, 0, 1920, 1080), ("HDMI-1", 1920, 0, 2560, 1440)])
+    fake.moves = []
+    fake.moveWindow = lambda _t, x, y: fake.moves.append((x, y))
+    fake.getWindowImageRect = lambda _t: (10, 10, 640, 480)
+
+    frame = np.zeros((2, 2, 3), np.uint8)
+    fake.key_queue = [65363]  # GTK Right → monitor 1
+    sink.push(frame, None, {})
+    assert fake.moves[-1] == (1920 + 32, 0 + 32)
+    fake.key_queue = [2424832]  # Windows Left: from monitor 0, wraps to 1
+    sink.push(frame, None, {})
+    assert fake.moves[-1] == (1920 + 32, 0 + 32)
+
+    # fullscreen survives the move: dropped for moveWindow, re-applied
+    sink._fullscreen = True
+    fake.props.clear()
+    fake.key_queue = [65363]
+    sink.push(frame, None, {})
+    assert fake.props == [
+        (FakeCv.WND_PROP_FULLSCREEN, FakeCv.WINDOW_NORMAL),
+        (FakeCv.WND_PROP_FULLSCREEN, FakeCv.WINDOW_FULLSCREEN),
+    ]
+
+    # single-monitor hosts: the key is a no-op
+    monkeypatch.setattr(display_mod, "list_monitors",
+                        lambda: [("eDP-1", 0, 0, 1920, 1080)])
+    fake.moves.clear()
+    fake.key_queue = [65363]
+    sink.push(frame, None, {})
+    assert fake.moves == []
+
+
 def test_depth_strength_hotkeys(monkeypatch):
     """+/-/0 step the live depth strength (the reference viewer's
     UP/DOWN/0 keys, reference viewer.py:2321-2329)."""
