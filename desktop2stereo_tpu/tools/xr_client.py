@@ -508,6 +508,19 @@ class GlfwPresenter:
 # OpenXR presenter (headset path)
 # --------------------------------------------------------------------------
 
+def _quat_forward(q_xyzw) -> np.ndarray:
+    """-Z basis vector of a unit quaternion's rotation (the OpenXR aim
+    pose's pointing direction)."""
+    x, y, z, w = q_xyzw
+    fwd = np.array([
+        -(2.0 * (x * z + w * y)),
+        -(2.0 * (y * z - w * x)),
+        -(1.0 - 2.0 * (x * x + y * y)),
+    ], np.float64)
+    n = np.linalg.norm(fwd)
+    return fwd / n if n > 1e-9 else np.array([0.0, 0.0, -1.0])
+
+
 def head_roll(orientation_xyzw) -> float:
     """In-plane roll (radians) of a view pose quaternion: the angle the
     head's RIGHT axis makes with world-horizontal — the rotation the
@@ -555,9 +568,28 @@ class OpenXRPresenter:
         if runtime is None:
             runtime = _PyOpenXRRuntime(corner_radius=corner_radius)
         self.runtime = runtime
-        self.params = (ipd, depth_strength, convergence)
+        self.ipd = ipd
+        self.strength = depth_strength
+        self.convergence = convergence
         self.session = SessionManager(runtime)
         self.screen = ScreenPose()
+        # in-headset control surface: runtimes that can sample controllers
+        # (duck-typed `sample_controllers()`) feed the chord router each
+        # frame; actions mutate the live stereo/geometry knobs below
+        from desktop2stereo_tpu.xr.controls import ChordRouter
+
+        self._chords = ChordRouter()
+        self._strength_default = depth_strength
+        self._strength_stash: Optional[float] = None
+        self._preset_idx = 0
+        self._last_input_t = time.perf_counter()
+        # toggles consumed by overlay/effects layers (xr/overlay.py,
+        # xr/effects.py); tracked here so chords act on ONE state source
+        self.ui_state = {"fps_overlay": False, "help_panel": False,
+                         "keyboard": False, "glow": False,
+                         "passthrough": False, "overlays_hidden": False,
+                         "background": 0, "curved": False,
+                         "effect_transparency": 1.0}
         info = self.session.wait_for_device(
             should_stop=lambda: False, sleep=time.sleep,
             max_attempts=wait_attempts)
@@ -578,26 +610,119 @@ class OpenXRPresenter:
         # mean the next packet renders fresh anyway
         if not getattr(self.runtime, "running", True):
             return True
+        self._route_controller_input()
         # OpenXR requires wait/begin/end every frame even when not visible
         display_time, render_hint = self.runtime.wait_frame()
         self.runtime.begin_frame()
         rendered = False
         if self.session.should_render and render_hint:
             views = self.runtime.locate_views(display_time)
-            ipd, strength, conv = self.params
             for eye, view in enumerate(views):
                 # parallax direction follows head roll relative to the
                 # virtual screen's own roll (reference viewer.py:544-556)
                 roll = head_roll(view.orientation) - self.screen.roll
-                eye_offset = (eye * 2 - 1) * ipd / 2.0
+                eye_offset = (eye * 2 - 1) * self.ipd / 2.0
                 self.runtime.render_eye(
                     eye, rgb, depth, view,
-                    eye_offset=eye_offset, strength=strength,
-                    convergence=conv, roll=roll)
+                    eye_offset=eye_offset, strength=self.strength,
+                    convergence=self.convergence, roll=roll)
             rendered = True
             self.frames_rendered += 1
         self.runtime.end_frame(display_time, rendered)
         return True
+
+    def _route_controller_input(self) -> None:
+        """Sample controllers (when the runtime can) and apply the chord
+        router's actions to the live knobs (reference readme.md:193-244;
+        the per-frame application mirrors input_handler.py's step
+        constants)."""
+        sample = getattr(self.runtime, "sample_controllers", None)
+        if sample is None:
+            return
+        # the runtime needs the live screen pose for laser → screen hits
+        self.runtime.screen_pose = self.screen
+        state = sample()
+        now = time.perf_counter()
+        dt = min(max(now - self._last_input_t, 0.0), 0.1)
+        self._last_input_t = now
+        if state is None:
+            return
+        for act in self._chords.update(state):
+            self._apply_action(act, dt)
+
+    def _apply_action(self, act, dt: float) -> None:
+        from dataclasses import replace
+
+        sc = self.screen
+        k, v = act.kind, act.value
+        if k == "depth_scale":
+            # reference: Right grip + Left stick Y, range 0–10
+            self.strength = float(np.clip(self.strength + v * 2.0 * dt,
+                                          0.0, 10.0))
+        elif k == "depth_ratio_fine":
+            self.strength = float(np.clip(self.strength + v * 0.5 * dt,
+                                          0.0, 10.0))
+        elif k == "reset_depth_scale":
+            self.strength = 2.0  # the reference's fixed reset value
+        elif k == "reset_depth_ratio":
+            self.strength = self._strength_default
+        elif k == "toggle_depth_zero":
+            if self._strength_stash is None:
+                self._strength_stash, self.strength = self.strength, 0.0
+            else:
+                self.strength = self._strength_stash
+                self._strength_stash = None
+        elif k == "screen_width":
+            f = float(np.clip(1.0 + v * 0.8 * dt, 0.5, 2.0))
+            self.screen = replace(sc, width=float(np.clip(sc.width * f, 0.5, 12.0)),
+                                  height=float(np.clip(sc.height * f, 0.3, 8.0)))
+        elif k == "screen_distance":
+            # accelerated curve (reference readme.md:199)
+            self.screen = replace(sc, distance=float(
+                np.clip(sc.distance + v * abs(v) * 3.0 * dt, 0.5, 15.0)))
+        elif k == "screen_translate_x":
+            self.screen = replace(sc, pan_x=sc.pan_x + v * 1.5 * dt)
+        elif k == "screen_translate_y":
+            self.screen = replace(sc, pan_y=sc.pan_y + v * 1.5 * dt)
+        elif k == "screen_yaw":
+            self.screen = replace(sc, yaw=sc.yaw + v * 1.0 * dt)
+        elif k == "screen_pitch":
+            self.screen = replace(sc, pitch=sc.pitch + v * 1.0 * dt)
+        elif k == "reset_screen_pose":
+            self.screen = replace(sc, pan_x=0.0, pan_y=0.0, yaw=0.0,
+                                  pitch=0.0, roll=0.0,
+                                  distance=ScreenPose().distance)
+        elif k == "reset_screen_orientation":
+            # preserve distance/size (reference readme.md:201)
+            self.screen = replace(sc, yaw=0.0, pitch=0.0, roll=0.0)
+        elif k == "cycle_screen_preset":
+            self._preset_idx += 1
+            self.screen = sc.with_preset(self._preset_idx)
+        elif k == "toggle_screen_curve":
+            self.ui_state["curved"] = not self.ui_state["curved"]
+        elif k == "cycle_background":
+            self.ui_state["background"] = (self.ui_state["background"] + 1) % 5
+        elif k == "effect_transparency":
+            self.ui_state["effect_transparency"] = float(np.clip(
+                self.ui_state["effect_transparency"] + v * 1.0 * dt, 0.0, 1.0))
+        elif k == "toggle_fps_overlay":
+            self.ui_state["fps_overlay"] = not self.ui_state["fps_overlay"]
+        elif k == "toggle_help_panel":
+            self.ui_state["help_panel"] = not self.ui_state["help_panel"]
+        elif k == "toggle_keyboard":
+            self.ui_state["keyboard"] = not self.ui_state["keyboard"]
+        elif k == "toggle_glow_mode":
+            self.ui_state["glow"] = not self.ui_state["glow"]
+        elif k == "toggle_passthrough":
+            self.ui_state["passthrough"] = not self.ui_state["passthrough"]
+        elif k == "toggle_all_overlays":
+            self.ui_state["overlays_hidden"] = (
+                not self.ui_state["overlays_hidden"])
+        # crop_mode / crop_adjust / calibration / seat_adjust keep their
+        # state inside the router; drag_screen needs the aim-pose ray and
+        # is applied by the runtime's grab helper (xr/geometry.py) —
+        # mouse_scroll/arrow actions belong to the OS-input host shim
+        # (xr/input_map.py consumers), not the presenter.
 
     def close(self) -> None:
         self.session.tear_down()
@@ -636,6 +761,10 @@ class _PyOpenXRRuntime:
         self.session = None
         self.swapchains = []       # per eye
         self.space = None
+        self._action_set = None    # built in create_session
+        self._actions_attached = False
+        self._last_display_time = None
+        self._aim_spaces = {}
         self._gl = None            # (ctx, prog, vao, fbo machinery)
         self._phase_map = None
         self._running = False      # begin_session .. end_session window
@@ -712,6 +841,7 @@ class _PyOpenXRRuntime:
             self.swapchains.append((sc, images, (spec.width, spec.height)))
 
         self._init_gl(ctx)
+        self._create_action_set()
         # xr.begin_session is NOT called here: the spec requires waiting
         # for the runtime's SESSION_STATE_READY event first (reference
         # xr_session.py:117-226 does the same) — poll_phase_events begins
@@ -727,15 +857,173 @@ class _PyOpenXRRuntime:
         self._gl = {"ctx": ctx, "prog": prog, "vao": vao,
                     "tex_c": None, "tex_d": None, "fbos": {}}
 
+    def _create_action_set(self) -> None:
+        """Action set for the chord router (xr/controls.py): one action per
+        role in xr/session.py's BINDING_TABLES, hand-scoped via subaction
+        paths (the reference creates the same set per vendor table,
+        reference xr_session.py:340-433).  Failure leaves the presenter in
+        controller-less stereo-theater mode — pixels still reach the HMD."""
+        xr = self._xr
+        self._action_set = None
+        self._actions_attached = False
+        self._last_display_time = None
+        try:
+            self._path_l = xr.string_to_path(self.instance, "/user/hand/left")
+            self._path_r = xr.string_to_path(self.instance, "/user/hand/right")
+            aset = xr.create_action_set(self.instance, xr.ActionSetCreateInfo(
+                action_set_name="d2s_controls",
+                localized_action_set_name="desktop2stereo controls",
+                priority=0))
+            hands = [self._path_l, self._path_r]
+            AT = xr.ActionType
+
+            def act(name, atype, hand_scoped=True):
+                return xr.create_action(aset, xr.ActionCreateInfo(
+                    action_name=name, localized_action_name=name,
+                    action_type=atype,
+                    subaction_paths=hands if hand_scoped else []))
+
+            self._acts = {
+                "aim_pose": act("aim_pose", AT.POSE_INPUT),
+                "grip_pose": act("grip_pose", AT.POSE_INPUT),
+                "trigger": act("trigger", AT.FLOAT_INPUT),
+                "squeeze": act("squeeze", AT.FLOAT_INPUT),
+                "stick": act("stick", AT.VECTOR2F_INPUT),
+                "stick_click": act("stick_click", AT.BOOLEAN_INPUT),
+                "button_primary": act("button_a", AT.BOOLEAN_INPUT, False),
+                "button_secondary": act("button_b", AT.BOOLEAN_INPUT, False),
+                "button_x": act("button_x", AT.BOOLEAN_INPUT, False),
+                "button_y": act("button_y", AT.BOOLEAN_INPUT, False),
+                "menu": act("menu", AT.BOOLEAN_INPUT, False),
+            }
+            self._action_set = aset
+            self._aim_spaces = {}
+        except Exception:
+            self._action_set = None
+
     def suggest_bindings(self, profile, bindings) -> bool:
-        # stereo theater mode needs no controllers to put pixels up;
-        # accept the standard profiles so the runtime exposes poses later
+        """Suggest the vendor table's bindings for our action set; a
+        profile whose path does not resolve is skipped (SessionManager
+        collects the accepted ones into bound_profiles)."""
         xr = self._xr
         try:
-            xr.string_to_path(self.instance, profile)
+            prof_path = xr.string_to_path(self.instance, profile)
+        except Exception:
+            return False
+        if getattr(self, "_action_set", None) is None:
+            return True  # theater mode: profile accepted, no actions
+        try:
+            suggested = [
+                xr.ActionSuggestedBinding(
+                    action=self._acts[name],
+                    binding=xr.string_to_path(self.instance, path))
+                for name, path in bindings if name in self._acts
+            ]
+            xr.suggest_interaction_profile_bindings(
+                self.instance, xr.InteractionProfileSuggestedBinding(
+                    interaction_profile=prof_path,
+                    suggested_bindings=suggested))
             return True
         except Exception:
             return False
+
+    def _attach_actions(self) -> bool:
+        if self._action_set is None or self.session is None:
+            return False
+        if self._actions_attached:
+            return True
+        xr = self._xr
+        try:
+            xr.attach_session_action_sets(
+                self.session, xr.SessionActionSetsAttachInfo(
+                    action_sets=[self._action_set]))
+            # per-hand aim spaces for the laser → screen hit test
+            for hand, path in (("l", self._path_l), ("r", self._path_r)):
+                self._aim_spaces[hand] = xr.create_action_space(
+                    self.session, xr.ActionSpaceCreateInfo(
+                        action=self._acts["aim_pose"], subaction_path=path))
+            self._actions_attached = True
+            return True
+        except Exception:
+            self._action_set = None
+            return False
+
+    def sample_controllers(self):
+        """One ControllerState snapshot for the chord router, or None when
+        the action system is unavailable (theater mode)."""
+        if not self._attach_actions():
+            return None
+        xr = self._xr
+        try:
+            from desktop2stereo_tpu.xr.controls import ControllerState
+
+            xr.sync_actions(self.session, xr.ActionsSyncInfo(
+                active_action_sets=[xr.ActiveActionSet(
+                    action_set=self._action_set,
+                    subaction_path=xr.NULL_PATH)]))
+
+            def fval(name, path):
+                st = xr.get_action_state_float(
+                    self.session, xr.ActionStateGetInfo(
+                        action=self._acts[name], subaction_path=path))
+                return float(st.current_state) if st.is_active else 0.0
+
+            def bval(name, path=None):
+                info = xr.ActionStateGetInfo(action=self._acts[name])
+                if path is not None:
+                    info.subaction_path = path
+                st = xr.get_action_state_boolean(self.session, info)
+                return bool(st.current_state) if st.is_active else False
+
+            def v2val(path):
+                st = xr.get_action_state_vector2f(
+                    self.session, xr.ActionStateGetInfo(
+                        action=self._acts["stick"], subaction_path=path))
+                if st.is_active:
+                    return (float(st.current_state.x),
+                            float(st.current_state.y))
+                return (0.0, 0.0)
+
+            laser = {"l": False, "r": False}
+            pose = getattr(self, "screen_pose", None)
+            t = self._last_display_time
+            if pose is not None and t is not None:
+                from desktop2stereo_tpu.xr.laser import ray_screen_hit
+
+                for hand, space in self._aim_spaces.items():
+                    try:
+                        loc = xr.locate_space(space, self.space, t)
+                        flags = int(loc.location_flags)
+                        if flags & 0x2:  # POSITION_VALID
+                            o = loc.pose.orientation
+                            p = loc.pose.position
+                            origin = np.array([p.x, p.y, p.z], np.float64)
+                            direction = _quat_forward(
+                                (o.x, o.y, o.z, o.w))
+                            laser[hand] = ray_screen_hit(
+                                origin, direction, pose) is not None
+                    except Exception:
+                        pass
+
+            return ControllerState(
+                grip_l=fval("squeeze", self._path_l) > 0.55,
+                grip_r=fval("squeeze", self._path_r) > 0.55,
+                stick_l=v2val(self._path_l),
+                stick_r=v2val(self._path_r),
+                stick_btn_l=bval("stick_click", self._path_l),
+                stick_btn_r=bval("stick_click", self._path_r),
+                btn_a=bval("button_primary"),
+                btn_b=bval("button_secondary"),
+                btn_x=bval("button_x"),
+                btn_y=bval("button_y"),
+                btn_menu=bval("menu"),
+                trigger_l=fval("trigger", self._path_l),
+                trigger_r=fval("trigger", self._path_r),
+                laser_l_on_screen=laser["l"],
+                laser_r_on_screen=laser["r"],
+            )
+        except Exception:
+            return None
 
     def destroy_session(self) -> None:
         xr = self._xr
@@ -819,6 +1107,8 @@ class _PyOpenXRRuntime:
     def wait_frame(self):
         xr = self._xr
         state = xr.wait_frame(self.session, xr.FrameWaitInfo())
+        # stashed for sample_controllers' aim-space location (laser hits)
+        self._last_display_time = state.predicted_display_time
         return state.predicted_display_time, bool(state.should_render)
 
     def begin_frame(self) -> None:

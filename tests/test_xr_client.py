@@ -278,6 +278,7 @@ class _FakeXrRuntime:
         self.calls.append(f"render_eye{eye}")
         self.last_roll = roll
         self.last_eye_offset = eye_offset
+        self.last_strength = strength
 
     def end_frame(self, display_time, rendered):
         self.calls.append(f"end_frame:{rendered}")
@@ -319,6 +320,66 @@ def test_openxr_presenter_full_frame_through_fsm():
     p.close()
     assert rt.destroyed
     assert p.session.phase == SessionPhase.IDLE
+
+
+def test_openxr_presenter_controller_chords_drive_knobs():
+    """A runtime that can sample controllers feeds the chord router; a
+    right-grip + right-stick-button short press resets the live depth
+    strength to the reference's 2.0 through the real frame loop."""
+    from desktop2stereo_tpu.xr.controls import ControllerState
+
+    rt = _FakeXrRuntime(probe_misses=0)
+    states = [
+        ControllerState(grip_r=True, stick_btn_r=True),   # press
+        ControllerState(grip_r=True, stick_btn_r=False),  # quick release
+    ]
+    rt.sample_controllers = lambda: states.pop(0) if states else None
+    p = XC.OpenXRPresenter(0.064, 3.5, 0.01, runtime=rt)
+    rgb = np.zeros((16, 16, 3), np.uint8)
+    p.push_packet(rgb, None)
+    assert p.strength == 3.5  # press alone does nothing yet
+    p.push_packet(rgb, None)
+    assert p.strength == 2.0  # short release → reference reset value
+    # the live strength is what reaches the warp
+    assert rt.last_strength == 2.0
+    p.close()
+
+
+def test_openxr_apply_action_knob_semantics():
+    """Direct Action application: clamps, stash/restore, preset cycling,
+    orientation reset preserving distance (reference readme.md:197-232)."""
+    from dataclasses import replace
+
+    from desktop2stereo_tpu.xr.controls import Action
+
+    rt = _FakeXrRuntime(probe_misses=0)
+    p = XC.OpenXRPresenter(0.064, 2.0, 0.01, runtime=rt)
+    p._apply_action(Action("depth_scale", 1.0), dt=0.5)
+    assert p.strength == pytest.approx(3.0)
+    p._apply_action(Action("depth_scale", 1.0), dt=10.0)
+    assert p.strength == 10.0  # reference 0–10 clamp
+    p._apply_action(Action("toggle_depth_zero"), dt=0.0)
+    assert p.strength == 0.0
+    p._apply_action(Action("toggle_depth_zero"), dt=0.0)
+    assert p.strength == 10.0  # restored from the stash
+    p._apply_action(Action("reset_depth_ratio"), dt=0.0)
+    assert p.strength == 2.0  # back to the session default
+
+    p.screen = replace(p.screen, yaw=0.4, pitch=-0.2, distance=5.5)
+    p._apply_action(Action("reset_screen_orientation"), dt=0.0)
+    assert p.screen.yaw == 0.0 and p.screen.pitch == 0.0
+    assert p.screen.distance == 5.5  # size/distance preserved
+
+    d0 = p.screen.distance
+    p._apply_action(Action("screen_distance", -0.5), dt=0.1)
+    assert p.screen.distance == pytest.approx(d0 - 0.5 * 0.5 * 3.0 * 0.1)
+
+    from desktop2stereo_tpu.xr.geometry import SCREEN_PRESETS
+
+    p._apply_action(Action("cycle_screen_preset"), dt=0.0)
+    _name, want_w, want_d = SCREEN_PRESETS[1 % len(SCREEN_PRESETS)]
+    assert (p.screen.width, p.screen.distance) == (want_w, want_d)
+    p.close()
 
 
 def test_openxr_presenter_stops_on_stopping_event():
