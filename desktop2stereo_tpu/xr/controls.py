@@ -218,6 +218,11 @@ class ChordRouter:
         self._crop_fired_press = False
         self._a_prev = False
         self._b_prev = False
+        # per-hand grip target latch: "only grip one item at a time" —
+        # decided when the grip closes by what the laser is hitting,
+        # keyboard taking priority, and held until release
+        # (input_handler.py:1146-1160)
+        self._grip_target = {"left": None, "right": None}
 
     # -- helpers ----------------------------------------------------------
 
@@ -379,14 +384,29 @@ class ChordRouter:
             self._emit_axis(out, "arrow_x", lx, "left")
             self._emit_axis(out, "arrow_y", ly, "left")
 
-        # Grip-to-move: per-hand drag is active while that grip is held,
-        # its stick is idle, and its laser latched the screen
-        # (input_handler.py:1146-1175's rising-edge target latch; the pose
-        # math itself lives in xr/geometry.py drag helpers)
-        for grip, (sx, sy), laser, hand in (
-                (s.grip_l, s.stick_l, s.laser_l_on_screen, "left"),
-                (s.grip_r, s.stick_r, s.laser_r_on_screen, "right")):
-            if (grip and laser and not (s.grip_l and s.grip_r)
-                    and not (_live(sx) or _live(sy))):
-                out.append(Action("drag_screen", hand=hand))
+        # Grip-to-move: latch each grip onto ONE target at close (keyboard
+        # beats screen; nothing hit stays unlatched and may catch next
+        # tick), then drag that target while the grip is held, its stick
+        # is idle, and both grips aren't chording
+        # (input_handler.py:1146-1175; the pose math itself lives in
+        # xr/geometry.py drag helpers)
+        for grip, (sx, sy), laser, kb_hover, hand in (
+                (s.grip_l, s.stick_l, s.laser_l_on_screen,
+                 s.keyboard_hover_l, "left"),
+                (s.grip_r, s.stick_r, s.laser_r_on_screen,
+                 s.keyboard_hover_r, "right")):
+            if not grip:
+                self._grip_target[hand] = None
+                continue
+            if self._grip_target[hand] is None:
+                if kb_hover:
+                    self._grip_target[hand] = "keyboard"
+                elif laser:
+                    self._grip_target[hand] = "screen"
+            target = self._grip_target[hand]
+            if (target is not None and not (s.grip_l and s.grip_r)
+                    and not (_live(sx) or _live(sy))
+                    and (laser or target == "keyboard")):
+                out.append(Action("drag_screen" if target == "screen"
+                                  else "drag_keyboard", hand=hand))
         return out

@@ -226,6 +226,33 @@ def test_drag_screen_conditions():
     assert "drag_screen" not in kinds(acts)
 
 
+def test_grip_target_latch_keyboard_priority():
+    """Grip latches onto ONE target at close — keyboard beats screen — and
+    keeps it until release (input_handler.py:1146-1160)."""
+    r, clk = make()
+    acts = tick(r, clk, grip_l=True, laser_l_on_screen=True,
+                keyboard_hover_l=True)
+    assert kinds(acts) == ["drag_keyboard"]
+    # hover lost mid-drag: the latch holds (no retarget to the screen)
+    acts = tick(r, clk, grip_l=True, laser_l_on_screen=True)
+    assert kinds(acts) == ["drag_keyboard"]
+    # release clears; regrip with laser only → screen
+    tick(r, clk)
+    acts = tick(r, clk, grip_l=True, laser_l_on_screen=True)
+    assert kinds(acts) == ["drag_screen"]
+
+
+def test_grip_screen_anchor_survives_laser_dropout():
+    """Laser transiently off the screen pauses the drag but keeps the
+    latch, so the grab resumes when it re-enters (input_handler.py:1173-1175)."""
+    r, clk = make()
+    tick(r, clk, grip_r=True, laser_r_on_screen=True)
+    acts = tick(r, clk, grip_r=True, laser_r_on_screen=False)
+    assert "drag_screen" not in kinds(acts)
+    acts = tick(r, clk, grip_r=True, laser_r_on_screen=True)
+    assert ("drag_screen", "right") in [(a.kind, a.hand) for a in acts]
+
+
 def test_seat_adjust_both_grips_hold():
     r, clk = make()
     tick(r, clk, grip_l=True, grip_r=True)
