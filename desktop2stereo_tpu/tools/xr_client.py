@@ -325,122 +325,65 @@ class CvPresenter:
         self._cv.destroyAllWindows()
 
 
-# GLSL port of the DIBR warp (the reference's viewer fragment shader role,
-# reference viewer.py:386-631): runs per eye on the workstation GPU so
-# warp rate is decoupled from the network frame rate.  u_roll rotates the
-# parallax direction with screen/head roll (reference u_roll,
-# viewer.py:399,544-556); the screen-edge alpha clip and rounded-corner
-# SDF match reference viewer.py:595-631.
-_DIBR_FRAG = """
-#version 330
-uniform sampler2D u_color;
-uniform sampler2D u_depth;
-uniform float u_eye_offset;     // ±ipd/2 (uv units)
-uniform float u_strength;
-uniform float u_convergence;
-uniform float u_roll;           // parallax-direction roll (radians)
-uniform float u_corner_radius;  // rounded-corner SDF radius (uv units)
-uniform vec2  u_texel;
-in vec2 v_uv;
-out vec4 f_color;
+# The DIBR warp shader + GL draw-list backend live in xr/gl_theater.py
+# (shared with the OpenXR swapchain path); the scene policy lives in
+# xr/theater.py.  `_DIBR_FRAG` stays as an alias for introspection.
+from desktop2stereo_tpu.xr.gl_theater import DIBR_FRAG as _DIBR_FRAG  # noqa: E402
 
-float smoothstep01(float x) { x = clamp(x, 0.0, 1.0); return x*x*(3.0-2.0*x); }
-float depth_at(vec2 uv) { return texture(u_depth, uv).r; }
 
-void main() {
-    float par = u_eye_offset > 0.0 ? 1.0 : -1.0;
-    vec2 pd = vec2(cos(u_roll), sin(u_roll));   // parallax direction
-    vec2 ds = pd * u_texel;                     // per-axis pixel steps
-    float d = depth_at(v_uv) * 0.7
-            + depth_at(v_uv - par * 1.5 * ds) * 0.15
-            + depth_at(v_uv + par * 1.5 * ds) * 0.15;
-    float depth_inv = -d;
-    float shaped = depth_inv * (1.0 + 0.35 * (1.0 - d));
-    float ef = smoothstep01(v_uv.x / 0.05) * smoothstep01((1.0 - v_uv.x) / 0.05);
-    float shift = u_eye_offset * (shaped + u_convergence) * u_strength * ef;
-    vec2 suv = v_uv - shift * pd;
-    vec3 color = texture(u_color, clamp(suv, 0.0, 1.0)).rgb;
+# Physical half-IPD for the theater camera separation (metres); the warp's
+# `ipd` CLI knob stays in UV units like the reference's shader uniform.
+_CAMERA_HALF_IPD_M = 0.032
+_THEATER_FOV_DEG = 75.0
 
-    float jump = abs(depth_at(v_uv - par * 2.0 * ds) - depth_at(v_uv + par * 2.0 * ds));
-    float conf = smoothstep01((jump - 0.04) / 0.06);
-    if (suv.x < 0.0 || suv.x > 1.0 || suv.y < 0.0 || suv.y > 1.0) conf = 1.0;
-
-    // directional background inpaint, forward sweep + fallback
-    // (sweep steps scale both axes by the X pixel size, like the
-    // reference's `g_par_dir * pixel_size.x`).  Sweep direction is
-    // eye-independent: the reference's g_par_dir x g_sweep_sign double
-    // sign-flip cancels to -(cos,sin) for both eyes.
-    vec3 acc = vec3(0.0); float wsum = 0.0;
-    vec2 sweep = -pd * u_texel.x;
-    for (int i = 1; i <= 12; ++i) {
-        vec2 o = v_uv + sweep * float(i);
-        float sdinv = 1.0 - depth_at(o);
-        if (sdinv > depth_inv + 0.012) {
-            float w = exp(-float(i) * 0.15) * (1.0 + (sdinv - depth_inv) * 10.0);
-            acc += texture(u_color, o).rgb * w;
-            wsum += w;
-            if (wsum > 5.0) break;
-        }
-    }
-    if (wsum < 2.0) {
-        // no early exit here: the reference's phase-2 fallback sweeps all
-        // taps unconditionally
-        for (int i = 1; i <= 12; ++i) {
-            vec2 o = v_uv - sweep * float(i);
-            float sdinv = 1.0 - depth_at(o);
-            if (sdinv > depth_inv + 0.012) {
-                float w = exp(-float(i) * 0.2);
-                acc += texture(u_color, o).rgb * w;
-                wsum += w;
-            }
-        }
-    }
-    vec3 filled = wsum > 0.01 ? acc / wsum : texture(u_color, v_uv).rgb;
-    vec3 rgb = mix(color, filled, conf);
-
-    // screen-edge alpha clip: sub-pixel fade band so parallax overshoot
-    // past the screen edge fades out instead of smearing (reference
-    // viewer.py:595-600)
-    vec2 border = smoothstep(vec2(-0.001), vec2(0.001), suv)
-                * smoothstep(vec2(1.001), vec2(0.999), suv);
-    float alpha = min(border.x, border.y);
-
-    // rounded corners via the rounded-box SDF on screen-space uv
-    // (reference viewer.py:617-628)
-    if (u_corner_radius > 0.0) {
-        vec2 q = abs(v_uv - 0.5) - 0.5 + u_corner_radius;
-        float sdf = length(max(q, vec2(0.0))) + min(max(q.x, q.y), 0.0)
-                  - u_corner_radius;
-        alpha = min(alpha, 1.0 - smoothstep(0.0, 0.01, sdf));
-    }
-    f_color = vec4(rgb * alpha, alpha);
+# keyboard → ui_state toggles (theater mode); mirrors the in-headset chords
+_THEATER_KEYS = {
+    "F": "fps_overlay", "H": "help_panel", "K": "keyboard", "G": "glow",
+    "P": "passthrough", "C": "curved", "O": "overlays_hidden",
 }
-"""
 
-_QUAD_VERT = """
-#version 330
-in vec2 in_pos;
-in vec2 in_uv;
-out vec2 v_uv;
-void main() { v_uv = in_uv; gl_Position = vec4(in_pos, 0.0, 1.0); }
-"""
+
+def _fullscreen_screen_item(dibr: dict) -> "DrawItem":
+    """NDC fullscreen quad running the DIBR warp (the classic two-viewport
+    mode, reference viewer.py:2551+) — identity view/proj."""
+    from desktop2stereo_tpu.xr.raster import DrawItem
+
+    verts = np.array([[-1, -1, 0], [1, -1, 0], [-1, 1, 0], [1, 1, 0]],
+                     np.float32)
+    uvs = np.array([[0, 1], [1, 1], [0, 0], [1, 0]], np.float32)
+    return DrawItem(kind="screen", verts=verts, uvs=uvs, mode="strip",
+                    depth_test=False, uniforms=dibr)
 
 
 class GlfwPresenter:
-    """moderngl + GLFW: per-eye DIBR in a fragment shader, two viewports
-    (the reference viewer's per-eye render, reference viewer.py:2551+)."""
+    """PyOpenGL + GLFW window.
+
+    Theater mode (default): the full virtual theater — environment room or
+    GLB scene, panorama, screen-in-a-room with the DIBR warp evaluated on
+    the screen mesh, glow/frost/overlay/keyboard quads and laser beams per
+    xr/theater.py (the reference's in-headset composition rendered to a
+    flat window, reference xr_viewer/implementation.py:1880-2045).  With
+    `theater=None` it renders the classic two-viewport fullscreen warp
+    (reference viewer.py:2551+).
+
+    Keys: q/ESC quit; in theater mode F fps panel, H help, K keyboard,
+    G glow, P passthrough, C curved screen, O hide overlays, B background
+    cycle."""
 
     gpu_warp = True
 
     def __init__(self, ipd: float, depth_strength: float, convergence: float,
                  size: Tuple[int, int] = (1280, 720),
                  title: str = "desktop2stereo XR client",
-                 roll: float = 0.0, corner_radius: float = 0.0):
+                 roll: float = 0.0, corner_radius: float = 0.0,
+                 theater=None):
         import glfw
-        import moderngl
+
+        from desktop2stereo_tpu.xr.gl_theater import TheaterGL
 
         self.roll = roll
         self.corner_radius = corner_radius
+        self.theater = theater
 
         if not glfw.init():
             raise RuntimeError("glfw.init failed")
@@ -453,49 +396,63 @@ class GlfwPresenter:
             glfw.terminate()
             raise RuntimeError("glfw window creation failed")
         glfw.make_context_current(self._win)
-        self.ctx = moderngl.create_context()
-        self.prog = self.ctx.program(vertex_shader=_QUAD_VERT,
-                                     fragment_shader=_DIBR_FRAG)
-        quad = np.array([-1, -1, 0, 1, 1, -1, 1, 1, -1, 1, 0, 0,
-                         1, -1, 1, 1, 1, 1, 1, 0, -1, 1, 0, 0],
-                        dtype=np.float32)
-        self.vbo = self.ctx.buffer(quad.tobytes())
-        self.vao = self.ctx.vertex_array(
-            self.prog, [(self.vbo, "2f 2f", "in_pos", "in_uv")])
+        self.gl = TheaterGL()
         self.params = (ipd, depth_strength, convergence)
-        self._tex_c = None
-        self._tex_d = None
+        self._fps_t = time.perf_counter()
+        self._fps_ema = 0.0
+        glfw.set_key_callback(self._win, self._on_key)
 
-    def _upload(self, rgb: np.ndarray, depth: Optional[np.ndarray]) -> None:
-        h, w = rgb.shape[:2]
-        if self._tex_c is None or self._tex_c.size != (w, h):
-            self._tex_c = self.ctx.texture((w, h), 3)
-            self._tex_d = self.ctx.texture((w, h), 1, dtype="f4")
-        self._tex_c.write(np.ascontiguousarray(rgb))
-        if depth is not None:
-            self._tex_d.write(np.ascontiguousarray(depth, np.float32))
+    def _on_key(self, _win, key, _scancode, action, _mods) -> None:
+        glfw = self._glfw
+        if action != glfw.PRESS:
+            return
+        if key in (glfw.KEY_Q, glfw.KEY_ESCAPE):
+            glfw.set_window_should_close(self._win, True)
+        if self.theater is None:
+            return
+        ui = self.theater.ui
+        name = glfw.get_key_name(key, 0)
+        toggle = _THEATER_KEYS.get((name or "").upper())
+        if toggle:
+            ui[toggle] = not ui[toggle]
+        elif (name or "").upper() == "B":
+            ui["background"] = (int(ui["background"]) + 1) % 6
 
     def push_packet(self, rgb: np.ndarray, depth: Optional[np.ndarray]) -> bool:
         glfw = self._glfw
         if glfw.window_should_close(self._win):
             return False
-        self._upload(rgb, depth)
-        fw, fh = glfw.get_framebuffer_size(self._win)
-        self.ctx.clear(0.0, 0.0, 0.0)
         ipd, strength, conv = self.params
-        self._tex_c.use(0)
-        self._tex_d.use(1)
-        self.prog["u_color"] = 0
-        self.prog["u_depth"] = 1
-        self.prog["u_strength"] = strength
-        self.prog["u_convergence"] = conv
-        self.prog["u_roll"] = self.roll
-        self.prog["u_corner_radius"] = self.corner_radius
-        self.prog["u_texel"] = (1.0 / rgb.shape[1], 1.0 / rgb.shape[0])
-        for eye, vp in ((-1, (0, 0, fw // 2, fh)), (+1, (fw // 2, 0, fw - fw // 2, fh))):
-            self.ctx.viewport = vp
-            self.prog["u_eye_offset"] = eye * ipd / 2
-            self.vao.render()
+        self.gl.set_frame(rgb, depth)
+        fw, fh = glfw.get_framebuffer_size(self._win)
+        now = time.perf_counter()
+        dt = max(now - self._fps_t, 1e-6)
+        self._fps_t = now
+        self._fps_ema = 0.9 * self._fps_ema + 0.1 / dt
+        th = self.theater
+        if th is not None:
+            th.set_stats(self._fps_ema, latency_ms=dt * 1000.0)
+            if abs(th.screen.width / max(th.screen.height, 1e-6)
+                   - rgb.shape[1] / rgb.shape[0]) > 1e-3:
+                th.set_aspect(rgb.shape[1] / rgb.shape[0])
+        from desktop2stereo_tpu.xr.raster import symmetric_proj, view_translate
+
+        ident = np.eye(4, np.float32)
+        for eye, vp in ((-1, (0, 0, fw // 2, fh)),
+                        (+1, (fw // 2, 0, fw - fw // 2, fh))):
+            dibr = {"eye_offset": eye * ipd / 2, "strength": strength,
+                    "convergence": conv, "roll": self.roll,
+                    "corner_radius": self.corner_radius}
+            if th is None:
+                self.gl.render(vp, (0.0, 0.0, 0.0),
+                               [_fullscreen_screen_item(dibr)], ident, ident)
+            else:
+                clear, items = th.frame_items(rgb, gpu=True, dibr=dibr)
+                view = view_translate(
+                    (eye * _CAMERA_HALF_IPD_M, th.origin_y, 0.0))
+                proj = symmetric_proj(
+                    _THEATER_FOV_DEG, max(vp[2], 1) / max(vp[3], 1))
+                self.gl.render(vp, clear, items, view, proj)
         glfw.swap_buffers(self._win)
         glfw.poll_events()
         return True
@@ -561,8 +518,9 @@ class OpenXRPresenter:
 
     def __init__(self, ipd: float, depth_strength: float, convergence: float,
                  runtime=None, wait_attempts: Optional[int] = None,
-                 corner_radius: float = 0.0):
+                 corner_radius: float = 0.0, theater=None):
         from desktop2stereo_tpu.xr.session import SessionManager, SessionPhase
+        from desktop2stereo_tpu.xr.theater import Theater
 
         self._SessionPhase = SessionPhase
         if runtime is None:
@@ -572,7 +530,11 @@ class OpenXRPresenter:
         self.strength = depth_strength
         self.convergence = convergence
         self.session = SessionManager(runtime)
-        self.screen = ScreenPose()
+        # the theater owns the virtual-screen pose, ui toggles, lasers and
+        # overlay state; runtimes that render (the real _PyOpenXRRuntime)
+        # read it duck-typed via `runtime.theater`
+        self.theater = theater if theater is not None else Theater()
+        runtime.theater = self.theater
         # in-headset control surface: runtimes that can sample controllers
         # (duck-typed `sample_controllers()`) feed the chord router each
         # frame; actions mutate the live stereo/geometry knobs below
@@ -583,20 +545,35 @@ class OpenXRPresenter:
         self._strength_stash: Optional[float] = None
         self._preset_idx = 0
         self._last_input_t = time.perf_counter()
-        # toggles consumed by overlay/effects layers (xr/overlay.py,
-        # xr/effects.py); tracked here so chords act on ONE state source
-        self.ui_state = {"fps_overlay": False, "help_panel": False,
-                         "keyboard": False, "glow": False,
-                         "passthrough": False, "overlays_hidden": False,
-                         "background": 0, "curved": False,
-                         "effect_transparency": 1.0}
+        # ui toggles live in the theater so chords change rendered pixels
+        # through ONE state source (xr/theater.py consumes them directly)
+        self.ui_state = self.theater.ui
         info = self.session.wait_for_device(
             should_stop=lambda: False, sleep=time.sleep,
             max_attempts=wait_attempts)
         if info is None:
             raise RuntimeError("no XR headset appeared (runtime probe)")
         self.session.bring_up()
+        # LOCAL reference space puts the origin at the head, not the floor;
+        # the theater shifts the environment accordingly
+        from desktop2stereo_tpu.xr.session import ReferenceSpace
+
+        self.theater.set_space(
+            "local" if self.session.space == ReferenceSpace.LOCAL
+            else "stage")
         self.frames_rendered = 0
+        self._fps_t = time.perf_counter()
+        self._fps_ema = 0.0
+
+    @property
+    def screen(self) -> ScreenPose:
+        """The virtual screen pose — owned by the theater (locked
+        environment layouts reject writes, reference environment.py)."""
+        return self.theater.screen
+
+    @screen.setter
+    def screen(self, pose: ScreenPose) -> None:
+        self.theater.set_screen(pose)
 
     def push_packet(self, rgb: np.ndarray, depth: Optional[np.ndarray]) -> bool:
         SP = self._SessionPhase
@@ -628,6 +605,11 @@ class OpenXRPresenter:
                     convergence=self.convergence, roll=roll)
             rendered = True
             self.frames_rendered += 1
+            now = time.perf_counter()
+            dt = max(now - self._fps_t, 1e-6)
+            self._fps_t = now
+            self._fps_ema = 0.9 * self._fps_ema + 0.1 / dt
+            self.theater.set_stats(self._fps_ema, latency_ms=dt * 1000.0)
         self.runtime.end_frame(display_time, rendered)
         return True
 
@@ -645,10 +627,49 @@ class OpenXRPresenter:
         now = time.perf_counter()
         dt = min(max(now - self._last_input_t, 0.0), 0.1)
         self._last_input_t = now
+        self._update_lasers(state)
         if state is None:
             return
         for act in self._chords.update(state):
             self._apply_action(act, dt)
+
+    def _update_lasers(self, state) -> None:
+        """Mirror the runtime's aim poses into the theater (beams +
+        controller models + keyboard hover) and enrich the chord state's
+        keyboard-hover flags (reference laser.py beam render +
+        input_handler.py ownership)."""
+        from desktop2stereo_tpu.xr.keyboard import hit_key
+        from desktop2stereo_tpu.xr.laser import ray_panel_hit, ray_screen_hit
+        from desktop2stereo_tpu.xr.theater import LaserBeam
+
+        th = self.theater
+        aims = getattr(self.runtime, "last_aim", None)
+        th.lasers = []
+        th.kb_hover = None
+        if not aims:
+            return
+        for hand, (origin, direction) in aims.items():
+            hit = ray_screen_hit(origin, direction, self.screen,
+                                 curved=bool(th.ui.get("curved")))
+            th.lasers.append(LaserBeam(
+                "left" if hand == "l" else "right",
+                np.asarray(origin), np.asarray(direction), hit=hit))
+            if th.ui.get("keyboard") and state is not None:
+                from dataclasses import replace as _replace
+
+                # the keyboard quad renders at head height (theater adds
+                # origin_y); hit-test the same world-space panel
+                panel = _replace(th.keyboard_panel,
+                                 pan_y=th.keyboard_panel.pan_y + th.origin_y)
+                ph = ray_panel_hit(origin, direction, panel)
+                if ph is not None:
+                    ki = hit_key(th.keys, ph[0], ph[1])
+                    if ki is not None:
+                        th.kb_hover = ki
+                        if hand == "l":
+                            state.keyboard_hover_l = True
+                        else:
+                            state.keyboard_hover_r = True
 
     def _apply_action(self, act, dt: float) -> None:
         from dataclasses import replace
@@ -659,9 +680,11 @@ class OpenXRPresenter:
             # reference: Right grip + Left stick Y, range 0–10
             self.strength = float(np.clip(self.strength + v * 2.0 * dt,
                                           0.0, 10.0))
+            self._osd_depth()
         elif k == "depth_ratio_fine":
             self.strength = float(np.clip(self.strength + v * 0.5 * dt,
                                           0.0, 10.0))
+            self._osd_depth()
         elif k == "reset_depth_scale":
             self.strength = 2.0  # the reference's fixed reset value
         elif k == "reset_depth_ratio":
@@ -698,6 +721,21 @@ class OpenXRPresenter:
         elif k == "cycle_screen_preset":
             self._preset_idx += 1
             self.screen = sc.with_preset(self._preset_idx)
+            from desktop2stereo_tpu.xr.geometry import SCREEN_PRESETS
+            from desktop2stereo_tpu.xr.overlay import preset_osd
+
+            i = self._preset_idx % len(SCREEN_PRESETS)
+            self.theater.show_osd(preset_osd(
+                SCREEN_PRESETS[i][0], i, len(SCREEN_PRESETS),
+                self.theater.lang))
+        elif k == "cycle_controller_brand":
+            from desktop2stereo_tpu.xr.controller_models import next_vendor
+            from desktop2stereo_tpu.xr.overlay import render_text_panel
+
+            self.theater.vendor = next_vendor(self.theater.vendor)
+            self.theater.show_osd(render_text_panel(
+                [f"Controller: {self.theater.vendor}"], width=300,
+                font_size=20))
         elif k == "toggle_screen_curve":
             self.ui_state["curved"] = not self.ui_state["curved"]
         elif k == "cycle_background":
@@ -724,20 +762,33 @@ class OpenXRPresenter:
         # mouse_scroll/arrow actions belong to the OS-input host shim
         # (xr/input_map.py consumers), not the presenter.
 
+    def _osd_depth(self) -> None:
+        """Depth-strength OSD, re-rendered only on visible change (the
+        reference throttles its PIL OSDs the same way)."""
+        q = round(self.strength, 1)
+        if q != getattr(self, "_osd_strength_q", None):
+            from desktop2stereo_tpu.xr.overlay import depth_osd
+
+            self._osd_strength_q = q
+            self.theater.show_osd(depth_osd(q, self.theater.lang))
+
     def close(self) -> None:
         self.session.tear_down()
 
 
 class _PyOpenXRRuntime:
-    """pyopenxr + moderngl adapter: implements BOTH the SessionManager's
+    """pyopenxr + PyOpenGL adapter: implements BOTH the SessionManager's
     RuntimeAdapter (probe/create/destroy/suggest) and the presenter's
     frame-loop interface against a real OpenXR runtime (SteamVR/Monado).
 
     Session bring-up mirrors the reference's sequence (reference
     xr_viewer/xr_session.py:117-226): instance with KHR_opengl_enable, HMD
     system, GL session binding from a hidden GLFW context, per-eye sRGB
-    swapchains at the recommended size; frames render the shared
-    `_DIBR_FRAG` warp into each acquired swapchain image.
+    swapchains at the recommended size.  Frames render the FULL virtual
+    theater (xr/theater.py draw lists — environment, screen DIBR warp,
+    effects, lasers, overlays; reference implementation.py:1880-2045) into
+    each acquired swapchain image via the xr/gl_theater.py backend, using
+    the located view's pose/fov matrices (reference render.py:981-1054).
     """
 
     def __init__(self, corner_radius: float = 0.0):
@@ -748,11 +799,10 @@ class _PyOpenXRRuntime:
                 "pyopenxr is not installed — `pip install pyopenxr` on the "
                 "workstation to use --present openxr") from e
         import glfw
-        import moderngl
 
         self._xr = xr
         self._glfw = glfw
-        self._moderngl = moderngl
+        self.theater = None        # set by OpenXRPresenter
         self.corner_radius = corner_radius
         self.instance = xr.create_instance(xr.InstanceCreateInfo(
             enabled_extension_names=[xr.KHR_OPENGL_ENABLE_EXTENSION_NAME],
@@ -808,7 +858,6 @@ class _PyOpenXRRuntime:
         glfw.window_hint(glfw.OPENGL_PROFILE, glfw.OPENGL_CORE_PROFILE)
         self._win = glfw.create_window(64, 64, "d2s-xr", None, None)
         glfw.make_context_current(self._win)
-        ctx = self._moderngl.create_context()
 
         # GL graphics requirements must be queried before session create
         xr.get_opengl_graphics_requirements_khr(self.instance, self.system_id)
@@ -840,22 +889,32 @@ class _PyOpenXRRuntime:
                 sc, xr.SwapchainImageOpenGLKHR)
             self.swapchains.append((sc, images, (spec.width, spec.height)))
 
-        self._init_gl(ctx)
+        self._init_gl()
         self._create_action_set()
         # xr.begin_session is NOT called here: the spec requires waiting
         # for the runtime's SESSION_STATE_READY event first (reference
         # xr_session.py:117-226 does the same) — poll_phase_events begins
         # the session when that event arrives.
 
-    def _init_gl(self, ctx) -> None:
-        prog = ctx.program(vertex_shader=_QUAD_VERT, fragment_shader=_DIBR_FRAG)
-        quad = np.array([-1, -1, 0, 1, 1, -1, 1, 1, -1, 1, 0, 0,
-                         1, -1, 1, 1, 1, 1, 1, 0, -1, 1, 0, 0],
-                        dtype=np.float32)
-        vbo = ctx.buffer(quad.tobytes())
-        vao = ctx.vertex_array(prog, [(vbo, "2f 2f", "in_pos", "in_uv")])
-        self._gl = {"ctx": ctx, "prog": prog, "vao": vao,
-                    "tex_c": None, "tex_d": None, "fbos": {}}
+    def _init_gl(self) -> None:
+        """Theater draw-list backend + per-(eye, image) FBO wrappers over
+        the swapchain textures (with shared depth renderbuffers — the
+        theater's room geometry needs z-testing, unlike the old bare
+        screen quad)."""
+        from OpenGL import GL
+
+        from desktop2stereo_tpu.xr.gl_theater import TheaterGL
+
+        backend = TheaterGL()
+        depth_rbs = {}
+        for eye, (_sc, _images, (w, h)) in enumerate(self.swapchains):
+            rb = GL.glGenRenderbuffers(1)
+            GL.glBindRenderbuffer(GL.GL_RENDERBUFFER, rb)
+            GL.glRenderbufferStorage(GL.GL_RENDERBUFFER,
+                                     GL.GL_DEPTH_COMPONENT24, w, h)
+            depth_rbs[eye] = rb
+        self._gl = {"backend": backend, "GL": GL, "fbos": {},
+                    "depth_rbs": depth_rbs, "frame_uploaded_seq": -1}
 
     def _create_action_set(self) -> None:
         """Action set for the chord router (xr/controls.py): one action per
@@ -987,6 +1046,7 @@ class _PyOpenXRRuntime:
             laser = {"l": False, "r": False}
             pose = getattr(self, "screen_pose", None)
             t = self._last_display_time
+            self.last_aim = {}
             if pose is not None and t is not None:
                 from desktop2stereo_tpu.xr.laser import ray_screen_hit
 
@@ -1000,6 +1060,9 @@ class _PyOpenXRRuntime:
                             origin = np.array([p.x, p.y, p.z], np.float64)
                             direction = _quat_forward(
                                 (o.x, o.y, o.z, o.w))
+                            # stashed for the presenter's beam/controller
+                            # rendering (theater lasers)
+                            self.last_aim[hand] = (origin, direction)
                             laser[hand] = ray_screen_hit(
                                 origin, direction, pose) is not None
                     except Exception:
@@ -1141,38 +1204,46 @@ class _PyOpenXRRuntime:
             timeout=xr.INFINITE_DURATION))
         try:
             gl = self._gl
-            ctx = gl["ctx"]
+            GL = gl["GL"]
+            backend = gl["backend"]
+            # frame textures are shared by both eyes: upload once per frame
+            if eye == 0 or gl["frame_uploaded_seq"] != id(rgb):
+                backend.set_frame(rgb, depth)
+                gl["frame_uploaded_seq"] = id(rgb)
             tex_id = images[idx].image
             fbo = gl["fbos"].get((eye, idx))
             if fbo is None:
-                fbo = ctx.external_framebuffer(
-                    color_attachments=[tex_id], size=(w, h)) \
-                    if hasattr(ctx, "external_framebuffer") else \
-                    ctx.framebuffer(color_attachments=[
-                        ctx.external_texture(tex_id, (w, h), 4, 0, "f1")])
+                fbo = GL.glGenFramebuffers(1)
+                GL.glBindFramebuffer(GL.GL_FRAMEBUFFER, fbo)
+                GL.glFramebufferTexture2D(
+                    GL.GL_FRAMEBUFFER, GL.GL_COLOR_ATTACHMENT0,
+                    GL.GL_TEXTURE_2D, tex_id, 0)
+                GL.glFramebufferRenderbuffer(
+                    GL.GL_FRAMEBUFFER, GL.GL_DEPTH_ATTACHMENT,
+                    GL.GL_RENDERBUFFER, gl["depth_rbs"][eye])
                 gl["fbos"][(eye, idx)] = fbo
-            hh, ww = rgb.shape[:2]
-            if gl["tex_c"] is None or gl["tex_c"].size != (ww, hh):
-                gl["tex_c"] = ctx.texture((ww, hh), 3)
-                gl["tex_d"] = ctx.texture((ww, hh), 1, dtype="f4")
-            gl["tex_c"].write(np.ascontiguousarray(rgb))
-            if depth is not None:
-                gl["tex_d"].write(np.ascontiguousarray(depth, np.float32))
-            fbo.use()
-            ctx.viewport = (0, 0, w, h)
-            ctx.clear(0.0, 0.0, 0.0, 0.0)
-            prog = gl["prog"]
-            gl["tex_c"].use(0)
-            gl["tex_d"].use(1)
-            prog["u_color"] = 0
-            prog["u_depth"] = 1
-            prog["u_eye_offset"] = eye_offset
-            prog["u_strength"] = strength
-            prog["u_convergence"] = convergence
-            prog["u_roll"] = roll
-            prog["u_corner_radius"] = self.corner_radius
-            prog["u_texel"] = (1.0 / ww, 1.0 / hh)
-            gl["vao"].render()
+            GL.glBindFramebuffer(GL.GL_FRAMEBUFFER, fbo)
+
+            dibr = {"eye_offset": eye_offset, "strength": strength,
+                    "convergence": convergence, "roll": roll,
+                    "corner_radius": self.corner_radius}
+            th = self.theater
+            if th is not None:
+                from desktop2stereo_tpu.xr.raster import (
+                    proj_from_fov, view_from_pose)
+
+                if abs(th.screen.width / max(th.screen.height, 1e-6)
+                       - rgb.shape[1] / rgb.shape[0]) > 1e-3:
+                    th.set_aspect(rgb.shape[1] / rgb.shape[0])
+                clear, items = th.frame_items(rgb, gpu=True, dibr=dibr)
+                vmat = view_from_pose(view.position, view.orientation)
+                pmat = proj_from_fov(view.fov)
+                backend.render((0, 0, w, h), clear, items, vmat, pmat)
+            else:
+                ident = np.eye(4, np.float32)
+                backend.render((0, 0, w, h), (0.0, 0.0, 0.0),
+                               [_fullscreen_screen_item(dibr)], ident, ident)
+            GL.glBindFramebuffer(GL.GL_FRAMEBUFFER, 0)
         finally:
             xr.release_swapchain_image(sc, xr.SwapchainImageReleaseInfo())
 
@@ -1198,6 +1269,27 @@ class _PyOpenXRRuntime:
             layers=layers))
 
 
+def theater_enabled(args, kind: str) -> bool:
+    """--theater auto: the GL/XR presenters default to the virtual theater
+    (screen-in-a-room, VERDICT's reference parity bar); the flat cv/png
+    presenters default to plain SBS output like the reference's 2D modes."""
+    mode = getattr(args, "theater", "auto")
+    if mode == "auto":
+        return kind in ("glfw", "openxr")
+    return mode == "on"
+
+
+def build_theater(args):
+    from desktop2stereo_tpu.xr.theater import Theater
+
+    th = Theater.from_env_dir(getattr(args, "env", None),
+                              lang=getattr(args, "lang", "EN"))
+    vendor = getattr(args, "vendor", None)
+    if vendor:
+        th.vendor = vendor
+    return th
+
+
 def make_presenter(kind: str, args) -> object:
     if kind == "auto":
         for cand in ("glfw", "cv", "png"):
@@ -1206,21 +1298,70 @@ def make_presenter(kind: str, args) -> object:
             except Exception:
                 continue
         raise SystemExit("no presenter available")
+    theater = build_theater(args) if theater_enabled(args, kind) else None
     if kind == "openxr":
         try:
             return OpenXRPresenter(args.ipd, args.depth_strength,
                                    args.convergence,
-                                   corner_radius=args.corner_radius)
+                                   corner_radius=args.corner_radius,
+                                   theater=theater)
         except RuntimeError as e:
             raise SystemExit(f"openxr presenter unavailable: {e}")
     if kind == "glfw":
         return GlfwPresenter(args.ipd, args.depth_strength, args.convergence,
-                             roll=args.roll, corner_radius=args.corner_radius)
+                             roll=args.roll, corner_radius=args.corner_radius,
+                             theater=theater)
     if kind == "cv":
         return CvPresenter()
     if kind == "png":
         return PngPresenter(args.out)
     raise SystemExit(f"unknown presenter {kind!r}")
+
+
+class SoftTheaterCompositor:
+    """CPU theater for the flat presenters (--theater on with cv/png):
+    per-eye numpy DIBR warp of the frame, then the full theater rendered
+    by the software rasterizer — the headless twin of the GL path, and
+    what the offline tests pin."""
+
+    def __init__(self, theater, ipd: float, depth_strength: float,
+                 convergence: float, eye_size: Tuple[int, int] = (480, 270),
+                 mode: str = "Full-SBS", roll: float = 0.0):
+        self.theater = theater
+        self.ipd = ipd
+        self.strength = depth_strength
+        self.convergence = convergence
+        self.eye_size = eye_size
+        self.mode = mode
+        self.roll = roll
+
+    def compose(self, rgb: np.ndarray,
+                depth: Optional[np.ndarray]) -> np.ndarray:
+        from desktop2stereo_tpu.xr.raster import (
+            render_items, symmetric_proj, view_translate)
+
+        th = self.theater
+        if abs(th.screen.width / max(th.screen.height, 1e-6)
+               - rgb.shape[1] / rgb.shape[0]) > 1e-3:
+            th.set_aspect(rgb.shape[1] / rgb.shape[0])
+        w, h = self.eye_size
+        if self.mode == "Half-SBS":
+            w = w // 2
+        proj = symmetric_proj(_THEATER_FOV_DEG, w / max(h, 1))
+        eyes = []
+        for eye in (-1, +1):
+            if depth is not None:
+                tex = np.clip(warp_eye(
+                    rgb.astype(np.float32), depth, eye * self.ipd / 2,
+                    self.strength, self.convergence, roll=self.roll) + 0.5,
+                    0, 255).astype(np.uint8)
+            else:
+                tex = rgb
+            clear, items = th.frame_items(tex)
+            view = view_translate(
+                (eye * _CAMERA_HALF_IPD_M, th.origin_y, 0.0))
+            eyes.append(render_items(w, h, clear, items, view, proj))
+        return np.concatenate(eyes, axis=1)
 
 
 # --------------------------------------------------------------------------
@@ -1293,6 +1434,18 @@ def run_client(args) -> int:
     if args.verbose and meta:
         print(f"[xr-client] server session config: {meta}")
     presenter = make_presenter(args.present, args)
+    # CPU theater for flat presenters (--theater on): software-rasterized
+    # room around the warped screen, the GL paths' headless twin
+    soft_theater = None
+    if (not getattr(presenter, "gpu_warp", False)
+            and theater_enabled(args, args.present)):
+        soft_theater = SoftTheaterCompositor(
+            build_theater(args), args.ipd, args.depth_strength,
+            args.convergence, eye_size=tuple(args.theater_size),
+            mode=args.mode, roll=args.roll)
+        for key in ("fps_overlay", "glow", "keyboard", "help_panel"):
+            if getattr(args, f"show_{key}", False):
+                soft_theater.theater.ui[key] = True
     # pose-noise smoothing for the latency OSD (reference OneEuro usage,
     # reference xr_viewer/input.py:474-530)
     lat_filter = OneEuroFilter(min_cutoff=0.5, beta=0.05)
@@ -1316,6 +1469,11 @@ def run_client(args) -> int:
             latency_ms = lat_filter(dt * 1000.0, dt)
             if getattr(presenter, "gpu_warp", False):
                 alive = presenter.push_packet(pkt.rgb, pkt.depth)
+            elif soft_theater is not None:
+                soft_theater.theater.set_stats(
+                    1000.0 / max(latency_ms, 1e-3), latency_ms=latency_ms)
+                alive = presenter.push(
+                    soft_theater.compose(pkt.rgb, pkt.depth))
             else:
                 sbs = render_stereo(pkt.rgb, pkt.depth, args.ipd,
                                     args.depth_strength, args.convergence,
@@ -1348,6 +1506,27 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--corner-radius", type=float, default=0.0,
                    help="rounded-corner SDF radius in UV units (GPU "
                         "presenters)")
+    p.add_argument("--theater", default="auto", choices=["auto", "on", "off"],
+                   help="virtual theater (environment + screen-in-a-room + "
+                        "effects/overlays): auto = on for glfw/openxr, off "
+                        "for cv/png")
+    p.add_argument("--env", default=None,
+                   help="environment folder (environment.glb + profile.json "
+                        "+ optional panorama, reference environments/ "
+                        "schema); default: generated dark room")
+    p.add_argument("--lang", default="EN", choices=["EN", "CN"],
+                   help="overlay/help-panel language")
+    p.add_argument("--vendor", default=None,
+                   help="controller model style: generic/quest/vive/index/"
+                        "pico/yvr/hp")
+    p.add_argument("--theater-size", type=int, nargs=2, default=(480, 270),
+                   metavar=("W", "H"),
+                   help="per-eye render size for the CPU theater (cv/png)")
+    for key in ("fps-overlay", "glow", "keyboard", "help-panel"):
+        p.add_argument(f"--show-{key}", action="store_true",
+                       dest=f"show_{key.replace('-', '_')}",
+                       help=f"start with the {key.replace('-', ' ')} visible "
+                            "(CPU theater)")
     p.add_argument("--mode", default="Full-SBS",
                    choices=["Full-SBS", "Half-SBS"])
     p.add_argument("--ipd", type=float, default=None,
