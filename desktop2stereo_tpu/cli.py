@@ -61,6 +61,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--depth-res", type=int, help="model input resolution")
     p.add_argument("--display-mode", help="Half-SBS/Full-SBS/.../Depth")
     p.add_argument("--port", type=int, help="MJPEG port")
+    p.add_argument("--xr-no-input", action="store_true",
+                   help="xr sink: refuse OS-input injection from headset "
+                        "clients (view-only host)")
     p.add_argument("--quality", default="high", choices=["high", "fast"],
                    help="stereo path: DIBR+inpaint vs grid-shift")
     p.add_argument("--checkpoint", help="safetensors path (else cache/random)")
@@ -323,6 +326,7 @@ def _sink_kwargs(kind: str, args, settings) -> dict:
         # advertise the settings-derived session config so workstation
         # clients at default flags render with the file's stereo params
         return {"port": args.port or 1123,
+                "inject_input": not getattr(args, "xr_no_input", False),
                 "meta": {
                     "ipd": settings.ipd,
                     "depth_strength": settings.depth_strength,

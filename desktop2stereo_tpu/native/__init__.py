@@ -130,6 +130,22 @@ def load() -> Optional[ctypes.CDLL]:
         lib.d2s_pace.restype = ctypes.c_uint32
         lib.d2s_pace.argtypes = [ctypes.POINTER(ctypes.c_uint64), ctypes.c_uint64]
 
+        lib.d2s_input_open.restype = ctypes.c_void_p
+        lib.d2s_input_open.argtypes = [ctypes.c_char_p]
+        lib.d2s_input_screen_size.argtypes = [
+            ctypes.c_void_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int)]
+        lib.d2s_input_move.restype = ctypes.c_int
+        lib.d2s_input_move.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                       ctypes.c_int]
+        lib.d2s_input_button.restype = ctypes.c_int
+        lib.d2s_input_button.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                         ctypes.c_int]
+        lib.d2s_input_key.restype = ctypes.c_int
+        lib.d2s_input_key.argtypes = [ctypes.c_void_p, ctypes.c_uint32,
+                                      ctypes.c_int]
+        lib.d2s_input_close.argtypes = [ctypes.c_void_p]
+
         _lib = lib
         return _lib
 

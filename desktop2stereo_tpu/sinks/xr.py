@@ -21,13 +21,30 @@ from desktop2stereo_tpu.xr.net import FrameNetServer
 
 class XrSink:
     def __init__(self, port: int = 1123, host: str = "0.0.0.0",
-                 meta: Optional[dict] = None):
+                 meta: Optional[dict] = None, inject_input: bool = True,
+                 injector=None):
         """`meta` is the settings-derived session config advertised to
         clients (ipd/depth_strength/convergence/environment/controller) —
-        see xr.net's meta query."""
+        see xr.net's meta query.
+
+        `inject_input` wires the protocol's input channel into an OS
+        injector (XTest) so headset clients drive THIS desktop — the
+        reference's in-headset control loop (reference
+        xr_viewer/input.py:121-390).  Headless hosts degrade to
+        frames-only; the url string says which."""
         self.frames = FrameServer()
-        self._net = FrameNetServer(self.frames, host=host, port=port,
-                                   meta=meta).start()
+        self.bridge = None
+        if injector is None and inject_input:
+            from desktop2stereo_tpu.xr.injector import make_injector
+
+            injector = make_injector()
+        if injector is not None:
+            from desktop2stereo_tpu.xr.injector import InputBridge
+
+            self.bridge = InputBridge(injector)
+        self._net = FrameNetServer(
+            self.frames, host=host, port=port, meta=meta,
+            on_input=self.bridge.handle if self.bridge else None).start()
         self.port = self._net.port
         self.host = host
 
@@ -40,7 +57,8 @@ class XrSink:
             import socket
 
             host = socket.gethostname()
-        return f"tcp://{host}:{self.port} (xr frame protocol)"
+        inp = "input: XTest" if self.bridge else "input: none (headless)"
+        return f"tcp://{host}:{self.port} (xr frame protocol, {inp})"
 
     def push(self, sbs_u8: np.ndarray, depth: Optional[np.ndarray],
              stats: dict) -> None:

@@ -518,7 +518,7 @@ class OpenXRPresenter:
 
     def __init__(self, ipd: float, depth_strength: float, convergence: float,
                  runtime=None, wait_attempts: Optional[int] = None,
-                 corner_radius: float = 0.0, theater=None):
+                 corner_radius: float = 0.0, theater=None, input_sink=None):
         from desktop2stereo_tpu.xr.session import SessionManager, SessionPhase
         from desktop2stereo_tpu.xr.theater import Theater
 
@@ -564,6 +564,13 @@ class OpenXRPresenter:
         self.frames_rendered = 0
         self._fps_t = time.perf_counter()
         self._fps_ema = 0.0
+        # OS-input loop: laser → cursor/click/scroll/keys shipped to the
+        # capture host (reference input_handler.py → input.py end-to-end)
+        self.input_sink = input_sink
+        self._input_router = None
+        self._hand_inputs = {}
+        self._axes = {"sx": 0.0, "sy": 0.0, "ax": 0.0, "ay": 0.0}
+        self._frame_size = (1920, 1080)
 
     @property
     def screen(self) -> ScreenPose:
@@ -587,6 +594,7 @@ class OpenXRPresenter:
         # mean the next packet renders fresh anyway
         if not getattr(self.runtime, "running", True):
             return True
+        self._frame_size = (rgb.shape[1], rgb.shape[0])
         self._route_controller_input()
         # OpenXR requires wait/begin/end every frame even when not visible
         display_time, render_hint = self.runtime.wait_frame()
@@ -630,31 +638,79 @@ class OpenXRPresenter:
         self._update_lasers(state)
         if state is None:
             return
+        self._axes = {"sx": 0.0, "sy": 0.0, "ax": 0.0, "ay": 0.0}
         for act in self._chords.update(state):
             self._apply_action(act, dt)
+        self._route_os_input(state, dt)
+
+    def _route_os_input(self, state, dt: float) -> None:
+        """Feed the per-hand ray/trigger state through the OS-input router
+        and ship the events to the capture host (the reference's
+        laser-drives-the-desktop loop, input_handler.py:31-2046)."""
+        if self.input_sink is None:
+            return
+        from desktop2stereo_tpu.xr.input_router import OsInputRouter
+
+        if self._input_router is None:
+            self._input_router = OsInputRouter(
+                self._frame_size, keyboard_state=self.theater.keyboard_state)
+        self._input_router.set_frame_size(*self._frame_size)
+        hands = dict(self._hand_inputs)
+        for hand, trig in (("left", state.trigger_l),
+                           ("right", state.trigger_r)):
+            if hand in hands:
+                hands[hand].trigger = float(trig)
+        events = self._input_router.update(
+            hands, scroll_xy=(self._axes["sx"], self._axes["sy"]),
+            arrow_xy=(self._axes["ax"], self._axes["ay"]), dt=dt)
+        # surface the pressed key in the keyboard texture
+        self.theater.kb_pressed = None
+        rs = self._input_router.state
+        if rs.pressed_vk is not None:
+            for i, key in enumerate(self.theater.keys):
+                if key.vk == rs.pressed_vk:
+                    self.theater.kb_pressed = i
+                    break
+            rs.pressed_vk = None
+        if events:
+            try:
+                self.input_sink(events)
+            except Exception:
+                pass  # input is best-effort; frames keep flowing
 
     def _update_lasers(self, state) -> None:
         """Mirror the runtime's aim poses into the theater (beams +
         controller models + keyboard hover) and enrich the chord state's
         keyboard-hover flags (reference laser.py beam render +
         input_handler.py ownership)."""
+        from desktop2stereo_tpu.xr.input_router import HandInput
         from desktop2stereo_tpu.xr.keyboard import hit_key
-        from desktop2stereo_tpu.xr.laser import ray_panel_hit, ray_screen_hit
+        from desktop2stereo_tpu.xr.laser import (ray_panel_hit, ray_plane_uv,
+                                                 ray_screen_hit)
         from desktop2stereo_tpu.xr.theater import LaserBeam
 
         th = self.theater
         aims = getattr(self.runtime, "last_aim", None)
         th.lasers = []
         th.kb_hover = None
+        self._hand_inputs = {}
         if not aims:
             return
         for hand, (origin, direction) in aims.items():
+            hand_name = "left" if hand == "l" else "right"
+            hi = HandInput()
             hit = ray_screen_hit(origin, direction, self.screen,
                                  curved=bool(th.ui.get("curved")))
             th.lasers.append(LaserBeam(
-                "left" if hand == "l" else "right",
-                np.asarray(origin), np.asarray(direction), hit=hit))
-            if th.ui.get("keyboard") and state is not None:
+                hand_name, np.asarray(origin), np.asarray(direction),
+                hit=hit))
+            if hit is not None:
+                hi.screen_uv = (hit.u, hit.v)
+                hi.screen_dist = hit.t
+            plane = ray_plane_uv(origin, direction, self.screen)
+            if plane is not None:
+                hi.plane_uv = (plane[0], plane[1])
+            if th.ui.get("keyboard"):
                 from dataclasses import replace as _replace
 
                 # the keyboard quad renders at head height (theater adds
@@ -666,10 +722,14 @@ class OpenXRPresenter:
                     ki = hit_key(th.keys, ph[0], ph[1])
                     if ki is not None:
                         th.kb_hover = ki
-                        if hand == "l":
-                            state.keyboard_hover_l = True
-                        else:
-                            state.keyboard_hover_r = True
+                        hi.kb_key = th.keys[ki]
+                        hi.kb_dist = ph[2]
+                        if state is not None:
+                            if hand == "l":
+                                state.keyboard_hover_l = True
+                            else:
+                                state.keyboard_hover_r = True
+            self._hand_inputs[hand_name] = hi
 
     def _apply_action(self, act, dt: float) -> None:
         from dataclasses import replace
@@ -756,11 +816,19 @@ class OpenXRPresenter:
         elif k == "toggle_all_overlays":
             self.ui_state["overlays_hidden"] = (
                 not self.ui_state["overlays_hidden"])
+        elif k == "mouse_scroll_x":
+            self._axes["sx"] = v
+        elif k == "mouse_scroll_y":
+            self._axes["sy"] = v
+        elif k == "arrow_x":
+            self._axes["ax"] = v
+        elif k == "arrow_y":
+            self._axes["ay"] = v
         # crop_mode / crop_adjust / calibration / seat_adjust keep their
-        # state inside the router; drag_screen needs the aim-pose ray and
-        # is applied by the runtime's grab helper (xr/geometry.py) —
-        # mouse_scroll/arrow actions belong to the OS-input host shim
-        # (xr/input_map.py consumers), not the presenter.
+        # state inside the chord router; drag_screen needs the aim-pose ray
+        # and is applied by the runtime's grab helper (xr/geometry.py).
+        # The stashed axes feed the OS-input router's scroll/arrow
+        # accumulators after chord routing (_route_os_input).
 
     def _osd_depth(self) -> None:
         """Depth-strength OSD, re-rendered only on visible change (the
@@ -1290,11 +1358,11 @@ def build_theater(args):
     return th
 
 
-def make_presenter(kind: str, args) -> object:
+def make_presenter(kind: str, args, input_sink=None) -> object:
     if kind == "auto":
         for cand in ("glfw", "cv", "png"):
             try:
-                return make_presenter(cand, args)
+                return make_presenter(cand, args, input_sink)
             except Exception:
                 continue
         raise SystemExit("no presenter available")
@@ -1304,7 +1372,7 @@ def make_presenter(kind: str, args) -> object:
             return OpenXRPresenter(args.ipd, args.depth_strength,
                                    args.convergence,
                                    corner_radius=args.corner_radius,
-                                   theater=theater)
+                                   theater=theater, input_sink=input_sink)
         except RuntimeError as e:
             raise SystemExit(f"openxr presenter unavailable: {e}")
     if kind == "glfw":
@@ -1433,7 +1501,12 @@ def run_client(args) -> int:
     adopt_server_meta(args, meta)
     if args.verbose and meta:
         print(f"[xr-client] server session config: {meta}")
-    presenter = make_presenter(args.present, args)
+    # laser → OS-input events ride the same connection back to the host
+    # (reference input.py:121-390's loop; inert in --test mode)
+    input_sink = getattr(client, "send_input", None)
+    if getattr(args, "no_input", False):
+        input_sink = None
+    presenter = make_presenter(args.present, args, input_sink)
     # CPU theater for flat presenters (--theater on): software-rasterized
     # room around the warped screen, the GL paths' headless twin
     soft_theater = None
@@ -1522,6 +1595,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--theater-size", type=int, nargs=2, default=(480, 270),
                    metavar=("W", "H"),
                    help="per-eye render size for the CPU theater (cv/png)")
+    p.add_argument("--no-input", action="store_true",
+                   help="don't send laser/keyboard OS-input events back to "
+                        "the capture host (view-only session)")
     for key in ("fps-overlay", "glow", "keyboard", "help-panel"):
         p.add_argument(f"--show-{key}", action="store_true",
                        dest=f"show_{key.replace('-', '_')}",

@@ -96,7 +96,9 @@ class OwnershipArbiter:
     bias: float = KB_CURSOR_PRIORITY_BIAS
     grace_s: float = KB_CURSOR_RELEASE_GRACE
     _kb_owned: bool = False
-    _kb_release_at: float = 0.0
+    # far in the past: a fresh arbiter must not start inside the grace
+    # window (callers pass their own monotonic clocks starting near 0)
+    _kb_release_at: float = -1e9
 
     def decide(self, kb_dist: Optional[float], screen_dist: Optional[float],
                now: Optional[float] = None) -> Optional[str]:

@@ -12,10 +12,18 @@ Wire format (little-endian u32 lengths):
     request : one JSON line  {"last_seen": int, "timeout": float,
                               "encoding": "raw" | "jpeg"}\n
               or the session-config query  {"meta": true}\n
+              or the input channel  {"input": [event, ...]}\n — the
+              client→host half of the reference's drive-the-desktop loop
+              (reference xr_viewer/input.py:121-390): events are handled
+              by the server's `on_input` callback (normally
+              xr/injector.py InputBridge → XTest) and acked with an empty
+              response {"ok": true}
     response: [u32 header_len][header JSON][u32 rgb_len][rgb bytes]
               [u32 depth_len][depth bytes]
     header  : {"seq", "timestamp", "h", "w", "encoding", "depth": bool,
-               "depth_encoding": "none" | "zu16"}
+               "depth_encoding": "none" | "zu16", "dh", "dw"}
+              (dh/dw are the depth map's own dims — depth usually rides at
+              model/capture resolution while rgb may be an SBS composite)
               (meta query: {"meta": {...}} with both payloads empty)
     rgb     : raw HxWx3 u8, or a JPEG (quality 90)
     depth   : zlib-compressed u16 quantization of [0,1] (÷65535), or absent
@@ -93,9 +101,12 @@ class FrameNetServer:
     """Serves a FrameServer over TCP; one thread per client."""
 
     def __init__(self, frames: FrameServer, host: str = "0.0.0.0",
-                 port: int = 1123, meta: Optional[dict] = None):
+                 port: int = 1123, meta: Optional[dict] = None,
+                 on_input=None):
         self.frames = frames
         self.meta = dict(meta or {})
+        self.on_input = on_input
+        self.inputs_received = 0
         outer = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -108,6 +119,20 @@ class FrameNetServer:
                         req = json.loads(line)
                     except json.JSONDecodeError:
                         return
+                    if isinstance(req.get("input"), list):
+                        events = req["input"]
+                        outer.inputs_received += len(events)
+                        ok = outer.on_input is not None
+                        if ok:
+                            try:
+                                outer.on_input(events)
+                            except Exception:
+                                ok = False
+                        header = json.dumps({"ok": ok}).encode()
+                        self.wfile.write(_U32.pack(len(header)) + header
+                                         + _U32.pack(0) + _U32.pack(0))
+                        self.wfile.flush()
+                        continue
                     if req.get("meta"):
                         header = json.dumps({"meta": outer.meta}).encode()
                         self.wfile.write(_U32.pack(len(header)) + header
@@ -138,13 +163,17 @@ class FrameNetServer:
             return _U32.pack(len(header)) + header + _U32.pack(0) + _U32.pack(0)
         rgb_b, used_enc = _encode_rgb(pkt.rgb, encoding)
         dep_b = _encode_depth(pkt.depth)
-        header = json.dumps({
+        hdr = {
             "seq": pkt.seq, "timestamp": pkt.timestamp,
             "h": int(pkt.rgb.shape[0]), "w": int(pkt.rgb.shape[1]),
             "encoding": used_enc,
             "depth": pkt.depth is not None,
             "depth_encoding": "zu16" if pkt.depth is not None else "none",
-        }).encode()
+        }
+        if pkt.depth is not None:
+            hdr["dh"] = int(pkt.depth.shape[0])
+            hdr["dw"] = int(pkt.depth.shape[1])
+        header = json.dumps(hdr).encode()
         return (_U32.pack(len(header)) + header
                 + _U32.pack(len(rgb_b)) + rgb_b
                 + _U32.pack(len(dep_b)) + dep_b)
@@ -184,6 +213,15 @@ class FrameNetClient:
         header, _, _ = self._roundtrip({"meta": True})
         return header.get("meta", {}) or {}
 
+    def send_input(self, events: list) -> bool:
+        """Ship OS-input events to the capture host (client→server half of
+        the reference's in-headset desktop control).  Returns the server's
+        ack — False when the host has no injector wired."""
+        if not events:
+            return True
+        header, _, _ = self._roundtrip({"input": list(events)})
+        return bool(header.get("ok"))
+
     def poll(self, timeout: float = 1.0) -> Optional[FramePacket]:
         """Newest frame newer than the last one seen, or None."""
         header, rgb_b, dep_b = self._roundtrip(
@@ -199,7 +237,8 @@ class FrameNetClient:
                                cv2.IMREAD_COLOR)[..., ::-1]
         else:
             rgb = np.frombuffer(rgb_b, np.uint8).reshape(h, w, 3)
-        depth = _decode_depth(dep_b, h, w)
+        depth = _decode_depth(dep_b, int(header.get("dh", h)),
+                              int(header.get("dw", w)))
         self.last_seen = int(header["seq"])
         return FramePacket(rgb, depth, self.last_seen,
                            float(header.get("timestamp", 0.0)))

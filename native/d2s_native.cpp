@@ -570,6 +570,132 @@ void d2s_x11_close(void* handle) {
 }
 
 // ---------------------------------------------------------------------------
+// OS input injection: XTest fake events (libXtst via dlopen)
+//
+// The Linux analog of the reference's SendInput/InjectTouchInput path
+// (reference xr_viewer/input.py:121-390): the XR client's laser cursor,
+// clicks, scroll ticks and virtual-keyboard presses arrive over the frame
+// protocol's input channel and are replayed into the X session that the
+// capture grabs — closing the drive-the-desktop-from-the-headset loop.
+// ---------------------------------------------------------------------------
+
+typedef int (*XTestQueryExtensionFn)(void*, int*, int*, int*, int*);
+typedef int (*XTestFakeMotionEventFn)(void*, int, int, int, unsigned long);
+typedef int (*XTestFakeButtonEventFn)(void*, unsigned int, int, unsigned long);
+typedef int (*XTestFakeKeyEventFn)(void*, unsigned int, int, unsigned long);
+typedef unsigned char (*XKeysymToKeycodeFn)(void*, unsigned long);
+typedef int (*XFlushFn)(void*);
+
+struct InputInj {
+  void* x11_lib;
+  void* xtst_lib;
+  void* dpy;
+  XTestFakeMotionEventFn motion;
+  XTestFakeButtonEventFn button;
+  XTestFakeKeyEventFn key;
+  XKeysymToKeycodeFn keysym_to_keycode;
+  XFlushFn flush;
+  XCloseDisplayFn close_display;
+  int screen_w, screen_h;
+};
+
+void* d2s_input_open(const char* display) {
+  void* x11 = dlopen("libX11.so.6", RTLD_LAZY | RTLD_LOCAL);
+  if (!x11) x11 = dlopen("libX11.so", RTLD_LAZY | RTLD_LOCAL);
+  if (!x11) return nullptr;
+  void* xtst = dlopen("libXtst.so.6", RTLD_LAZY | RTLD_LOCAL);
+  if (!xtst) xtst = dlopen("libXtst.so", RTLD_LAZY | RTLD_LOCAL);
+  if (!xtst) {
+    dlclose(x11);
+    return nullptr;
+  }
+  auto open_display = (XOpenDisplayFn)dlsym(x11, "XOpenDisplay");
+  auto query = (XTestQueryExtensionFn)dlsym(xtst, "XTestQueryExtension");
+  auto motion = (XTestFakeMotionEventFn)dlsym(xtst, "XTestFakeMotionEvent");
+  auto button = (XTestFakeButtonEventFn)dlsym(xtst, "XTestFakeButtonEvent");
+  auto key = (XTestFakeKeyEventFn)dlsym(xtst, "XTestFakeKeyEvent");
+  auto k2k = (XKeysymToKeycodeFn)dlsym(x11, "XKeysymToKeycode");
+  auto flush = (XFlushFn)dlsym(x11, "XFlush");
+  auto close_display = (XCloseDisplayFn)dlsym(x11, "XCloseDisplay");
+  auto default_screen = (XDefaultScreenFn)dlsym(x11, "XDefaultScreen");
+  auto disp_w = (XDisplayWidthFn)dlsym(x11, "XDisplayWidth");
+  auto disp_h = (XDisplayHeightFn)dlsym(x11, "XDisplayHeight");
+  if (!open_display || !query || !motion || !button || !key || !k2k ||
+      !flush || !close_display) {
+    dlclose(xtst);
+    dlclose(x11);
+    return nullptr;
+  }
+  void* dpy = open_display(display && display[0] ? display : nullptr);
+  if (!dpy) {
+    dlclose(xtst);
+    dlclose(x11);
+    return nullptr;
+  }
+  int ev, err, maj, min_;
+  if (!query(dpy, &ev, &err, &maj, &min_)) {
+    close_display(dpy);
+    dlclose(xtst);
+    dlclose(x11);
+    return nullptr;
+  }
+  InputInj* inj = new InputInj();
+  inj->x11_lib = x11;
+  inj->xtst_lib = xtst;
+  inj->dpy = dpy;
+  inj->motion = motion;
+  inj->button = button;
+  inj->key = key;
+  inj->keysym_to_keycode = k2k;
+  inj->flush = flush;
+  inj->close_display = close_display;
+  int scr = default_screen ? default_screen(dpy) : 0;
+  inj->screen_w = disp_w ? disp_w(dpy, scr) : 0;
+  inj->screen_h = disp_h ? disp_h(dpy, scr) : 0;
+  return inj;
+}
+
+void d2s_input_screen_size(void* handle, int* w, int* h) {
+  InputInj* inj = reinterpret_cast<InputInj*>(handle);
+  if (w) *w = inj->screen_w;
+  if (h) *h = inj->screen_h;
+}
+
+int d2s_input_move(void* handle, int x, int y) {
+  InputInj* inj = reinterpret_cast<InputInj*>(handle);
+  if (!inj->motion(inj->dpy, -1 /* current screen */, x, y, 0)) return -1;
+  inj->flush(inj->dpy);
+  return 0;
+}
+
+// button: 1 left, 2 middle, 3 right, 4/5 wheel up/down, 6/7 wheel left/right
+int d2s_input_button(void* handle, int button, int down) {
+  InputInj* inj = reinterpret_cast<InputInj*>(handle);
+  if (!inj->button(inj->dpy, (unsigned int)button, down ? 1 : 0, 0))
+    return -1;
+  inj->flush(inj->dpy);
+  return 0;
+}
+
+// keysym: X11 keysym (the Python shim maps the keyboard layer's VK codes)
+int d2s_input_key(void* handle, uint32_t keysym, int down) {
+  InputInj* inj = reinterpret_cast<InputInj*>(handle);
+  unsigned char code = inj->keysym_to_keycode(inj->dpy, (unsigned long)keysym);
+  if (code == 0) return -2;
+  if (!inj->key(inj->dpy, code, down ? 1 : 0, 0)) return -1;
+  inj->flush(inj->dpy);
+  return 0;
+}
+
+void d2s_input_close(void* handle) {
+  InputInj* inj = reinterpret_cast<InputInj*>(handle);
+  inj->close_display(inj->dpy);
+  dlclose(inj->xtst_lib);
+  dlclose(inj->x11_lib);
+  delete inj;
+}
+
+// ---------------------------------------------------------------------------
 // Frame pacer: drift-free absolute deadlines
 // ---------------------------------------------------------------------------
 

@@ -37,6 +37,23 @@ def test_raw_roundtrip_with_depth(served):
     c.close()
 
 
+def test_depth_rides_at_its_own_resolution(served):
+    """SBS rgb + model-res depth: the header must carry the depth map's own
+    dims (dh/dw) — depth is usually NOT at the composite frame's size."""
+    fs, srv = served
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 255, (48, 128, 3), np.uint8)   # SBS: double width
+    depth = rng.random((24, 32)).astype(np.float32)      # model res
+    fs.update_frame(rgb, depth)
+
+    c = FrameNetClient(port=srv.port, encoding="raw")
+    pkt = c.poll(timeout=2.0)
+    assert pkt is not None and pkt.rgb.shape == (48, 128, 3)
+    assert pkt.depth.shape == (24, 32)
+    np.testing.assert_allclose(pkt.depth, depth, atol=1.0 / 65535)
+    c.close()
+
+
 def test_jpeg_encoding_roundtrip(served):
     fs, srv = served
     rgb = np.full((32, 48, 3), 128, np.uint8)
