@@ -72,8 +72,7 @@ def stage_slopes(prog, frame, n1: int = 20, n2: int = 60,
     Stateless models only: a stateful model's carry is donated per call,
     so replaying one stage with a fixed state argument would reuse donated
     buffers."""
-    from desktop2stereo_tpu.pipeline.programs import init_state
-    from desktop2stereo_tpu.ops.normalize import process_frame_size
+    import jax.numpy as jnp
 
     if getattr(prog, "_stateful", False):
         return {"note": "stateful model: per-stage split skipped "
@@ -84,30 +83,40 @@ def stage_slopes(prog, frame, n1: int = 20, n2: int = 60,
     if stages is None or model_j is None:
         return {"note": "program has no staged split (eager/batched mode)"}
     params = getattr(prog._model_apply, "params", ())
-    oh, ow = process_frame_size(frame.shape[0], frame.shape[1],
-                                prog.cfg.output_height)
-    state = init_state(oh, ow)
 
     pre = stages[0]
     rgb_pre, model_in = pre(frame)
-    out = {"pre_ms": round(slope_ms(lambda f: pre(f)[1], frame,
+    out = {"pre_ms": round(slope_ms(lambda f: pre(f), frame,
                                     n1=n1, n2=n2, repeats=repeats), 3)}
-    raw, _ = model_j(params, model_in, state.model)
+    raw, _ = model_j(params, model_in, ())
+    # the EMA carry lives at MODEL res (== the raw depth's shape)
+    ema = jnp.full(raw.shape, jnp.nan, jnp.float32)
     out["model_ms"] = round(slope_ms(
-        lambda mi: model_j(params, mi, state.model)[0], model_in,
+        lambda mi: model_j(params, mi, ())[0], model_in,
         n1=n1, n2=n2, repeats=repeats), 3)
     if len(stages) == 2:  # fused Pallas stereo tail
         tail = stages[1]
         out["tail_ms"] = round(slope_ms(
-            lambda r: tail(r, state.ema_depth, rgb_pre)[0], raw,
+            lambda r: tail(r, ema, rgb_pre)[0], raw,
             n1=n1, n2=n2, repeats=repeats), 3)
     else:
         post, stereo = stages[1], stages[2]
-        depth = post(raw, state.ema_depth)
+        small = post(raw, ema)
         out["post_ms"] = round(slope_ms(
-            lambda r: post(r, state.ema_depth), raw,
+            lambda r: post(r, ema), raw,
             n1=n1, n2=n2, repeats=repeats), 3)
         out["stereo_ms"] = round(slope_ms(
-            lambda d: stereo(rgb_pre, d), depth,
+            lambda d: stereo(rgb_pre, d), small,
             n1=n1, n2=n2, repeats=repeats), 3)
+    # the whole chained step at the same methodology: the Amdahl table must
+    # reconcile — frame_ms ≈ chained_ms, residual = chained − Σ(stages) is
+    # the inter-program dispatch + state-plumbing cost, reported explicitly
+    from desktop2stereo_tpu.pipeline.programs import FrameState
+
+    st = FrameState(ema_depth=ema, model=())
+    out["chained_ms"] = round(slope_ms(
+        lambda f: step(f, st)[0], frame, n1=n1, n2=n2, repeats=repeats), 3)
+    parts = [v for k, v in out.items()
+             if k.endswith("_ms") and k != "chained_ms"]
+    out["residual_ms"] = round(out["chained_ms"] - sum(parts), 3)
     return out

@@ -163,6 +163,17 @@ def make_components(args, settings):
     compute_dtype = effective_compute_dtype(spec, policy.compute_dtype)
 
     cfg = ProgramConfig.from_settings(settings, quality=args.quality)
+    kinds = [k.strip() for k in args.sink.split(",") if k.strip()]
+    # Sink-negotiated depth output (decided BEFORE the programs compile):
+    # png saves full-res depth images; the XR frame server only forwards
+    # depth for the client's bilinear texture sampling — the full-res map
+    # is itself just the bilinear upsample of the model-res one (reference
+    # depth.py:1999-2004), so sending model res loses nothing and cuts the
+    # d2h + wire bytes ~30x; everyone else ignores depth entirely.
+    if "png" not in kinds:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, emit_depth="model")
     if getattr(args, "feather", False):
         import dataclasses
 
@@ -265,7 +276,6 @@ def make_components(args, settings):
         else:
             raise
 
-    kinds = [k.strip() for k in args.sink.split(",") if k.strip()]
     unknown = [k for k in kinds if k not in SINK_KINDS]
     if unknown or not kinds:
         raise SystemExit(

@@ -92,6 +92,13 @@ class FrameEngine:
         self.source = source
         self.program = program
         self.sink = sink
+        # Sink-negotiated depth: sinks that never read depth (null, mjpeg,
+        # rtmp, video, window-in-stereo-modes) advertise wants_depth=None
+        # and the engine skips the device→host depth fetch entirely — at 4K
+        # that is a full extra frame of d2h per frame saved.  Sinks that DO
+        # consume it get it fetched asynchronously alongside sbs (the same
+        # PBO-ring overlap, reference viewer.py:2504-2549).
+        self.wants_depth = bool(getattr(sink, "wants_depth", True))
         self.target_fps = target_fps
         self.shutdown = shutdown or threading.Event()
         self.raw_box = Mailbox()
@@ -148,12 +155,14 @@ class FrameEngine:
                 sbs, depth = self.program(dev_frame)        # async dispatch
                 # start the d2h copy the moment compute finishes so the
                 # np.asarray in _finish() only synchronizes (the PBO-ring
-                # readback overlap, reference viewer.py:2504-2549)
-                if hasattr(sbs, "copy_to_host_async"):
-                    try:
-                        sbs.copy_to_host_async()
-                    except Exception:
-                        pass
+                # readback overlap, reference viewer.py:2504-2549); depth
+                # rides the same async window iff the sink consumes it
+                for arr in (sbs, depth) if self.wants_depth else (sbs,):
+                    if hasattr(arr, "copy_to_host_async"):
+                        try:
+                            arr.copy_to_host_async()
+                        except Exception:
+                            pass
                 # One-frame software pipeline: finish frame N-1 while N runs.
                 if pending is not None:
                     self._finish(pending)
@@ -170,8 +179,11 @@ class FrameEngine:
     def _finish(self, pending) -> None:
         sbs, depth, t0, t1 = pending
         sbs_np = np.asarray(sbs)                            # blocks on device
+        # fetch depth only for sinks that consume it (copy already in
+        # flight from copy_to_host_async above — this just synchronizes)
+        depth_np = np.asarray(depth) if self.wants_depth else None
         self.latency.record("depth+compose", time.perf_counter() - t1)
-        self.out_box.put((sbs_np, depth, t0))
+        self.out_box.put((sbs_np, depth_np, t0))
         self.frames += 1
         self.fps.tick()
 

@@ -39,14 +39,32 @@ from desktop2stereo_tpu.ops.stereo import _on_tpu as _stereo_on_tpu
 class FrameState(NamedTuple):
     """Carried state across frames (donated into each step)."""
 
-    ema_depth: jax.Array  # [H, W] float32; NaN-filled before first frame
+    # EMA carry at MODEL resolution — the reference stabilizes depth BEFORE
+    # the resize back to frame res (reference depth.py:1981-2004), so the
+    # carry is the post-processed model-res depth, not the upsampled frame.
+    ema_depth: jax.Array  # [mh, mw] float32; NaN-filled before first frame
     model: Any = ()       # model-specific carry (e.g. VDA rolling caches)
 
 
 def init_state(height: int, width: int, model: Any = ()) -> FrameState:
+    """Fresh carry.  (height, width) should be the MODEL-res depth shape
+    (see `ema_shape`); a mismatched shape is tolerated — the step resets the
+    EMA on shape change exactly like the reference's DepthStabilizer
+    (reference depth.py:1865-1894) and carries the right shape from the
+    next frame on."""
     return FrameState(
         ema_depth=jnp.full((height, width), jnp.nan, jnp.float32), model=model
     )
+
+
+def ema_shape(cfg: "ProgramConfig", spec: Optional[ModelSpec],
+              frame_h: int, frame_w: int) -> Tuple[int, int]:
+    """Model-res depth shape (== the EMA carry shape) for a capture shape."""
+    spec = spec or get_spec(cfg.model_name)
+    if spec.square_only:
+        return cfg.depth_resolution, cfg.depth_resolution
+    oh, ow = process_frame_size(frame_h, frame_w, cfg.output_height)
+    return patch_aligned_size(oh, ow, cfg.depth_resolution, spec.patch_size)
 
 
 class StatefulModel(NamedTuple):
@@ -134,6 +152,13 @@ class ProgramConfig:
     # pad each eye to 16:9 before arrangement (the reference Streamer
     # path's FILL_16_9, depth.py:2175-2177 / main.py:1340)
     fill_16_9: bool = False
+    # which depth the step RETURNS to the host: "full" = upsampled to
+    # output res (the reference's resize-back, depth.py:1999-2004);
+    # "model" = the model-res post-processed depth (what sinks that merely
+    # forward depth — e.g. the XR frame server, whose client samples the
+    # depth texture bilinearly anyway — actually need; ~30x less d2h).
+    # Sinks advertise `wants_depth` and the CLI negotiates (sinks/).
+    emit_depth: str = "full"
 
     @classmethod
     def from_settings(cls, s: Settings, quality: str = "high") -> "ProgramConfig":
@@ -257,7 +282,10 @@ def _build_step(
         h0, w0 = frame_u8.shape[0], frame_u8.shape[1]
         oh, ow = process_frame_size(h0, w0, cfg.output_height)
         even = ow % 2 == 0 if cfg.display_mode == "Half-SBS" else oh % 2 == 0
-        if not (fused_stereo and even):
+        # ow == 3 would make the planar buffer [3, oh, 3] — indistinguishable
+        # from an HWC [3, ow, 3] frame downstream (_rgb_dims); degenerate
+        # widths take the generic HWC path instead
+        if not (fused_stereo and even and ow != 3):
             return _shared_preprocess(frame_u8)
 
         # Fused-stereo layout: go PLANAR [3,H,W] f32 straight from the u8
@@ -289,21 +317,45 @@ def _build_step(
         return raw_depth_b[0], new_model_state
 
     def post_stage(raw_depth: jax.Array, ema_prev: jax.Array):
-        oh, ow = ema_prev.shape
+        """Depth post + temporal EMA at MODEL resolution (the reference's
+        order: post_process_depth → DepthStabilizer → resize-back,
+        reference depth.py:1981-2004).  Returns the model-res depth — the
+        next frame's EMA carry; the upsample to output res lives in the
+        stereo/fused stage (it knows the output dims from rgb)."""
         depth = post_process_depth(
             raw_depth.astype(jnp.float32),
             metric=spec.metric,
             foreground_scale=cfg.foreground_scale,
             aa_strength=cfg.aa_strength,
         )
-        # resize depth to output res (reference depth.py:1999-2004)
-        depth = resize(depth[..., None], (oh, ow), mode="bilinear")[..., 0]
-        if cfg.temporal_smooth:
+        if cfg.temporal_smooth and ema_prev.shape == depth.shape:
             smoothed = ema_op(ema_prev, depth, cfg.ema_alpha)
             depth = jnp.where(jnp.isnan(ema_prev), depth, smoothed)
+        # shape mismatch (carry from another capture shape) → passthrough:
+        # the reference resets its stabilizer on shape change (depth.py:
+        # 1865-1894); the returned depth re-seeds the carry either way
         return depth
 
-    def stereo_stage(rgb: jax.Array, depth: jax.Array):
+    def _rgb_dims(rgb: jax.Array) -> Tuple[bool, int, int]:
+        """(is_planar, oh, ow).  Planar buffers are [3, oh, ow] and only
+        emitted with ow != 3 (preprocess gates degenerate widths to HWC),
+        so `last dim == 3` ⇔ HWC — no ambiguity."""
+        planar = rgb.shape[0] == 3 and rgb.shape[-1] != 3
+        if planar:
+            return True, rgb.shape[1], rgb.shape[2]
+        return False, rgb.shape[0], rgb.shape[1]
+
+    def upsample_depth(depth_small: jax.Array, oh: int, ow: int) -> jax.Array:
+        """Model-res → output-res (reference depth.py:1999-2004)."""
+        if depth_small.shape == (oh, ow):
+            return depth_small
+        return resize(depth_small[..., None], (oh, ow), mode="bilinear")[..., 0]
+
+    def stereo_stage(rgb: jax.Array, depth_small: jax.Array):
+        """Generic tail: upsample depth to output res, compose the display.
+        Returns (sbs_u8, depth_full) — the full-res depth rides along for
+        sinks that want it (emit_depth == "full")."""
+        depth = upsample_depth(depth_small, rgb.shape[0], rgb.shape[1])
         sbs = stereo_compose(
             rgb.astype(jnp.float32),
             depth,
@@ -315,7 +367,7 @@ def _build_step(
             feather=cfg.edge_feather,
             fill_16_9=cfg.fill_16_9,
         )
-        return jnp.clip(sbs + 0.5, 0.0, 255.0).astype(jnp.uint8)
+        return jnp.clip(sbs + 0.5, 0.0, 255.0).astype(jnp.uint8), depth
 
     def post_stereo_stage(raw_depth: jax.Array, ema_prev: jax.Array,
                           rgb_pre: jax.Array):
@@ -330,15 +382,14 @@ def _build_step(
         warping full-size and squeezing after (the disparity in output
         pixels is identical: for Half-SBS, shift·(W/2) here equals the
         squeezed shift·W of the full-width path; Half-TAB keeps full
-        width, so disparity is untouched)."""
-        depth = post_stage(raw_depth, ema_prev)
-        oh, ow = depth.shape
-        # exact-shape detection (a width-3 planar buffer would fool a
-        # "last dim != 3" sniff); ambiguity only at oh==ow==3, where the
-        # odd-dimension gate made preprocess emit HWC — so HWC wins it
-        planar = (rgb_pre.shape == (3, oh, ow)
-                  and rgb_pre.shape != (oh, ow, 3))
+        width, so disparity is untouched).
+
+        Returns (sbs_u8, depth_out, depth_small): depth_small is the next
+        EMA carry; depth_out is full-res or model-res per cfg.emit_depth."""
+        depth_small = post_stage(raw_depth, ema_prev)
+        planar, oh, ow = _rgb_dims(rgb_pre)
         if planar:
+            depth = upsample_depth(depth_small, oh, ow)
             from desktop2stereo_tpu.ops.pallas.dibr import (
                 dibr_render_pair_planar, pair_tiling)
 
@@ -386,16 +437,19 @@ def _build_step(
                     axis=1 if tab else 2,
                 ).transpose(1, 2, 0)
         else:  # odd halved axis etc. — generic path on HWC
-            sbs = stereo_stage(rgb_pre, depth)
-        return sbs, depth
+            sbs, depth = stereo_stage(rgb_pre, depth_small)
+        depth_out = depth if cfg.emit_depth == "full" else depth_small
+        return sbs, depth_out, depth_small
 
     if not jit:
         def step_eager(frame_u8: jax.Array, state: FrameState):
             rgb, model_in = preprocess(frame_u8)
             raw, mstate = model_stage(bound.params, model_in, state.model)
-            depth = post_stage(raw, state.ema_depth)
-            sbs = stereo_stage(rgb, depth)
-            return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+            depth_small = post_stage(raw, state.ema_depth)
+            sbs, depth = stereo_stage(rgb, depth_small)
+            depth_out = depth if cfg.emit_depth == "full" else depth_small
+            return sbs, depth_out, FrameState(ema_depth=depth_small,
+                                              model=mstate)
 
         return step_eager
 
@@ -443,17 +497,18 @@ def _build_step(
             def step(frame_u8: jax.Array, state: FrameState, fresh=None):
                 rgb_pre, model_in = pre_j(frame_u8)
                 raw, mstate = model_j(bound.params, model_in, state.model, fresh)
-                sbs, depth = tail_j(raw, state.ema_depth, rgb_pre)
-                return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+                sbs, depth, small = tail_j(raw, state.ema_depth, rgb_pre)
+                return sbs, depth, FrameState(ema_depth=small, model=mstate)
         else:
             pre_j, post_j, stereo_j = stages
 
             def step(frame_u8: jax.Array, state: FrameState, fresh=None):
                 rgb, model_in = pre_j(frame_u8)
                 raw, mstate = model_j(bound.params, model_in, state.model, fresh)
-                depth = post_j(raw, state.ema_depth)
-                sbs = stereo_j(rgb, depth)
-                return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+                small = post_j(raw, state.ema_depth)
+                sbs, depth = stereo_j(rgb, small)
+                out = depth if cfg.emit_depth == "full" else small
+                return sbs, out, FrameState(ema_depth=small, model=mstate)
         step.stages = stages  # share between first/step builds
         return step
 
@@ -485,12 +540,14 @@ def _build_step(
         # killing the stream.  Tail-only so the (donated-carry) model step
         # never re-runs for the same frame.
         def _generic_tail(raw_depth, ema_prev, rgb_pre):
-            depth = post_stage(raw_depth, ema_prev)
-            oh, ow = depth.shape
+            small = post_stage(raw_depth, ema_prev)
+            planar, oh, ow = _rgb_dims(rgb_pre)
             rgb = rgb_pre
-            if rgb.shape == (3, oh, ow) and rgb.shape != (oh, ow, 3):
+            if planar:
                 rgb = rgb.transpose(1, 2, 0)[:oh, :ow]  # planar → HWC
-            return stereo_stage(rgb, depth), depth
+            sbs, depth = stereo_stage(rgb, small)
+            out = depth if cfg.emit_depth == "full" else small
+            return sbs, out, small
 
         fallback = {}
 
@@ -500,23 +557,26 @@ def _build_step(
             tail = fallback.get("tail")
             if tail is None:
                 try:
-                    sbs, depth = post_stereo_j(raw, state.ema_depth, rgb_pre)
-                    return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+                    sbs, depth, small = post_stereo_j(raw, state.ema_depth,
+                                                      rgb_pre)
+                    return sbs, depth, FrameState(ema_depth=small,
+                                                  model=mstate)
                 except Exception as e:
                     print(f"[programs] fused stereo tail failed "
                           f"({type(e).__name__}); falling back to jnp tail")
                     tail = fallback["tail"] = hjit(_generic_tail)
-            sbs, depth = tail(raw, state.ema_depth, rgb_pre)
-            return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+            sbs, depth, small = tail(raw, state.ema_depth, rgb_pre)
+            return sbs, depth, FrameState(ema_depth=small, model=mstate)
     else:
         pre_j, post_j, stereo_j = stages
 
         def step(frame_u8: jax.Array, state: FrameState):
             rgb, model_in = pre_j(frame_u8)
             raw, mstate = model_j(bound.params, model_in, state.model)
-            depth = post_j(raw, state.ema_depth)
-            sbs = stereo_j(rgb, depth)
-            return sbs, depth, FrameState(ema_depth=depth, model=mstate)
+            small = post_j(raw, state.ema_depth)
+            sbs, depth = stereo_j(rgb, small)
+            out = depth if cfg.emit_depth == "full" else small
+            return sbs, out, FrameState(ema_depth=small, model=mstate)
 
     step.stages = stages  # share across first/stream builds
     step.model_j = model_j  # share across display-mode variants
@@ -537,6 +597,7 @@ class BatchedProgramCache:
     def __init__(self, cfg: ProgramConfig, model_apply, spec=None,
                  compute_dtype=jnp.bfloat16, num_streams: int = 2):
         self.cfg = cfg
+        self._spec = spec
         self.num_streams = num_streams
         self._step = build_frame_step(cfg, model_apply, spec, compute_dtype,
                                       batch=num_streams)
@@ -559,7 +620,8 @@ class BatchedProgramCache:
         key = (s, oh, ow)
         state = self._states.get(key)
         if state is None:
-            singles = [init_state(oh, ow) for _ in range(s)]
+            mh, mw = ema_shape(self.cfg, self._spec, h, w)
+            singles = [init_state(mh, mw) for _ in range(s)]
             state = jax.tree.map(lambda *xs: jnp.stack(xs), *singles)
             if self._first is not None:
                 # first-frame program builds the stacked model carry
@@ -740,7 +802,8 @@ class ProgramCache:
         key = (stream, oh, ow)
         state = self._states.get(key)
         if state is None:
-            sbs, depth, new_state = self._first(frame_u8, init_state(oh, ow))
+            fresh = init_state(*ema_shape(self.cfg, self._spec, h, w))
+            sbs, depth, new_state = self._first(frame_u8, fresh)
         else:
             sbs, depth, new_state = self._step(frame_u8, state)
         self._states[key] = new_state
@@ -766,9 +829,8 @@ class ProgramCache:
         model_j = getattr(step, "model_j", None)
         if stages is not None and model_j is not None and not self._stateful:
             # time each chained program's first call individually
-            oh, ow = process_frame_size(frame_shape[0], frame_shape[1],
-                                        self.cfg.output_height)
-            state = init_state(oh, ow)
+            state = init_state(*ema_shape(self.cfg, self._spec,
+                                          frame_shape[0], frame_shape[1]))
             params = getattr(self._model_apply, "params", ())
             t0 = _time.time()
             rgb_pre, model_in = stages[0](dummy)
@@ -789,10 +851,10 @@ class ProgramCache:
                     report["fused_tail_s"] = round(_time.time() - t0, 2)
                     report["fused_tail_error"] = True
             else:
-                depth = stages[1](raw, state.ema_depth)
+                small = stages[1](raw, state.ema_depth)
                 report["post_s"] = round(_time.time() - t0, 2)
                 t0 = _time.time()
-                stages[2](rgb_pre, depth)
+                stages[2](rgb_pre, small)
                 report["stereo_s"] = round(_time.time() - t0, 2)
         else:
             t0 = _time.time()

@@ -24,6 +24,9 @@ _PAGE = b"""<!doctype html><html><head><title>desktop2stereo-tpu</title>
 
 
 class MjpegSink:
+    # engine skips the device->host depth fetch for sinks that never read it
+    wants_depth = False
+
     def __init__(
         self,
         port: int = 1122,

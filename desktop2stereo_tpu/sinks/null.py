@@ -6,6 +6,9 @@ import numpy as np
 
 
 class NullSink:
+    # engine skips the device->host depth fetch for sinks that never read it
+    wants_depth = False
+
     def __init__(self) -> None:
         self.frames = 0
         self.last_shape = None

@@ -13,6 +13,8 @@ class PngSink:
         self.out_dir = out_dir
         self.every = max(1, every)
         self.save_depth = save_depth
+        # only pay the depth d2h when depth files were actually requested
+        self.wants_depth = bool(save_depth)
         self.limit = limit
         self.frames = 0
         self.written = 0

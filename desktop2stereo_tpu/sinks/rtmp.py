@@ -37,6 +37,9 @@ def detect_audio_source() -> Optional[List[str]]:
 
 
 class RtmpSink:
+    # engine skips the device->host depth fetch for sinks that never read it
+    wants_depth = False
+
     def __init__(
         self,
         url: str,

@@ -20,6 +20,11 @@ class TeeSink:
         self.sinks = list(sinks)
 
     @property
+    def wants_depth(self) -> bool:
+        # the engine must fetch depth iff any member consumes it
+        return any(getattr(s, "wants_depth", True) for s in self.sinks)
+
+    @property
     def url(self) -> Optional[str]:
         urls = [s.url for s in self.sinks if getattr(s, "url", None)]
         return " + ".join(urls) if urls else None

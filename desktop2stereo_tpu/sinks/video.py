@@ -6,6 +6,9 @@ import numpy as np
 
 
 class VideoSink:
+    # engine skips the device->host depth fetch for sinks that never read it
+    wants_depth = False
+
     def __init__(self, path: str, fps: float = 30.0, codec: str = "mp4v") -> None:
         self.path = path
         self.fps = fps

@@ -28,6 +28,9 @@ from desktop2stereo_tpu.sinks.mjpeg import MjpegSink
 class StereoWindow:
     """Headless stand-in with the reference StereoWindow's surface
     (reference viewer.py:2359 update_frame, 2551 render)."""
+    # engine skips the device->host depth fetch for sinks that never read it
+    wants_depth = False
+
 
     def __init__(
         self,

@@ -59,6 +59,9 @@ _KEYS_ENTER = frozenset({10, 13, 65293, 65421})  # LF/CR, GTK Return/KP_Enter
 
 
 class WindowSink:
+    # engine skips the device->host depth fetch for sinks that never read it
+    wants_depth = False
+
     def __init__(self, title: str = "desktop2stereo (TPU)",
                  screenshot_dir: str = ".", keep_aspect: bool = False,
                  fill_16_9: bool = False):

@@ -20,6 +20,9 @@ from desktop2stereo_tpu.xr.net import FrameNetServer
 
 
 class XrSink:
+    # consumes depth: the engine fetches it asynchronously alongside sbs
+    wants_depth = True
+
     def __init__(self, port: int = 1123, host: str = "0.0.0.0",
                  meta: Optional[dict] = None, inject_input: bool = True,
                  injector=None):

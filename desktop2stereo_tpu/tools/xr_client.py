@@ -143,6 +143,29 @@ def _smoothstep(x: np.ndarray) -> np.ndarray:
     return x * x * (3.0 - 2.0 * x)
 
 
+def _resize_bilinear(img: np.ndarray, H: int, W: int) -> np.ndarray:
+    """half-pixel-centered bilinear resize (torch F.interpolate
+    align_corners=False semantics — the GL sampler's filtering of a
+    model-res depth texture, reference frame.py:44-57)."""
+    h, w = img.shape[:2]
+    if (h, w) == (H, W):
+        return img
+    ys = (np.arange(H, dtype=np.float32) + 0.5) * (h / H) - 0.5
+    xs = (np.arange(W, dtype=np.float32) + 0.5) * (w / W) - 0.5
+    y0 = np.clip(np.floor(ys).astype(np.int64), 0, h - 1)
+    x0 = np.clip(np.floor(xs).astype(np.int64), 0, w - 1)
+    y1 = np.minimum(y0 + 1, h - 1)
+    x1 = np.minimum(x0 + 1, w - 1)
+    fy = np.clip(ys - y0, 0.0, 1.0)[:, None]
+    fx = np.clip(xs - x0, 0.0, 1.0)[None, :]
+    a = img[np.ix_(y0, x0)]
+    b = img[np.ix_(y0, x1)]
+    c = img[np.ix_(y1, x0)]
+    d = img[np.ix_(y1, x1)]
+    return ((a * (1 - fx) + b * fx) * (1 - fy)
+            + (c * (1 - fx) + d * fx) * fy)
+
+
 def warp_eye(
     rgb: np.ndarray,            # [H,W,3] f32 0..255
     depth: np.ndarray,          # [H,W] f32 in [0,1] (1 = near)
@@ -162,6 +185,11 @@ def warp_eye(
 
     H, W, _ = rgb.shape
     depth = depth.astype(np.float32)
+    if depth.shape != (H, W):
+        # the server ships MODEL-res depth (its bilinear upsample IS the
+        # full-res map — sinks/xr.py); sample it at frame res like the GL
+        # depth texture would be
+        depth = _resize_bilinear(depth, H, W)
     rgb = rgb.astype(np.float32)
     par_sign = 1.0 if eye_offset > 0 else -1.0
     cos_t, sin_t = math.cos(roll), math.sin(roll)

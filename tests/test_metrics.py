@@ -87,13 +87,22 @@ def test_projected_pcie_fps_math():
     h2d = 2160 * 3840 * 4
     d2h = 2160 * 3840 * 3
     p = bench.project_pcie_fps(83.0, h2d, d2h)
-    xfer_s = (h2d + d2h) / 16e9
-    assert abs(p["projected_pcie_xfer_ms"] - xfer_s * 1000) < 0.01
-    serial = 1.0 / (1.0 / 83.0 + xfer_s)
+    # serial floor on a FULL-DUPLEX link: up and down ride separate lane
+    # directions, so the charged transfer is the slower direction alone
+    duplex_s = max(h2d, d2h) / 16e9
+    assert abs(p["projected_pcie_xfer_ms"] - duplex_s * 1000) < 0.01
+    serial = 1.0 / (1.0 / 83.0 + duplex_s)
     assert abs(p["pipeline_fps_projected_pcie"] - serial) < 0.01
+    # the half-duplex floor (r03-comparable) charges the sum
+    halfd = 1.0 / (1.0 / 83.0 + (h2d + d2h) / 16e9)
+    assert abs(p["pipeline_fps_projected_pcie_halfduplex"] - halfd) < 0.01
+    assert p["pipeline_fps_projected_pcie_halfduplex"] < p[
+        "pipeline_fps_projected_pcie"]
     # overlapped: compute-bound here (12 ms > 3.6 ms) → the device rate
     assert abs(p["pipeline_fps_projected_pcie_overlapped"] - 83.0) < 0.01
     assert p["projected_pcie_bytes_per_frame"] == h2d + d2h
+    assert p["projected_pcie_h2d_bytes"] == h2d
+    assert p["projected_pcie_d2h_bytes"] == d2h
     # transfer-bound regime: huge frames flip the overlapped bound
     p2 = bench.project_pcie_fps(1000.0, int(16e9), 0)
     assert abs(p2["pipeline_fps_projected_pcie_overlapped"] - 1.0) < 1e-6

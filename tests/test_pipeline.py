@@ -572,3 +572,91 @@ def test_warmup_degrades_when_fused_tail_fails(monkeypatch):
     # and the cache still serves frames through the fallback tail
     sbs, depth = cache(jnp.zeros((64, 96, 4), jnp.uint8))
     assert sbs.shape[-1] == 3 and depth.ndim == 2
+
+
+def test_ema_carry_lives_at_model_res():
+    """The EMA carry is the MODEL-res post-processed depth (the reference
+    stabilizes before the resize-back, reference depth.py:1981-2004), and
+    ema_shape() predicts its shape."""
+    from desktop2stereo_tpu.pipeline.programs import ema_shape
+
+    cfg = make_cfg()
+    step = build_frame_step(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    frame = jnp.zeros((144, 256, 4), jnp.uint8)
+    mh, mw = ema_shape(cfg, None, 144, 256)
+    _, depth, state = step(frame, init_state(mh, mw))
+    assert state.ema_depth.shape == (mh, mw)
+    assert depth.shape == (72, 128)  # emitted depth still full-res by default
+    # a mismatched carry shape resets instead of crashing (the reference's
+    # DepthStabilizer shape-change reset, depth.py:1865-1894)
+    _, depth2, state2 = step(frame, init_state(72, 128))
+    assert state2.ema_depth.shape == (mh, mw)
+    np.testing.assert_allclose(np.asarray(depth2), np.asarray(depth),
+                               atol=1e-6)
+
+
+def test_emit_depth_model_returns_model_res():
+    """emit_depth='model' returns the model-res depth whose bilinear
+    upsample IS the full-res map (zero information lost; what the XR sink
+    ships)."""
+    from desktop2stereo_tpu.ops.resize import resize as _resize
+
+    frame = jnp.asarray(
+        np.random.default_rng(3).integers(0, 255, (144, 256, 4), np.uint8))
+    full_step = build_frame_step(make_cfg(), fake_model_apply,
+                                 compute_dtype=jnp.float32)
+    model_step = build_frame_step(make_cfg(emit_depth="model"),
+                                  fake_model_apply,
+                                  compute_dtype=jnp.float32)
+    _, d_full, st = full_step(frame, init_state(72, 128))
+    _, d_model, st2 = model_step(frame, init_state(72, 128))
+    assert d_model.shape == st2.ema_depth.shape
+    up = _resize(d_model[..., None], (72, 128), mode="bilinear")[..., 0]
+    np.testing.assert_allclose(np.asarray(up), np.asarray(d_full),
+                               atol=1e-5, rtol=1e-5)
+
+
+class _RecordingSink:
+    def __init__(self, wants_depth: bool):
+        self.wants_depth = wants_depth
+        self.depths = []
+
+    def push(self, sbs_u8, depth, stats) -> None:
+        self.depths.append(depth)
+
+    def close(self) -> None:
+        pass
+
+
+@pytest.mark.parametrize("wants", [False, True])
+def test_engine_sink_negotiated_depth(wants):
+    """The engine fetches depth iff the sink consumes it — sinks that
+    ignore depth must receive None (no d2h paid for it)."""
+    cfg = make_cfg()
+    program = ProgramCache(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    program.warmup((144, 256, 4))
+    source = SyntheticSource(size=(144, 256), max_frames=6)
+    sink = _RecordingSink(wants_depth=wants)
+    engine = FrameEngine(source, program, sink, target_fps=0.0)
+    engine.run(duration=30.0)
+    assert sink.depths, "sink never received a frame"
+    if wants:
+        assert all(d is not None for d in sink.depths)
+        assert all(isinstance(d, np.ndarray) for d in sink.depths)
+    else:
+        assert all(d is None for d in sink.depths)
+
+
+def test_sink_wants_depth_declarations():
+    """Depth consumers declare wants_depth; everyone else opts out (the
+    engine skips a full extra frame of d2h per frame for them)."""
+    from desktop2stereo_tpu.sinks.null import NullSink
+    from desktop2stereo_tpu.sinks.png import PngSink
+    from desktop2stereo_tpu.sinks.tee import TeeSink
+
+    assert NullSink.wants_depth is False
+    assert PngSink("/tmp/d2s_wd_test", save_depth=False).wants_depth is False
+    assert PngSink("/tmp/d2s_wd_test", save_depth=True).wants_depth is True
+    tee = TeeSink([NullSink(), PngSink("/tmp/d2s_wd_test", save_depth=True)])
+    assert tee.wants_depth is True
+    assert TeeSink([NullSink()]).wants_depth is False
