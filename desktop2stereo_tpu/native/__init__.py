@@ -118,6 +118,9 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_uint64, ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
             ctypes.POINTER(ctypes.c_int)]
+        lib.d2s_x11_list_windows.restype = ctypes.c_uint32
+        lib.d2s_x11_list_windows.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_uint32]
         lib.d2s_x11_cursor.restype = ctypes.c_int
         lib.d2s_x11_cursor.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint32,
@@ -247,6 +250,23 @@ class X11Capture:
         (the reference's window-title mode, reference capture.py:39-247)."""
         return int(self._lib.d2s_x11_find_window(
             self._h, title_substr.encode()))
+
+    def list_windows(self) -> "list[str]":
+        """Titles of viewable top-level windows (_NET_CLIENT_LIST, tree-walk
+        fallback) — the capture dropdown's source, like the reference GUI's
+        window list (reference gui.py:376-470)."""
+        buf = ctypes.create_string_buffer(64 * 1024)
+        n = self._lib.d2s_x11_list_windows(self._h, buf, len(buf))
+        if not n:
+            return []
+        titles = buf.value.decode("utf-8", "replace").split("\n")
+        # de-dup, preserve order (apps keep same-titled auxiliaries)
+        seen, out = set(), []
+        for t in titles:
+            if t and t not in seen:
+                seen.add(t)
+                out.append(t)
+        return out
 
     def window_rect(self, window: int) -> Optional[Tuple[int, int, int, int]]:
         """(x, y, w, h) of a window in root coordinates, or None."""

@@ -104,82 +104,253 @@ class WorkerManager:
         return proc.poll() is not None
 
 
+# Model-family / size parsing (the reference GUI's two-dropdown picker,
+# reference gui.py:376-414 parse_model_name / build_family_size_map).
+_MODEL_SIZES = ["Small", "SmallPlus", "Base", "Large", "Giant"]
+_SIZE_ORDER = {s: i for i, s in enumerate(_MODEL_SIZES)}
+
+
+def parse_model_name(name: str):
+    """'Depth-Anything-V2-Small' → ('Depth-Anything-V2', 'Small'); trailing
+    size tokens (possibly several, e.g. '...-Small-Plus') join the size."""
+    parts = name.split("-")
+    i = len(parts) - 1
+    size_parts = []
+    while i >= 0:
+        matched = next((sz for sz in _MODEL_SIZES
+                        if parts[i].upper() == sz.upper()), None)
+        if not matched:
+            break
+        size_parts.insert(0, matched)
+        i -= 1
+    if size_parts:
+        return "-".join(parts[: i + 1]), "-".join(size_parts)
+    return name, ""
+
+
+def build_family_size_map(model_names):
+    """(families_ordered, {family: [sizes]}, {(family,size|''): full_name})"""
+    families, fam_sizes, full = [], {}, {}
+    for name in model_names:
+        fam, size = parse_model_name(name)
+        if fam not in fam_sizes:
+            fam_sizes[fam] = []
+            families.append(fam)
+        if size and size not in fam_sizes[fam]:
+            fam_sizes[fam].append(size)
+        full[(fam, size)] = name
+    for fam in fam_sizes:
+        fam_sizes[fam].sort(key=lambda s: _SIZE_ORDER.get(s.split("-")[0], 99))
+    return families, fam_sizes, full
+
+
+def worker_stats_from_log(path: str = LOG_PATH) -> dict:
+    """Live stats from the worker's rolling log: the last
+    '[d2s] fps=12.3 (1%low=11.0) dropped=4 capture=...' status line
+    (cli.py --stats-every output) parsed into numbers — the panel's
+    equivalent of the reference GUI's live title-bar feed."""
+    import re
+
+    try:
+        with open(path, "rb") as f:
+            f.seek(0, 2)
+            f.seek(max(0, f.tell() - 8192))
+            tail = f.read().decode("utf-8", "replace")
+    except OSError:
+        return {}
+    stats: dict = {}
+    for line in reversed(tail.splitlines()):
+        m = re.search(r"fps=([\d.]+) \(1%low=([\d.]+)\) dropped=(\d+)(.*)",
+                      line)
+        if m:
+            stats = {"fps": float(m.group(1)), "fps_1pct_low": float(m.group(2)),
+                     "dropped": int(m.group(3))}
+            for k, v in re.findall(r"(\w[\w+-]*)=([\d.]+)ms", m.group(4)):
+                stats.setdefault("latency_ms", {})[k] = float(v)
+            break
+    return stats
+
+
 # Bilingual labels, the reference GUI's EN/中文 toggle (reference
 # gui.py:570-604 keeps a translation dict and re-renders on switch).
 _L10N = {
     "en": {
-        "model": "Depth Model", "depth_res": "Depth Resolution",
+        "model": "Depth Model", "size": "Model Size",
+        "depth_res": "Depth Resolution",
         "out_res": "Output Resolution", "mode": "Display Mode",
-        "strength": "Depth Strength", "ipd": "IPD",
-        "source": "Source", "window": "Window Title", "cursor": "Cursor",
+        "strength": "Depth Strength", "ipd": "IPD (m)",
+        "convergence": "Convergence", "aa": "Anti-aliasing (0-5)",
+        "fg": "Foreground Scale (0-10)", "smooth": "Temporal Smoothing",
+        "fps": "Capture FPS", "device": "Computing Device",
+        "monitor": "Input Monitor",
+        "source": "Source", "window": "Input Window", "cursor": "Cursor",
         "sink": "Sink", "audio": "Audio (rtmp)", "quant": "Quantization",
-        "run": "Run", "stop": "Stop", "running": "running pid ",
+        "port": "Port", "out": "Output Path", "input": "Input Path",
+        "refresh": "Refresh", "run": "Run", "stop": "Stop",
+        "running": "running pid ",
         "stopped": "stopped", "lang_link": "中文",
     },
     "zh": {
-        "model": "深度模型", "depth_res": "深度分辨率",
+        "model": "深度模型", "size": "模型规格",
+        "depth_res": "深度分辨率",
         "out_res": "输出分辨率", "mode": "显示模式",
-        "strength": "深度强度", "ipd": "瞳距",
-        "source": "输入源", "window": "窗口标题", "cursor": "光标",
+        "strength": "深度强度", "ipd": "瞳距 (米)",
+        "convergence": "会聚", "aa": "抗锯齿 (0-5)",
+        "fg": "前景缩放 (0-10)", "smooth": "时域平滑",
+        "fps": "采集帧率", "device": "计算设备",
+        "monitor": "输入显示器",
+        "source": "输入源", "window": "输入窗口", "cursor": "光标",
         "sink": "输出", "audio": "音频 (rtmp)", "quant": "量化",
-        "run": "运行", "stop": "停止", "running": "运行中 pid ",
+        "port": "端口", "out": "输出路径", "input": "输入路径",
+        "refresh": "刷新", "run": "运行", "stop": "停止",
+        "running": "运行中 pid ",
         "stopped": "已停止", "lang_link": "English",
     },
 }
 
 
+def _enumerate_host(lang: str) -> dict:
+    """Host facts for the dropdowns: devices, monitors, windows (the
+    reference GUI's get_devices/monitor/window enumeration,
+    reference gui.py:376-470, 785-825)."""
+    devices = [("auto", "auto"), ("tpu", "TPU"), ("cpu", "CPU")]
+    try:
+        from desktop2stereo_tpu.core.display import list_monitors
+
+        monitors = [(i, f"{i}: {name} {w}x{h}+{x}+{y}")
+                    for i, (name, x, y, w, h) in enumerate(list_monitors())]
+    except Exception:
+        monitors = []
+    try:
+        from desktop2stereo_tpu.sources.screen import list_windows
+
+        windows = list_windows()[:64]
+    except Exception:
+        windows = []
+    return {"devices": devices, "monitors": monitors, "windows": windows}
+
+
 def _form_page(settings: Settings, lang: str = "en") -> bytes:
-    model_opts = "".join(
-        f'<option {"selected" if n == settings.model else ""}>{n}</option>'
-        for n in sorted(MODEL_REGISTRY)
-    )
+    import html as _html
+    import json as _json
+
+    families, fam_sizes, full_names = build_family_size_map(
+        sorted(MODEL_REGISTRY))
+    cur_fam, cur_size = parse_model_name(settings.model)
+    fam_opts = "".join(
+        f'<option {"selected" if f == cur_fam else ""}>{_html.escape(f)}</option>'
+        for f in families)
     mode_opts = "".join(
         f'<option {"selected" if m == settings.display_mode else ""}>{m}</option>'
         for m in DISPLAY_MODES
     )
+    host = _enumerate_host(lang)
+    mon_opts = '<option value="">auto</option>' + "".join(
+        f'<option value="{i}">{_html.escape(label)}</option>'
+        for i, label in host["monitors"])
+    win_opts = "".join(
+        f'<option value="{_html.escape(t, quote=True)}">'
+        for t in host["windows"])
+    dev_opts = "".join(f'<option value="{v}">{label}</option>'
+                       for v, label in host["devices"])
     # per-model resolution menus (reference settings.yaml:5-314) for the
     # client-side dropdown swap when the model changes
-    import json as _json
-
     res_menus = _json.dumps({
         n: list(s.resolutions) for n, s in MODEL_REGISTRY.items()
         if s.resolutions
     })
+    fam_map = _json.dumps(fam_sizes)
+    name_map = _json.dumps({f"{f}|{s}": n
+                            for (f, s), n in full_names.items()})
     # normalize BEFORE any interpolation: `lang` is user-controlled query
     # input and is echoed into HTML attributes below
     lang = "zh" if lang == "zh" else "en"
     L = _L10N[lang]
     other = "en" if lang == "zh" else "zh"
+    smooth_sel = "checked" if settings.temporal_smooth else ""
     html = f"""<!doctype html><html><head><meta charset="utf-8">
 <title>desktop2stereo-tpu control</title>
 <style>body{{font-family:sans-serif;background:#111;color:#eee;max-width:640px;margin:2em auto}}
-label{{display:block;margin:.6em 0 .2em}}select,input{{width:100%;padding:.3em;background:#222;color:#eee;border:1px solid #444}}
+label{{display:block;margin:.6em 0 .2em}}select,input{{width:100%;padding:.3em;background:#222;color:#eee;border:1px solid #444;box-sizing:border-box}}
 button{{margin-top:1em;padding:.5em 2em}}#log{{white-space:pre-wrap;font-family:monospace;font-size:11px;background:#000;padding:1em;max-height:280px;overflow:auto}}
-#lang{{float:right;color:#8cf}}</style>
+#lang{{float:right;color:#8cf}}#stats{{font-family:monospace;color:#8f8}}
+.row2{{display:flex;gap:.6em}}.row2>div{{flex:1}}
+input[type=checkbox]{{width:auto}}</style>
 </head><body>
 <a id="lang" href="/?lang={other}">{L['lang_link']}</a>
 <h2>desktop2stereo-tpu</h2>
 <form method="post" action="/start?lang={lang}">
-<label>{L['model']}</label><select name="model" id="model" onchange="syncRes()">{model_opts}</select>
+<div class="row2"><div>
+<label>{L['model']}</label><select id="family" onchange="syncSizes()">{fam_opts}</select>
+</div><div>
+<label>{L['size']}</label><select id="msize" onchange="syncModel()"></select>
+</div></div>
+<input type="hidden" name="model" id="model" value="{_html.escape(settings.model, quote=True)}">
+<div class="row2"><div>
 <label>{L['depth_res']}</label><select name="depth_resolution" id="depth_resolution">
 <option>{settings.depth_resolution}</option></select>
+</div><div>
 <label>{L['out_res']}</label><input name="output_resolution" value="{settings.output_resolution}">
+</div></div>
 <label>{L['mode']}</label><select name="display_mode">{mode_opts}</select>
+<div class="row2"><div>
 <label>{L['strength']}</label><input name="depth_strength" value="{settings.depth_strength}">
+</div><div>
 <label>{L['ipd']}</label><input name="ipd" value="{settings.ipd}">
-<label>{L['source']}</label><select name="source"><option>synthetic</option><option>screen</option><option>video</option><option>image</option></select>
-<label>{L['window']}</label><input name="window_title" placeholder="(whole screen)">
-<label>{L['cursor']}</label><select name="cursor"><option value="on">on</option><option value="off">off</option></select>
-<label>{L['sink']}</label><select name="sink"><option>mjpeg</option><option>window</option><option>png</option><option>video</option><option>null</option><option>rtmp</option><option>xr</option></select>
-<label>{L['audio']}</label><select name="audio"><option>auto</option><option>none</option></select>
+</div><div>
+<label>{L['convergence']}</label><input name="convergence" value="{settings.convergence}">
+</div></div>
+<div class="row2"><div>
+<label>{L['aa']}</label><input name="anti_aliasing" value="{settings.anti_aliasing}">
+</div><div>
+<label>{L['fg']}</label><input name="foreground_scale_10" value="{settings.foreground_scale_10}">
+</div><div>
+<label>{L['fps']}</label><input name="fps" value="{settings.fps}">
+</div></div>
+<label><input type="checkbox" name="temporal_smooth" {smooth_sel}> {L['smooth']}</label>
+<label>{L['device']}</label><select name="device">{dev_opts}</select>
+<label>{L['source']}</label><select name="source" id="source" onchange="syncRows()"><option>screen</option><option>shm</option><option>synthetic</option><option>video</option><option>image</option></select>
+<div id="row_monitor"><label>{L['monitor']}</label><select name="monitor">{mon_opts}</select></div>
+<div id="row_window"><label>{L['window']} <a href="#" onclick="refreshWindows();return false">({L['refresh']})</a></label>
+<input name="window_title" id="window_title" list="winlist" placeholder="(whole screen)">
+<datalist id="winlist">{win_opts}</datalist></div>
+<div id="row_cursor"><label>{L['cursor']}</label><select name="cursor"><option value="on">on</option><option value="off">off</option></select></div>
+<div id="row_input"><label>{L['input']}</label><input name="input" placeholder="/path/to/file"></div>
+<label>{L['sink']}</label><select name="sink" id="sink" onchange="syncRows()"><option>mjpeg</option><option>window</option><option>png</option><option>video</option><option>null</option><option>rtmp</option><option>xr</option><option>xr,mjpeg</option></select>
+<div id="row_port"><label>{L['port']}</label><input name="port" placeholder="(default)"></div>
+<div id="row_out"><label>{L['out']}</label><input name="out" placeholder="out"></div>
+<div id="row_audio"><label>{L['audio']}</label><select name="audio"><option>auto</option><option>none</option></select></div>
 <label>{L['quant']}</label><select name="quant"><option value="none">none (bf16)</option><option value="int8">int8</option></select>
 <button type="submit">{L['run']}</button>
 </form>
 <form method="post" action="/stop?lang={lang}"><button type="submit">{L['stop']}</button></form>
-<p id="status"></p><div id="log"></div>
+<p id="status"></p><p id="stats"></p><div id="log"></div>
 <script>
 const RES_MENUS = {res_menus};
+const FAM_SIZES = {fam_map};
+const FULL_NAMES = {name_map};
 const RUNNING = {json.dumps(L['running'])}, STOPPED = {json.dumps(L['stopped'])};
+const CUR_SIZE = {_json.dumps(cur_size)};
+function syncSizes(){{
+ const fam=document.getElementById('family').value;
+ const sizes=FAM_SIZES[fam]||[];
+ const sel=document.getElementById('msize');
+ const cur=sel.value||CUR_SIZE;
+ if(sizes.length){{
+  sel.innerHTML=sizes.map(s=>`<option ${{s===cur?'selected':''}}>${{s}}</option>`).join('');
+  sel.disabled=false;
+  if(!sizes.includes(cur)) sel.value=sizes[0];
+ }} else {{ sel.innerHTML='<option>-</option>'; sel.disabled=true; }}
+ syncModel();
+}}
+function syncModel(){{
+ const fam=document.getElementById('family').value;
+ const sel=document.getElementById('msize');
+ const size=sel.disabled?'':sel.value;
+ const name=FULL_NAMES[fam+'|'+size]||FULL_NAMES[fam+'|']||fam;
+ document.getElementById('model').value=name;
+ syncRes();
+}}
 function syncRes(){{
  const model=document.getElementById('model').value;
  const sel=document.getElementById('depth_resolution');
@@ -193,12 +364,36 @@ function syncRes(){{
   sel.value=near;
  }}
 }}
+function show(id,on){{document.getElementById(id).style.display=on?'':'none'}}
+function syncRows(){{
+ // per-mode row visibility (the reference GUI hides irrelevant rows per
+ // run mode, reference gui.py per-mode visibility logic)
+ const src=document.getElementById('source').value;
+ const sink=document.getElementById('sink').value;
+ show('row_monitor', src==='screen');
+ show('row_window', src==='screen');
+ show('row_cursor', src==='screen');
+ show('row_input', src==='video'||src==='image'||src==='shm');
+ show('row_audio', sink.includes('rtmp'));
+ show('row_port', sink.includes('mjpeg')||sink.includes('xr')||sink.includes('rtmp'));
+ show('row_out', sink.includes('png')||sink.includes('video'));
+}}
+async function refreshWindows(){{
+ const names=await (await fetch('/windows')).json();
+ document.getElementById('winlist').innerHTML=
+   names.map(n=>`<option value="${{n.replace(/"/g,'&quot;')}}">`).join('');
+}}
 async function tick(){{
  const s=await (await fetch('/status')).json();
  document.getElementById('status').textContent=s.running?(RUNNING+s.pid):STOPPED;
+ const w=s.stats||{{}};
+ document.getElementById('stats').textContent=
+   w.fps!==undefined?`fps ${{w.fps}}  1%low ${{w.fps_1pct_low}}  dropped ${{w.dropped}}`+
+   (w.latency_ms?('  '+Object.entries(w.latency_ms).map(([k,v])=>`${{k}} ${{v}}ms`).join('  ')):''):'';
  document.getElementById('log').textContent=await (await fetch('/logs')).text();
+ const el=document.getElementById('log'); el.scrollTop=el.scrollHeight;
 }}
-setInterval(tick, 2000); tick(); syncRes();
+setInterval(tick, 2000); tick(); syncSizes(); syncRows();
 </script></body></html>"""
     return html.encode()
 
@@ -232,8 +427,19 @@ def serve(port: int = 8700, settings_path: str = "settings.yaml",
                 body = json.dumps({
                     "running": manager.running,
                     "pid": manager.proc.pid if manager.running else None,
+                    "stats": worker_stats_from_log() if manager.running
+                    else {},
                 }).encode()
                 self._send(200, body, "application/json")
+            elif self.path == "/windows":
+                try:
+                    from desktop2stereo_tpu.sources.screen import list_windows
+
+                    names = list_windows()[:64]
+                except Exception:
+                    names = []
+                self._send(200, json.dumps(names).encode(),
+                           "application/json")
             elif self.path == "/logs":
                 try:
                     with open(LOG_PATH, "rb") as f:
@@ -270,12 +476,29 @@ def serve(port: int = 8700, settings_path: str = "settings.yaml",
                     display_mode=val("display_mode", base.display_mode),
                     depth_strength=float(val("depth_strength", base.depth_strength)),
                     ipd=float(val("ipd", base.ipd)),
+                    convergence=float(val("convergence", base.convergence)),
+                    anti_aliasing=float(val("anti_aliasing", base.anti_aliasing)),
+                    foreground_scale_10=float(
+                        val("foreground_scale_10", base.foreground_scale_10)),
+                    fps=float(val("fps", base.fps)),
+                    # unchecked checkboxes are absent from the form post
+                    temporal_smooth="temporal_smooth" in fields,
                 )
                 extra = []
                 if val("window_title", ""):
                     extra += ["--window-title", val("window_title", "")]
                 if val("cursor", "on") == "off":
                     extra += ["--no-cursor"]
+                if val("monitor", ""):
+                    extra += ["--monitor", val("monitor", "")]
+                if val("input", ""):
+                    extra += ["--input", val("input", "")]
+                if val("port", ""):
+                    extra += ["--port", val("port", "")]
+                if val("out", ""):
+                    extra += ["--out", val("out", "")]
+                if val("device", "auto") != "auto":
+                    extra += ["--device", val("device", "auto")]
                 if val("audio", "auto") != "auto":
                     extra += ["--audio", val("audio", "auto")]
                 if val("quant", "none") != "none":

@@ -221,3 +221,19 @@ class ScreenSource:
             self._native.close()
         if self._sct is not None:
             self._sct.close()
+
+
+def list_windows(display: str = "") -> "list[str]":
+    """Viewable top-level window titles for the control panel's capture
+    dropdown (reference GUI window list, reference gui.py:376-470); [] on
+    headless hosts or when the native shim is unavailable."""
+    try:
+        from desktop2stereo_tpu.native import X11Capture
+
+        cap = X11Capture(display)
+        try:
+            return cap.list_windows()
+        finally:
+            cap.close()
+    except Exception:
+        return []

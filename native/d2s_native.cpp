@@ -486,6 +486,97 @@ int d2s_x11_window_rect(void* handle, uint64_t window, int* x, int* y,
   return 0;
 }
 
+// Window-title enumeration for the control panel's capture dropdown (the
+// reference GUI's window list, reference gui.py:376-470).  Prefers the
+// window manager's _NET_CLIENT_LIST (top-level app windows only, in
+// stacking order); falls back to a viewable-named-window tree walk on WMs
+// without EWMH.  Writes titles separated by '\n' (NUL-terminated) into
+// `out`; returns the number of titles written.
+static void append_title(X11Cap* cap, unsigned long win,
+                         unsigned long net_wm_name, unsigned long utf8,
+                         char* out, uint32_t cap_bytes, uint32_t* used,
+                         uint32_t* count) {
+  if (!window_viewable(cap, win)) return;
+  unsigned char* prop_title = nullptr;  // _NET_WM_NAME (UTF-8)
+  char* fetched = nullptr;              // legacy WM_NAME
+  const char* title = nullptr;
+  if (cap->get_property && net_wm_name) {
+    unsigned long type = 0, nitems = 0, after = 0;
+    int fmt = 0;
+    if (cap->get_property(cap->dpy, win, net_wm_name, 0, 1024, 0, utf8,
+                          &type, &fmt, &nitems, &after, &prop_title) != 0)
+      prop_title = nullptr;
+    if (prop_title && prop_title[0])
+      title = reinterpret_cast<char*>(prop_title);
+  }
+  if (!title && cap->fetch_name &&
+      cap->fetch_name(cap->dpy, win, &fetched) && fetched && fetched[0])
+    title = fetched;
+  if (title) {
+    size_t len = strlen(title);
+    if (len > 512) len = 512;
+    if (*used + len + 2 < cap_bytes) {
+      if (*count) out[(*used)++] = '\n';
+      memcpy(out + *used, title, len);
+      *used += static_cast<uint32_t>(len);
+      out[*used] = 0;
+      (*count)++;
+    }
+  }
+  if (prop_title) cap->x_free(prop_title);
+  if (fetched) cap->x_free(fetched);
+}
+
+static void list_windows_rec(X11Cap* cap, unsigned long win,
+                             unsigned long net_wm_name, unsigned long utf8,
+                             char* out, uint32_t cap_bytes, uint32_t* used,
+                             uint32_t* count, int depth) {
+  if (depth > 12) return;
+  append_title(cap, win, net_wm_name, utf8, out, cap_bytes, used, count);
+  if (!cap->query_tree) return;
+  unsigned long root = 0, parent = 0;
+  unsigned long* children = nullptr;
+  unsigned int n = 0;
+  if (!cap->query_tree(cap->dpy, win, &root, &parent, &children, &n)) return;
+  for (unsigned int i = 0; i < n; ++i)
+    list_windows_rec(cap, children[i], net_wm_name, utf8, out, cap_bytes,
+                     used, count, depth + 1);
+  if (children) cap->x_free(children);
+}
+
+uint32_t d2s_x11_list_windows(void* handle, char* out, uint32_t cap_bytes) {
+  X11Cap* cap = reinterpret_cast<X11Cap*>(handle);
+  if (!out || cap_bytes < 2 || !cap->x_free) return 0;
+  out[0] = 0;
+  uint32_t used = 0, count = 0;
+  unsigned long net_wm_name = 0, utf8 = 0, client_list = 0;
+  if (cap->intern_atom) {
+    net_wm_name = cap->intern_atom(cap->dpy, "_NET_WM_NAME", 1);
+    utf8 = cap->intern_atom(cap->dpy, "UTF8_STRING", 1);
+    client_list = cap->intern_atom(cap->dpy, "_NET_CLIENT_LIST", 1);
+  }
+  if (cap->get_property && client_list) {
+    unsigned long type = 0, nitems = 0, after = 0;
+    int fmt = 0;
+    unsigned char* prop = nullptr;
+    if (cap->get_property(cap->dpy, cap->root, client_list, 0, 4096, 0,
+                          33 /* XA_WINDOW */, &type, &fmt, &nitems, &after,
+                          &prop) == 0 &&
+        prop && fmt == 32 && nitems > 0) {
+      unsigned long* wins = reinterpret_cast<unsigned long*>(prop);
+      for (unsigned long i = 0; i < nitems; ++i)
+        append_title(cap, wins[i], net_wm_name, utf8, out, cap_bytes, &used,
+                     &count);
+      cap->x_free(prop);
+      return count;
+    }
+    if (prop) cap->x_free(prop);
+  }
+  list_windows_rec(cap, cap->root, net_wm_name, utf8, out, cap_bytes, &used,
+                   &count, 0);
+  return count;
+}
+
 // Cursor snapshot via XFixes: ARGB pixels + hotspot + root position.
 // Returns 0 on ok, <0 if XFixes is unavailable or the image doesn't fit.
 int d2s_x11_cursor(void* handle, uint32_t* out_argb, uint32_t cap_pixels,

@@ -148,3 +148,78 @@ def test_control_panel_sanitizes_lang_param():
     assert 'action="/start?lang=en"' in page
     # zh still selects the Chinese strings
     assert "深度模型".encode() in _form_page(Settings(), lang="zh")
+
+
+def test_control_panel_family_size_parsing():
+    """Model dropdown parses family+size like the reference GUI
+    (reference gui.py:376-414)."""
+    from desktop2stereo_tpu.core.registry import MODEL_REGISTRY
+    from desktop2stereo_tpu.service.control import (
+        build_family_size_map, parse_model_name)
+
+    assert parse_model_name("Depth-Anything-V2-Small") == (
+        "Depth-Anything-V2", "Small")
+    assert parse_model_name("DepthPro") == ("DepthPro", "")
+    fams, sizes, full = build_family_size_map(sorted(MODEL_REGISTRY))
+    assert "Depth-Anything-V2" in fams
+    # sizes ordered Small < Base < Large, and full-name lookup round-trips
+    for fam in fams:
+        for size in sizes[fam]:
+            assert full[(fam, size)] in MODEL_REGISTRY
+
+
+def test_control_panel_enumerated_form_and_stats(tmp_path):
+    """The form carries device/monitor/window enumeration, per-mode row
+    visibility hooks, and the live-stats element; /status surfaces parsed
+    worker stats (reference gui.py:376-470, 785-825 feature set)."""
+    from desktop2stereo_tpu.core.config import Settings
+    from desktop2stereo_tpu.service.control import (
+        _form_page, worker_stats_from_log)
+
+    html = _form_page(Settings(), "en").decode()
+    for frag in ('id="family"', 'id="msize"', "row_monitor", "row_window",
+                 "row_audio", "syncRows()", "refreshWindows", 'id="stats"',
+                 'name="device"', 'name="convergence"', "temporal_smooth"):
+        assert frag in html, frag
+    assert "深度模型" in _form_page(Settings(), "zh").decode()
+
+    log = tmp_path / "w.log"
+    log.write_text("[d2s] fps=42.5 (1%low=40.1) dropped=3 capture=1.2ms, "
+                   "depth+compose=9.0ms, sink=0.3ms\n")
+    s = worker_stats_from_log(str(log))
+    assert s["fps"] == 42.5 and s["fps_1pct_low"] == 40.1 and s["dropped"] == 3
+    assert s["latency_ms"]["depth+compose"] == 9.0
+    assert worker_stats_from_log(str(tmp_path / "missing.log")) == {}
+
+
+def test_control_panel_windows_endpoint():
+    """/windows returns a JSON list (empty on headless hosts) for the
+    capture dropdown's refresh."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from desktop2stereo_tpu.service import control
+
+    server = control.serve(port=0, settings_path="/tmp/d2s_t_settings.yaml")
+    port = server.server_address[1]
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        body = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/windows", timeout=5).read()
+        assert isinstance(_json.loads(body), list)
+        status = _json.loads(urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/status", timeout=5).read())
+        assert "stats" in status
+    finally:
+        server.shutdown()
+
+
+def test_native_list_windows_binding():
+    """The X11 window-enumeration binding degrades to [] on headless hosts
+    instead of raising (native d2s_x11_list_windows)."""
+    from desktop2stereo_tpu.sources.screen import list_windows
+
+    names = list_windows()
+    assert isinstance(names, list)
+    assert all(isinstance(n, str) and n for n in names)
