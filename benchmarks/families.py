@@ -23,7 +23,23 @@ CONFIGS = [
     ("dpt-beit-base-384", 384),
     ("zoedepth-nyu", 384),
     ("DepthPro-Large", 1536),
+    # giant class (the TP-rationale measurements, VERDICT r03 item 8):
+    # ViT-G single-chip numbers + HBM footprint ground the docs'
+    # "serve-by-DP vs shard-by-TP" call in measured data
+    ("DA3-GIANT", 504),
+    ("DA3NESTED-GIANT-LARGE", 504),
 ]
+
+
+def _hbm_mb() -> float:
+    """Live HBM bytes in use on device 0 (TPU runtime memory_stats)."""
+    import jax
+
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("bytes_in_use", 0) / 1e6
+    except Exception:
+        return 0.0
 
 
 def measure(name: str, res: int, quant: str = "none",
@@ -63,8 +79,10 @@ def measure(name: str, res: int, quant: str = "none",
     ms = slope_ms(lambda f: prog(f)[0], frame, n1=40, n2=160, warmup=8,
                   repeats=3)
     tag = f" [{quant}]" if quant != "none" else ""
+    hbm = _hbm_mb()
+    hbm_s = f"  HBM {hbm / 1e3:.1f} GB" if hbm else ""
     print(f"{name:32s} @{res}{tag}  {ms:7.2f} ms/frame  {1000.0/ms:6.1f} FPS"
-          f"  (compile {compile_s:.0f}s)", flush=True)
+          f"  (compile {compile_s:.0f}s){hbm_s}", flush=True)
     if stages:
         try:
             from benchmarks._timing import stage_slopes

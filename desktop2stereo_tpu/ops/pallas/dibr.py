@@ -335,6 +335,14 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
     # sweep (depth-weighted, decay .15, direction -1) and one opposite
     # fallback (plain, decay .2, direction +1) therefore serve both eyes —
     # half the sweep taps of a per-eye pairing.
+    # Tap-invariant depth terms are hoisted: thr for the is_bg compare, and
+    # the depth weight refactored as dist·(1 + 10·(s_inv − cdi)) =
+    # dist·pre + (10·dist)·s_inv with pre = 1 − 10·cdi — two ops per tap
+    # instead of three, same f32 math (the sweeps are ~half the kernel's
+    # VPU ops; every op here is ~4 µs of frame time at 4K).
+    thr = cdi + depth_tolerance
+    pre_w = 1.0 - 10.0 * cdi
+
     def sweep_role(direction: int, depth_weighted: bool, decay: float):
         # the reference's cum-gate accumulator is identical to the weight sum
         # (both add w every tap), so one accumulator serves as both
@@ -343,12 +351,13 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
         for t in range(1, search_radius + 1):
             off = direction * t
             s_depth_inv = _shift_cols_clamp(inv_smooth, off)
-            is_bg = s_depth_inv > cdi + depth_tolerance
+            is_bg = s_depth_inv > thr
             s_rgb = [_shift_cols_clamp(rgb[c], off) for c in range(3)]
+            dist_w = math.exp(-float(t) * decay)
             if depth_weighted:
-                w = math.exp(-float(t) * decay) * (1.0 + (s_depth_inv - cdi) * 10.0)
+                w = dist_w * pre_w + (10.0 * dist_w) * s_depth_inv
             else:
-                w = math.exp(-float(t) * decay)
+                w = dist_w  # scalar; the where below broadcasts it
             w = jnp.where(jnp.logical_and(is_bg, wsum <= 5.0), w, 0.0)
             for c in range(3):
                 acc[c] = acc[c] + s_rgb[c] * w
@@ -495,7 +504,11 @@ def pair_tiling(H: int, W: int) -> Tuple[int, int, int]:
     # Both eyes live in-flight at once → ~2× the single-eye register
     # pressure; at wide frames 64-row tiles spill past VMEM (needs 142M of
     # 128M) while 48 rows fit and beat 32 by ~7% (fewer halo re-reads).
-    tile_h = 48 if wp >= 2048 else TILE_H
+    # Among the tile heights that fit, prefer one that divides H exactly:
+    # a pad-free hp spares the upstream edge-pad copy of the whole planar
+    # frame (~0.2 ms at 4K) — e.g. 4K eyes (2160) tile at 48, not 64+pad.
+    cands = (48, 32) if wp >= 2048 else (TILE_H, 48, 32)
+    tile_h = next((t for t in cands if H % t == 0), cands[0])
     return _round_up(H, tile_h), wp, tile_h
 
 

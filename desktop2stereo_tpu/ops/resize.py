@@ -26,6 +26,7 @@ import numpy as np
 __all__ = [
     "resize",
     "resize_weights",
+    "resize_halved",
     "patch_aligned_size",
     "resize_patch_aligned",
 ]
@@ -203,6 +204,38 @@ def resize(
         x = axis_resize(x, h_axis, in_h, out_h)
     if in_w != out_w or mode == "area" or sw is not None:
         x = axis_resize(x, w_axis, in_w, out_w)
+    return x
+
+
+def resize_halved(
+    x: jax.Array,
+    full_size: Tuple[int, int],
+    halve_axis: int,
+    mode: str = "bilinear",
+) -> jax.Array:
+    """``pair-mean-halve(resize(x, full_size))`` as ONE composed weight
+    matrix on the halved axis — the Half-SBS/TAB fused tail's depth path.
+
+    Both steps are fixed linear maps, so ``Box2 @ W_resize`` (composed on
+    the host at trace time) produces the same values to f32 rounding with
+    half the matmul FLOPs and no full-res intermediate in HBM.  `halve_axis` is 0 (H,
+    Half-TAB) or 1 (W, Half-SBS) of the spatial dims; the full-size dim on
+    that axis must be even."""
+    h_axis = x.ndim - 3 if x.ndim >= 3 else 0
+    out_h, out_w = full_size
+    axes = (out_h, out_w)
+    assert axes[halve_axis] % 2 == 0, full_size
+
+    for ax_rel in (0, 1):
+        axis = h_axis + ax_rel
+        n_in = x.shape[axis]
+        n_out = axes[ax_rel]
+        if ax_rel == halve_axis:
+            w = resize_weights(n_in, n_out, mode)
+            w = 0.5 * (w[0::2] + w[1::2])  # fold the pair-mean in
+            x = _apply_1d(x, w.astype(np.float32), axis)
+        elif n_in != n_out:
+            x = _apply_1d(x, resize_weights(n_in, n_out, mode), axis)
     return x
 
 

@@ -389,7 +389,6 @@ def _build_step(
         depth_small = post_stage(raw_depth, ema_prev)
         planar, oh, ow = _rgb_dims(rgb_pre)
         if planar:
-            depth = upsample_depth(depth_small, oh, ow)
             from desktop2stereo_tpu.ops.pallas.dibr import (
                 dibr_render_pair_planar, pair_tiling)
 
@@ -397,14 +396,30 @@ def _build_step(
             eh, ew = (oh // 2, ow) if tab else (oh, ow // 2)
             # squeeze window along the halved axis; pair-mean via
             # reduce_window: 0.14 ms at 4K on v5e vs 1.10 ms for the
-            # equivalent reshape(-1,2).mean (lane-shuffle bound)
+            # equivalent reshape(-1,2).mean (lane-shuffle bound).
+            # Pair-mean IS the reference's sampling: its half-size viewport
+            # samples the full-res texture at texel-pair midpoints, where
+            # GL bilinear weighting is exactly (a+b)/2 (viewer.py:1520-1544)
             rwin = (1, 2, 1) if tab else (1, 1, 2)
-            dwin = (2, 1) if tab else (1, 2)
             rgb_h = jax.lax.reduce_window(
                 rgb_pre[:, :oh, :ow], 0.0, jax.lax.add, rwin, rwin,
                 "VALID") * 0.5
-            dep_h = jax.lax.reduce_window(
-                depth, 0.0, jax.lax.add, dwin, dwin, "VALID") * 0.5
+            if cfg.emit_depth == "full":
+                # the full-res depth is an output anyway — squeeze it
+                depth = upsample_depth(depth_small, oh, ow)
+                dwin = (2, 1) if tab else (1, 2)
+                dep_h = jax.lax.reduce_window(
+                    depth, 0.0, jax.lax.add, dwin, dwin, "VALID") * 0.5
+            else:
+                # nobody consumes the full map: fold upsample + pair-mean
+                # into ONE composed weight matrix (same values, half the
+                # FLOPs, no [oh, ow] f32 intermediate — ops/resize.py)
+                from desktop2stereo_tpu.ops.resize import resize_halved
+
+                depth = depth_small
+                dep_h = resize_halved(
+                    depth_small[..., None], (oh, ow),
+                    halve_axis=0 if tab else 1)[..., 0]
             hp2, wp2, _ = pair_tiling(eh, ew)
             rgb_h = jnp.pad(rgb_h, ((0, 0), (0, hp2 - eh), (0, wp2 - ew)),
                             mode="edge")
@@ -416,26 +431,21 @@ def _build_step(
                       convergence=cfg.convergence,
                       feather=FEATHER_WIDTH if cfg.edge_feather else 0.0,
                       height=eh)
-            # The hwc modes emit the FINAL pixel-interleaved u8 layout from
-            # inside the kernel (the planar→HWC transpose + eye concat cost
-            # ~0.6 ms at 4K as XLA ops); gated on the flat row length being
-            # an exact lane multiple so the reshape below is free.
-            if not tab and (6 * ew) % 128 == 0:
-                flat = dibr_render_pair_planar(
-                    rgb_h, dep_h, ew, out_mode="sbs_hwc_u8", **kw)
-                sbs = flat[:eh].reshape(eh, 2 * ew, 3)
-            elif tab and (3 * ew) % 128 == 0:
-                l8, r8 = dibr_render_pair_planar(
-                    rgb_h, dep_h, ew, out_mode="eyes_hwc_u8", **kw)
-                sbs = jnp.concatenate(
-                    [l8[:eh], r8[:eh]], axis=0).reshape(2 * eh, ew, 3)
-            else:
-                left, right = dibr_render_pair_planar(
-                    rgb_h, dep_h, ew, out_mode="eyes_u8", **kw)
-                sbs = jnp.concatenate(
-                    [left[:, :eh, :ew], right[:, :eh, :ew]],
-                    axis=1 if tab else 2,
-                ).transpose(1, 2, 0)
+            # eyes_u8 + XLA relayout, NOT the kernel's in-kernel HWC
+            # interleave: the interleave's per-lane-group gathers cost
+            # ~0.6 ms of VPU shuffles while XLA's u8 transpose+concat of
+            # the quantized eyes costs ~0.3 ms (benchmarks/dibr.py r04:
+            # 2.51 vs 2.78 ms at the 4K eye shape) — the r03 measurement
+            # that motivated the fused interleave compared against an f32
+            # relayout, not the u8 one.  Bit-exact either way (quantize
+            # commutes with the permutation; bench.py kernel_parity pins
+            # the hwc modes against eyes_u8 at 0 LSB).
+            left, right = dibr_render_pair_planar(
+                rgb_h, dep_h, ew, out_mode="eyes_u8", **kw)
+            sbs = jnp.concatenate(
+                [left[:, :eh, :ew], right[:, :eh, :ew]],
+                axis=1 if tab else 2,
+            ).transpose(1, 2, 0)
         else:  # odd halved axis etc. — generic path on HWC
             sbs, depth = stereo_stage(rgb_pre, depth_small)
         depth_out = depth if cfg.emit_depth == "full" else depth_small

@@ -108,3 +108,24 @@ def test_process_vs_actual_reference_source(rng, target):
     assert got.shape == want.shape, (got.shape, want.shape)
     # 0-255 scale: 5e-3 abs = 2e-5 relative (resize kernel float rounding)
     assert np.abs(got - want).max() < (5e-3 if target < 360 else 0.0) + 1e-6
+
+
+def test_resize_halved_matches_resize_then_pair_mean():
+    """resize_halved (the fused tail's composed depth path) must equal
+    bilinear-resize-to-full followed by a pair-mean squeeze, on both axes."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from desktop2stereo_tpu.ops.resize import resize, resize_halved
+
+    rng = np.random.default_rng(0)
+    d = jnp.asarray(rng.random((42, 70, 1)), jnp.float32)
+    full = np.asarray(resize(d, (64, 96), mode="bilinear"))[..., 0]
+
+    got_w = np.asarray(resize_halved(d, (64, 96), halve_axis=1))[..., 0]
+    want_w = full.reshape(64, 48, 2).mean(2)
+    np.testing.assert_allclose(got_w, want_w, atol=2e-6)
+
+    got_h = np.asarray(resize_halved(d, (64, 96), halve_axis=0))[..., 0]
+    want_h = full.reshape(32, 2, 96).mean(1)
+    np.testing.assert_allclose(got_h, want_h, atol=2e-6)

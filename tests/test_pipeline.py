@@ -660,3 +660,40 @@ def test_sink_wants_depth_declarations():
     tee = TeeSink([NullSink(), PngSink("/tmp/d2s_wd_test", save_depth=True)])
     assert tee.wants_depth is True
     assert TeeSink([NullSink()]).wants_depth is False
+
+
+def test_fused_tail_emit_model_matches_full(monkeypatch):
+    """emit_depth='model' swaps the depth path to the composed
+    upsample+pair-mean matmul (ops/resize.resize_halved) — the SBS pixels
+    must match the emit='full' tail (same linear map, f32 rounding only).
+    A smooth scene keeps warp gather boundaries stable under that rounding."""
+    import functools
+
+    import desktop2stereo_tpu.ops.pallas.dibr as dibr
+    import desktop2stereo_tpu.pipeline.programs as P
+
+    monkeypatch.setattr(P, "_stereo_on_tpu", lambda: True)
+    monkeypatch.setattr(
+        dibr, "dibr_render_pair_planar",
+        functools.partial(dibr.dibr_render_pair_planar, interpret=True),
+    )
+    # smooth gradient scene (not noise): a 1e-6 depth drift must not flip
+    # a gather cell, which on noise data would amplify to full color diffs
+    yy, xx = np.mgrid[0:64, 0:96]
+    frame = np.zeros((64, 96, 4), np.uint8)
+    frame[..., 0] = (xx * 2) % 256
+    frame[..., 1] = (yy * 3) % 256
+    frame[..., 2] = 128
+
+    full_step = build_frame_step(make_cfg(display_mode="Half-SBS"),
+                                 fake_model_apply, compute_dtype=jnp.float32)
+    model_step = build_frame_step(
+        make_cfg(display_mode="Half-SBS", emit_depth="model"),
+        fake_model_apply, compute_dtype=jnp.float32)
+    f = jnp.asarray(frame)
+    sbs_full, d_full, _ = full_step(f, init_state(64, 96))
+    sbs_model, d_model, st = model_step(f, init_state(64, 96))
+    assert d_model.shape == st.ema_depth.shape  # model-res depth emitted
+    assert d_full.shape == (64, 96)
+    np.testing.assert_allclose(np.asarray(sbs_model).astype(np.int32),
+                               np.asarray(sbs_full).astype(np.int32), atol=1)
