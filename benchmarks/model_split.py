@@ -82,3 +82,20 @@ timeit("neck (reassemble+fusion)", run_neck, np_, feats)
 timeit("head (upsample convs)", run_head, hp_, fused[-1])
 out = run_head(hp_, fused[-1])
 print("head out:", out.shape, out.dtype)
+
+# attention-dispatch A/B: the default size heuristic sends N=778 to the XLA
+# path (materialized [1,16,778,778] f32 logits, ~155 MB of HBM traffic per
+# layer); force the flash kernel and compare IN-GRAPH, where fusion and
+# layouts are real
+import desktop2stereo_tpu.ops.attention as attn_mod
+
+attn_mod.FORCE_FLASH = True
+run_enc_flash = jax.jit(lambda p, px: enc.apply(p, px))
+f1 = run_enc_flash(ep, pixels)
+attn_mod.FORCE_FLASH = None
+timeit("encoder, flash-forced attn", run_enc_flash, ep, pixels)
+import numpy as _np
+
+d = max(float(_np.abs(_np.asarray(a, _np.float32) - _np.asarray(b, _np.float32)).max())
+        for a, b in zip(feats, f1))
+print("encoder xla-vs-flash maxdiff:", d)

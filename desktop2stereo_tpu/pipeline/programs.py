@@ -281,11 +281,14 @@ def _build_step(
     def preprocess(frame_u8: jax.Array):
         h0, w0 = frame_u8.shape[0], frame_u8.shape[1]
         oh, ow = process_frame_size(h0, w0, cfg.output_height)
-        even = ow % 2 == 0 if cfg.display_mode == "Half-SBS" else oh % 2 == 0
-        # ow == 3 would make the planar buffer [3, oh, 3] — indistinguishable
-        # from an HWC [3, ow, 3] frame downstream (_rgb_dims); degenerate
-        # widths take the generic HWC path instead
-        if not (fused_stereo and even and ow != 3):
+        sbs_mode = cfg.display_mode == "Half-SBS"
+        even = ow % 2 == 0 if sbs_mode else oh % 2 == 0
+        # an eye width of 3 would make the squeezed planar buffer
+        # [3, eh, 3] — indistinguishable from an HWC [3, ew, 3] frame
+        # downstream (the tail's shape sniff); degenerate widths take the
+        # generic path
+        ew_probe = ow // 2 if sbs_mode else ow
+        if not (fused_stereo and even and ew_probe != 3):
             return _shared_preprocess(frame_u8)
 
         # Fused-stereo layout: go PLANAR [3,H,W] f32 straight from the u8
@@ -307,10 +310,23 @@ def _build_step(
         model_in = mi.transpose(1, 2, 0)[None] / 255.0  # tiny HWC relayout
         model_in = normalize_for_model(model_in, spec.norm_family)
 
-        # unpadded planar: the half-width tail squeezes first and pads to
-        # its OWN pair_tiling(oh, ow//2) — a full-width pad here would just
-        # be sliced off again (an extra padded 4K f32 buffer per frame)
-        return planar, model_in.astype(compute_dtype)
+        # Squeeze to the EYE size here, not in the tail: the DIBR kernel
+        # reads its rgb tiles 3× (row halos), so handing it the half-size
+        # buffer halves that traffic AND the full-size f32 planar frame
+        # never reaches HBM at all (the model-resize input above
+        # materializes at bf16 only).  Pair-mean via reduce_window: 0.14 ms
+        # at 4K on v5e vs 1.10 ms for reshape(-1,2).mean (lane-shuffle
+        # bound) — and pair-mean IS the reference's sampling: its half-size
+        # viewports sample the full-res texture at texel-pair midpoints,
+        # where GL bilinear weighting is exactly (a+b)/2
+        # (reference viewer.py:1520-1544).
+        tab = cfg.display_mode == "Half-TAB"
+        rwin = (1, 2, 1) if tab else (1, 1, 2)
+        rgb_h = jax.lax.reduce_window(
+            planar, 0.0, jax.lax.add, rwin, rwin, "VALID") * 0.5
+        # unpadded: the tail pads to its own pair_tiling (usually a no-op —
+        # pair_tiling prefers a tile height that divides the frame)
+        return rgb_h, model_in.astype(compute_dtype)
 
     def model_stage(params, model_in: jax.Array, model_state):
         raw_depth_b, new_model_state = model_call(params, model_in, model_state)
@@ -335,15 +351,6 @@ def _build_step(
         # the reference resets its stabilizer on shape change (depth.py:
         # 1865-1894); the returned depth re-seeds the carry either way
         return depth
-
-    def _rgb_dims(rgb: jax.Array) -> Tuple[bool, int, int]:
-        """(is_planar, oh, ow).  Planar buffers are [3, oh, ow] and only
-        emitted with ow != 3 (preprocess gates degenerate widths to HWC),
-        so `last dim == 3` ⇔ HWC — no ambiguity."""
-        planar = rgb.shape[0] == 3 and rgb.shape[-1] != 3
-        if planar:
-            return True, rgb.shape[1], rgb.shape[2]
-        return False, rgb.shape[0], rgb.shape[1]
 
     def upsample_depth(depth_small: jax.Array, oh: int, ow: int) -> jax.Array:
         """Model-res → output-res (reference depth.py:1999-2004)."""
@@ -385,27 +392,27 @@ def _build_step(
         width, so disparity is untouched).
 
         Returns (sbs_u8, depth_out, depth_small): depth_small is the next
-        EMA carry; depth_out is full-res or model-res per cfg.emit_depth."""
+        EMA carry; depth_out is full-res or model-res per cfg.emit_depth.
+
+        `rgb_pre` is either the PRE-SQUEEZED planar eye buffer [3, eh, ew]
+        (the fused preprocess squeezes at the source so the full-size f32
+        frame never reaches HBM) or a full-size HWC frame (generic path)."""
         depth_small = post_stage(raw_depth, ema_prev)
-        planar, oh, ow = _rgb_dims(rgb_pre)
+        planar = rgb_pre.shape[0] == 3 and rgb_pre.shape[-1] != 3
+        tab = cfg.display_mode == "Half-TAB"
         if planar:
             from desktop2stereo_tpu.ops.pallas.dibr import (
                 dibr_render_pair_planar, pair_tiling)
 
-            tab = cfg.display_mode == "Half-TAB"
-            eh, ew = (oh // 2, ow) if tab else (oh, ow // 2)
-            # squeeze window along the halved axis; pair-mean via
-            # reduce_window: 0.14 ms at 4K on v5e vs 1.10 ms for the
-            # equivalent reshape(-1,2).mean (lane-shuffle bound).
-            # Pair-mean IS the reference's sampling: its half-size viewport
-            # samples the full-res texture at texel-pair midpoints, where
-            # GL bilinear weighting is exactly (a+b)/2 (viewer.py:1520-1544)
-            rwin = (1, 2, 1) if tab else (1, 1, 2)
-            rgb_h = jax.lax.reduce_window(
-                rgb_pre[:, :oh, :ow], 0.0, jax.lax.add, rwin, rwin,
-                "VALID") * 0.5
+            eh, ew = rgb_pre.shape[1], rgb_pre.shape[2]
+            oh, ow = (2 * eh, ew) if tab else (eh, 2 * ew)
+            rgb_h = rgb_pre
             if cfg.emit_depth == "full":
                 # the full-res depth is an output anyway — squeeze it
+                # (pair-mean IS the reference's sampling: its half-size
+                # viewport samples the full-res texture at texel-pair
+                # midpoints, where GL bilinear weighting is exactly
+                # (a+b)/2, reference viewer.py:1520-1544)
                 depth = upsample_depth(depth_small, oh, ow)
                 dwin = (2, 1) if tab else (1, 2)
                 dep_h = jax.lax.reduce_window(
@@ -549,12 +556,13 @@ def _build_step(
         # an untested resolution swaps in a generic jnp tail instead of
         # killing the stream.  Tail-only so the (donated-carry) model step
         # never re-runs for the same frame.
-        def _generic_tail(raw_depth, ema_prev, rgb_pre):
+        def _generic_tail(raw_depth, ema_prev, frame_u8):
+            # the fused preprocess hands the tail a pre-squeezed eye buffer,
+            # which the generic compositor can't use — rebuild the full HWC
+            # frame from the capture (the model resize inside
+            # _shared_preprocess is dead code here and DCE'd by XLA)
+            rgb, _unused_model_in = _shared_preprocess(frame_u8)
             small = post_stage(raw_depth, ema_prev)
-            planar, oh, ow = _rgb_dims(rgb_pre)
-            rgb = rgb_pre
-            if planar:
-                rgb = rgb.transpose(1, 2, 0)[:oh, :ow]  # planar → HWC
             sbs, depth = stereo_stage(rgb, small)
             out = depth if cfg.emit_depth == "full" else small
             return sbs, out, small
@@ -575,7 +583,7 @@ def _build_step(
                     print(f"[programs] fused stereo tail failed "
                           f"({type(e).__name__}); falling back to jnp tail")
                     tail = fallback["tail"] = hjit(_generic_tail)
-            sbs, depth, small = tail(raw, state.ema_depth, rgb_pre)
+            sbs, depth, small = tail(raw, state.ema_depth, frame_u8)
             return sbs, depth, FrameState(ema_depth=small, model=mstate)
     else:
         pre_j, post_j, stereo_j = stages
