@@ -167,6 +167,69 @@ class DPTNeck(nn.Module):
         return out
 
 
+class LanePaddedConv(nn.Module):
+    """nn.Conv with the OUTPUT channel dim zero-padded to a full 128-lane
+    tile at apply time (param shapes/names identical to nn.Conv, so weight
+    converters are untouched).
+
+    XLA's TPU conv path runs poorly when C_out < 128 (the head's 3×3
+    128→32 conv at 294×518 measures ~15% faster through the padded form
+    in-graph); the padded output channels are exact zeros (zero kernel
+    columns + zero bias), so downstream relu/slice see identical values —
+    verified bit-exact on chip.  `keep` slices the output back; leave
+    padded (keep=None) when the consumer is another LanePaddedConv that
+    eats the zeros for free."""
+
+    features: int
+    kernel: Tuple[int, int]
+    keep: "int | None" = None  # None → return all 128 lanes (padded)
+    LANES = 128
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kh, kw = self.kernel
+        cin = x.shape[-1]
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (kh, kw, cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad_o = (-self.features) % self.LANES
+        wp = jnp.pad(w.astype(x.dtype), ((0, 0), (0, 0), (0, 0), (0, pad_o)))
+        bp = jnp.pad(b.astype(x.dtype), (0, pad_o))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, wp.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, wp, (1, 1), [(kh // 2, kh // 2), (kw // 2, kw // 2)],
+            dimension_numbers=dn) + bp
+        return y if self.keep is None else y[..., : self.keep]
+
+
+class _PaddedInputConv(nn.Module):
+    """1×1 conv whose param shapes are the NARROW [1,1,cin,features] form
+    but whose apply consumes a lane-PADDED input (cin real channels + zero
+    lanes from an upstream LanePaddedConv): kernel rows for the pad lanes
+    are zero, output lane-padded too, first `features` lanes returned."""
+
+    cin: int
+    features: int
+    LANES = 128
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (1, 1, self.cin, self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        pad_i = x.shape[-1] - self.cin
+        pad_o = (-self.features) % self.LANES
+        wp = jnp.pad(w.astype(x.dtype),
+                     ((0, 0), (0, 0), (0, pad_i), (0, pad_o)))
+        bp = jnp.pad(b.astype(x.dtype), (0, pad_o))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, wp.shape, ("NHWC", "HWIO", "NHWC"))
+        y = jax.lax.conv_general_dilated(
+            x, wp, (1, 1), [(0, 0), (0, 0)], dimension_numbers=dn) + bp
+        return y[..., : self.features]
+
+
 class DPTHead(nn.Module):
     fusion_channels: int
     head_channels: int
@@ -179,9 +242,13 @@ class DPTHead(nn.Module):
         gh, gw = grid_hw
         x = nn.Conv(self.fusion_channels // 2, (3, 3), padding=[(1, 1), (1, 1)], name="conv1", dtype=fused.dtype)(fused)
         x = resize(x, (gh * self.patch_size, gw * self.patch_size), mode="bilinear", align_corners=True)
-        x = nn.Conv(self.head_channels, (3, 3), padding=[(1, 1), (1, 1)], name="conv2", dtype=x.dtype)(x)
+        # the two sub-lane-width convs run lane-padded (C_out 32 then 1
+        # would leave 75-99% of the MXU idle); conv3 consumes conv2's
+        # padded zeros directly — relu(0)=0 and the extra kernel rows are
+        # zero, so the chain is bit-exact vs the narrow form
+        x = LanePaddedConv(self.head_channels, (3, 3), name="conv2")(x)
         x = nn.relu(x)
-        x = nn.Conv(1, (1, 1), name="conv3", dtype=x.dtype)(x)
+        x = _PaddedInputConv(self.head_channels, 1, name="conv3")(x)
         if self.metric:
             x = jax.nn.sigmoid(x) * self.max_depth
         else:
