@@ -80,7 +80,12 @@ def measure(name: str, res: int, quant: str = "none",
                   repeats=3)
     tag = f" [{quant}]" if quant != "none" else ""
     hbm = _hbm_mb()
-    hbm_s = f"  HBM {hbm / 1e3:.1f} GB" if hbm else ""
+    if hbm:
+        hbm_s = f"  HBM {hbm / 1e3:.2f} GB"
+    else:  # runtime without memory_stats (axon tunnel): params lower-bound
+        pb = sum(x.nbytes for x in jax.tree_util.tree_leaves(bound.params)
+                 if hasattr(x, "nbytes"))
+        hbm_s = f"  params {pb / 1e9:.2f} GB"
     print(f"{name:32s} @{res}{tag}  {ms:7.2f} ms/frame  {1000.0/ms:6.1f} FPS"
           f"  (compile {compile_s:.0f}s){hbm_s}", flush=True)
     if stages:
