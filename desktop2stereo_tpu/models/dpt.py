@@ -176,7 +176,8 @@ class LanePaddedConv(nn.Module):
     128→32 conv at 294×518 measures ~15% faster through the padded form
     in-graph); the padded output channels are exact zeros (zero kernel
     columns + zero bias), so downstream relu/slice see identical values —
-    verified bit-exact on chip.  `keep` slices the output back; leave
+    measured bit-exact on chip (other backends may reorder the reduction
+    for last-ulp f32 drift).  `keep` slices the output back; leave
     padded (keep=None) when the consumer is another LanePaddedConv that
     eats the zeros for free."""
 

@@ -271,9 +271,15 @@ class TheaterGL:
         GL.glGenerateMipmap(GL.GL_TEXTURE_2D)
         GL.glBindTexture(GL.GL_TEXTURE_2D, self._depth_tex)
         if depth is None:
-            depth = np.zeros((h, w), np.float32)
-        GL.glTexImage2D(GL.GL_TEXTURE_2D, 0, GL.GL_R32F, w, h, 0, GL.GL_RED,
-                        GL.GL_FLOAT,
+            depth = np.zeros((1, 1), np.float32)
+        # depth may arrive at MODEL resolution (the server ships the
+        # model-res map — its bilinear upsample IS the full-res one,
+        # sinks/xr.py); upload at its OWN dims — the shader samples by UV,
+        # so a smaller R32F texture is exactly the reference's mip-free
+        # LINEAR depth texture semantics (reference frame.py:44-57)
+        dh, dw = depth.shape[:2]
+        GL.glTexImage2D(GL.GL_TEXTURE_2D, 0, GL.GL_R32F, dw, dh, 0,
+                        GL.GL_RED, GL.GL_FLOAT,
                         np.ascontiguousarray(depth, np.float32))
 
     # -- item textures ------------------------------------------------------------

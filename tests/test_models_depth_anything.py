@@ -119,3 +119,50 @@ def test_converted_tree_matches_init_tree():
     for k in conv_paths:
         assert tuple(conv_paths[k]) == tuple(init_paths[k]), (k, conv_paths[k], init_paths[k])
     assert param_count(conv) == param_count(init)
+
+
+def test_lane_padded_head_convs_match_nn_conv():
+    """DPTHead's lane-padded conv2/conv3 (zero-padded channel dims for the
+    TPU conv path) must be EXACT vs the narrow nn.Conv formulation, with
+    identical param shapes (converter compatibility)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from desktop2stereo_tpu.models.dpt import DPTHead
+
+    head = DPTHead(fusion_channels=64, head_channels=32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal((1, 12, 16, 64)),
+                    jnp.float32)
+    params = head.init(jax.random.PRNGKey(1), x, (6, 8))
+    p = params["params"]
+    # param shapes stay the NARROW nn.Conv shapes
+    assert p["conv2"]["kernel"].shape == (3, 3, 32, 32)
+    assert p["conv3"]["kernel"].shape == (1, 1, 32, 1)
+    got = head.apply(params, x, (6, 8))
+
+    # narrow reference formulation on the same weights
+    def narrow(x):
+        def conv(x, w, b, pad):
+            dn = jax.lax.conv_dimension_numbers(
+                x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+            return jax.lax.conv_general_dilated(
+                x, w, (1, 1), pad, dimension_numbers=dn) + b
+
+        from desktop2stereo_tpu.ops.resize import resize
+
+        y = conv(x, p["conv1"]["kernel"], p["conv1"]["bias"],
+                 [(1, 1), (1, 1)])
+        y = resize(y, (6 * 14, 8 * 14), mode="bilinear", align_corners=True)
+        y = jax.nn.relu(conv(y, p["conv2"]["kernel"], p["conv2"]["bias"],
+                             [(1, 1), (1, 1)]))
+        y = jax.nn.relu(conv(y, p["conv3"]["kernel"], p["conv3"]["bias"],
+                             [(0, 0), (0, 0)]))
+        return y[..., 0]
+
+    want = narrow(x)
+    # identical math; backends may vectorize the padded conv's reduction
+    # differently (last-ulp f32 drift on CPU; measured 0.0 on TPU)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-6, rtol=1e-5)
