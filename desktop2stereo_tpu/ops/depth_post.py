@@ -126,19 +126,28 @@ def _gauss_kernel(k: int, sigma: float) -> np.ndarray:
 def anti_alias(depth: jax.Array, strength: float = 1.0) -> jax.Array:
     """Separable Gaussian with zero ('same') padding, k = int(3·strength)|1
     (reference depth.py:740-765 — torch conv2d zero-pads, slightly darkening
-    borders; we match that exactly)."""
+    borders; we match that exactly).
+
+    Implemented as shifted multiply-adds, not conv_general: a C=1 conv is
+    the worst case for XLA's TPU conv path (sub-lane channel dim), while k
+    static shifts fuse into one elementwise pass per axis — same math."""
     k = int(3 * strength) | 1
     if k < 3:
         return depth
     g = _gauss_kernel(k, 0.5 * strength)
-    gj = jnp.asarray(g, dtype=depth.dtype)
-    x = depth[None, :, :, None]  # NHWC single channel
-    kx = gj.reshape(1, k, 1, 1)
-    ky = gj.reshape(k, 1, 1, 1)
-    dn = jax.lax.conv_dimension_numbers(x.shape, kx.shape, ("NHWC", "HWIO", "NHWC"))
-    x = jax.lax.conv_general_dilated(x, kx, (1, 1), [(0, 0), (k // 2, k // 2)], dimension_numbers=dn)
-    x = jax.lax.conv_general_dilated(x, ky, (1, 1), [(k // 2, k // 2), (0, 0)], dimension_numbers=dn)
-    return x[0, :, :, 0]
+    r = k // 2
+    x = depth
+    for axis in (0, 1):
+        pad = [(r, r) if a == axis else (0, 0) for a in range(2)]
+        xp = jnp.pad(x, pad)  # zeros — the torch conv2d border behavior
+        acc = None
+        for i in range(k):
+            sl = [slice(None), slice(None)]
+            sl[axis] = slice(i, i + x.shape[axis])
+            term = xp[tuple(sl)] * float(g[i])
+            acc = term if acc is None else acc + term
+        x = acc
+    return x
 
 
 def ema(prev: Optional[jax.Array], depth: jax.Array, alpha: float = 0.9) -> jax.Array:

@@ -32,6 +32,9 @@ class _Stream:
         self.idx = idx
         self.source = source
         self.sink = sink
+        # sink-negotiated depth (same contract as FrameEngine): skip the
+        # device->host depth fetch for sinks that never read it
+        self.wants_depth = bool(getattr(sink, "wants_depth", True))
         self.raw = Mailbox()
         self.out = Mailbox()
         self.raw_seq = -1
@@ -102,7 +105,8 @@ class MultiStreamEngine:
     def _finish(self, st: _Stream) -> None:
         sbs, depth, t0 = st.pending
         st.pending = None
-        st.out.put((np.asarray(sbs), depth, t0))
+        depth_np = np.asarray(depth) if st.wants_depth else None
+        st.out.put((np.asarray(sbs), depth_np, t0))
         st.frames += 1
         st.fps.tick()
 
@@ -122,11 +126,13 @@ class MultiStreamEngine:
                         continue
                     frame, t0 = item
                     sbs, depth = self.program(jax.device_put(frame), stream=st.idx)
-                    if hasattr(sbs, "copy_to_host_async"):
-                        try:
-                            sbs.copy_to_host_async()  # overlap d2h w/ next
-                        except Exception:
-                            pass
+                    outs = (sbs, depth) if st.wants_depth else (sbs,)
+                    for arr in outs:
+                        if hasattr(arr, "copy_to_host_async"):
+                            try:
+                                arr.copy_to_host_async()  # overlap d2h
+                            except Exception:
+                                pass
                     # one-frame software pipeline per stream: finish the
                     # PREVIOUS result while this one executes on device
                     if st.pending is not None:
