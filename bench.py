@@ -139,6 +139,7 @@ def _build_program(settings, policy, quant: str = "none"):
 
 
 def _measure_rate(program, frame, scalar, measure_s: float) -> tuple:
+    import statistics
     import time as _t
 
     for _ in range(3):
@@ -148,15 +149,24 @@ def _measure_rate(program, frame, scalar, measure_s: float) -> tuple:
     # The data-dependent scalar fetch costs a full tunnel round-trip
     # (~30 ms on the dev harness, ~µs on a real TPU host); amortize it over
     # a large enough batch that it stays measurement noise (<0.5 ms/frame).
+    # Rate = MEDIAN of per-batch rates: the dev tunnel occasionally stalls
+    # one fetch for tens of seconds (relay pressure), which a wall-clock
+    # total would smear across every frame (one such stall reported int8 at
+    # 30 FPS with a chained_ms of 9.4 — internally impossible); the median
+    # demotes a stalled batch to one discarded outlier.  At least 4
+    # batches always run so the median is meaningful.
     batch = 64
-    t0 = _t.time()
-    while _t.time() - t0 < measure_s:
+    rates = []
+    t_start = _t.time()
+    while _t.time() - t_start < measure_s or len(rates) < 4:
+        t0 = _t.time()
         for _ in range(batch):
             sbs, depth = program(frame)
             frames += 1
         float(scalar(sbs))
-    elapsed = _t.time() - t0
-    return frames / elapsed, frames, elapsed, sbs
+        rates.append(batch / (_t.time() - t0))
+    elapsed = _t.time() - t_start
+    return statistics.median(rates), frames, elapsed, sbs
 
 
 def stage_bf16() -> dict:
@@ -228,7 +238,7 @@ def stage_bf16() -> dict:
         "vs_baseline": round(projected_e2e / REFERENCE_4K_FPS, 3),
         "vs_baseline_device_only": round(fps / REFERENCE_4K_FPS, 3),
         "frames": frames,
-        "frame_ms": round(1000.0 * elapsed / max(frames, 1), 2),
+        "frame_ms": round(1000.0 / fps, 2),  # from the median batch rate
         "tunnel_h2d_ms": round(h2d_s * 1000, 1),
         "platform": policy.platform,
         "devices": policy.description,
