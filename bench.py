@@ -1,7 +1,9 @@
 """North-star benchmark: 4K frame → depth (DA-V2 ViT-L @ 518) → Half-SBS,
 the full frame program on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+The LAST stdout line is the scored JSON artifact:
+{"metric", "value", "unit", "vs_baseline", ...}.  (Per-stage JSON lines
+stream out earlier so a truncated run still leaves a parseable line.)
 vs_baseline compares against the reference's best published 4K→4K number
 (18 FPS, depth-res 384, RX 9060XT — reference Benchmark.md:9; see
 BASELINE.md); the north star (≥60 FPS at the much larger ViT-L) needs ~3.3×.
@@ -27,6 +29,16 @@ model_ms 6.0 > bf16's 4.5 while ALSO reporting higher pipeline FPS —
 irreconcilable); one process per measurement is the same isolation
 benchmarks/families.py uses, and the TPU is held by exactly one process at
 a time (stages run sequentially).
+
+Survivability (r04 lesson — BENCH_r04.json was rc=124 with EMPTY stdout):
+every child stdout line is FORWARDED AND FLUSHED the moment it arrives, so
+the bf16 JSON line is on the orchestrator's stdout before the int8 stage
+starts — an external `timeout` anywhere after that still leaves a
+parseable artifact as the last line.  The whole run honors an internal
+wall budget (D2S_BENCH_BUDGET_S, default 420 s) with prioritized
+degradation: the bf16 headline is never dropped; e2e, kernel parity,
+stage slopes, and the int8 stage shed themselves (with explicit
+"skipped: budget" fields) as the deadline approaches.
 """
 
 from __future__ import annotations
@@ -35,9 +47,21 @@ import json
 import os
 import subprocess
 import sys
+import threading
 import time
 
 REFERENCE_4K_FPS = 18.0  # reference Benchmark.md:9 (best 4K→4K row)
+
+DEFAULT_BUDGET_S = float(os.environ.get("D2S_BENCH_BUDGET_S", "420"))
+
+_DEADLINE = [None]  # per-stage wall deadline (set from --budget)
+
+
+def _left() -> float:
+    """Seconds remaining in this stage's wall budget (inf if unset)."""
+    if _DEADLINE[0] is None:
+        return float("inf")
+    return _DEADLINE[0] - time.time()
 
 PCIE_BYTES_PER_S = 16e9  # production TPU-host link (PCIe gen4 x16 ≈ 16 GB/s)
 
@@ -82,8 +106,6 @@ def _tpu_guard() -> None:
     """A dead axon tunnel relay makes jax.devices() hang FOREVER (no error,
     no timeout) — probe it on a daemon thread so the scored artifact
     records a diagnostic line instead of wedging the driver."""
-    import threading
-
     ready = threading.Event()
 
     def _probe():
@@ -93,15 +115,16 @@ def _tpu_guard() -> None:
         ready.set()
 
     threading.Thread(target=_probe, daemon=True).start()
-    if not ready.wait(timeout=240.0):
+    wait_s = min(240.0, max(60.0, _left() - 30.0))
+    if not ready.wait(timeout=wait_s):
         print(json.dumps({
             "metric": "device_pipeline_fps_4k_halfsbs_vitl518",
             "value": None,
             "unit": "frames/sec",
             "vs_baseline": None,
-            "error": "TPU unreachable: jax.devices() did not return within "
-                     "240s (tunnel relay down — see the verify skill's "
-                     "symptom ladder)",
+            "error": f"TPU unreachable: jax.devices() did not return within "
+                     f"{wait_s:.0f}s (tunnel relay down — see the verify "
+                     f"skill's symptom ladder)",
         }))
         sys.stdout.flush()
         os._exit(1)  # the probe thread is unjoinably hung
@@ -138,16 +161,23 @@ def _build_program(settings, policy, quant: str = "none"):
     return program, build_s
 
 
-def _robust_rate(batch_fps: float, stage_ms: dict) -> tuple:
-    """(headline_fps, source): the larger of the batch-median rate and the
-    slope-derived chained rate (see the call site for why max is sound)."""
+def _headline_rate(batch_fps: float, stage_ms: dict) -> dict:
+    """The chained-step slope is THE declared headline estimator, every
+    round (VERDICT r04 item 8): it cancels the dev tunnel's fetch RTT by
+    construction and its per-repeat samples are medianed (not min'd) in
+    slope_ms.  The batch-median rate rides along as a cross-check field,
+    and the artifact FLAGS >10% disagreement (rate_disagreement) instead
+    of silently taking the max of the two — a max over estimators is
+    upward-biased and lets the headline's source flip between rounds."""
     chained = stage_ms.get("chained_ms") if isinstance(stage_ms, dict) else None
     if not chained or chained <= 0:
-        return batch_fps, "batch_median"
+        return {"fps": batch_fps, "source": "batch_median (slope unavailable)",
+                "disagreement_pct": None, "disagree": False}
     slope_fps = 1000.0 / chained
-    if slope_fps > batch_fps:
-        return slope_fps, "chained_slope"
-    return batch_fps, "batch_median"
+    disagreement = abs(slope_fps - batch_fps) / slope_fps * 100.0
+    return {"fps": slope_fps, "source": "chained_slope",
+            "disagreement_pct": round(disagreement, 1),
+            "disagree": disagreement > 10.0}
 
 
 def _measure_rate(program, frame, scalar, measure_s: float) -> tuple:
@@ -212,6 +242,32 @@ def stage_bf16() -> dict:
     scalar = jax.jit(lambda x: x[0, 0, 0].astype(jnp.float32))
     fps, frames, elapsed, sbs = _measure_rate(program, frame, scalar, 12.0)
 
+    # --- per-stage Amdahl breakdown + the chained whole-step slope (the
+    # headline estimator) + residual: the table must reconcile with
+    # frame_ms or it explains itself.  Budget-scaled repeats; the slopes
+    # are only skipped when even one repeat would blow the deadline — the
+    # headline then degrades to batch_median with its source labeled.
+    if _left() > 150:
+        slope_repeats = 3
+    elif _left() > 90:
+        slope_repeats = 2
+    else:
+        slope_repeats = 1
+    if _left() > 35:
+        try:
+            from benchmarks._timing import stage_slopes
+
+            stage_ms = stage_slopes(program, frame, n1=16, n2=64,
+                                    repeats=slope_repeats)
+        except Exception as e:
+            stage_ms = {"error": f"{type(e).__name__}: {e}"}
+    else:
+        stage_ms = {"note": "skipped: budget"}
+
+    batch_fps = fps
+    rate = _headline_rate(batch_fps, stage_ms)
+    fps = rate["fps"]
+
     # --- host upload overhead (tunnel on this dev harness, PCIe in prod).
     # Downloads are NOT timed: the dev tunnel's d2h path stalls for minutes
     # under HBM pressure, which would wedge the benchmark while measuring
@@ -223,27 +279,13 @@ def stage_bf16() -> dict:
     float(scalar(jax.device_put(h_frame)))
     h2d_s = time.time() - t0
 
-    kernel_parity = run_kernel_parity()
-    # per-stage Amdahl breakdown of the headline bf16 program, PLUS the
-    # chained whole-step slope and the residual (chained − Σ stages): the
-    # table must reconcile with frame_ms or it explains itself
-    try:
-        from benchmarks._timing import stage_slopes
-
-        stage_ms = stage_slopes(program, frame, n1=16, n2=64, repeats=3)
-    except Exception as e:
-        stage_ms = {"error": f"{type(e).__name__}: {e}"}
-
-    # Two independent estimators of the same steady-state device rate:
-    # the batch loop (median of per-batch rates) and the chained-step
-    # slope (RTT cancels by construction).  Tunnel degradation — relay
-    # stalls between host and chip — can only LOWER either one (stalls add
-    # wall time, never remove it), so the headline takes the larger and
-    # reports both with the source labeled.  One observed bad phase:
-    # batch rate 54.7 "FPS" at tunnel_h2d_ms 1082 while the slope said
-    # 9.9 ms/frame, consistent with every healthy-phase run.
-    batch_fps = fps
-    fps, rate_src = _robust_rate(batch_fps, stage_ms)
+    # on-chip Pallas-vs-jnp parity (CLAUDE.md requires this green; all its
+    # kernels hit the persistent cache on a warm host).  Shed under a
+    # collapsed budget rather than lose the headline line.
+    if _left() > 45:
+        kernel_parity = run_kernel_parity()
+    else:
+        kernel_parity = "skipped: budget"
 
     # projected production e2e: measured device rate + measured frame bytes
     # over PCIe (what replaces this harness's tunnel on a real TPU host).
@@ -251,7 +293,14 @@ def stage_bf16() -> dict:
     # engine's sink-negotiated fetch skips depth for non-depth sinks).
     projected = project_pcie_fps(fps, h2d_bytes=frame.nbytes,
                                  d2h_bytes=sbs.nbytes)
-    e2e = run_end_to_end(program, policy)
+    # the tunnel-capped FrameEngine loop is the most expendable stage
+    # (VERDICT r04 degradation order: int8 slopes → e2e → bf16 slopes)
+    if _left() > 75:
+        e2e = run_end_to_end(program, policy,
+                             duration=min(120.0, _left() - 40.0))
+    else:
+        e2e = {"pipeline_fps_end_to_end": None,
+               "pipeline_e2e_note": "skipped: budget"}
 
     projected_e2e = projected["pipeline_fps_projected_pcie"]
     return {
@@ -262,8 +311,11 @@ def stage_bf16() -> dict:
         "vs_baseline_device_only": round(fps / REFERENCE_4K_FPS, 3),
         "frames": frames,
         "frame_ms": round(1000.0 / fps, 2),
-        "rate_source": rate_src,
+        "rate_source": rate["source"],
         "rate_batch_median_fps": round(batch_fps, 2),
+        "rate_disagreement_pct": rate["disagreement_pct"],
+        "rate_disagreement": rate["disagree"],
+        "slope_repeats": slope_repeats,
         "tunnel_h2d_ms": round(h2d_s * 1000, 1),
         "platform": policy.platform,
         "devices": policy.description,
@@ -306,15 +358,24 @@ def stage_int8() -> dict:
         np.random.default_rng(0).integers(0, 255, frame_shape, dtype=np.uint8))
     scalar = jax.jit(lambda x: x[0, 0, 0].astype(jnp.float32))
     fps, _frames, _elapsed, _sbs = _measure_rate(program, frame, scalar, 8.0)
-    try:
-        from benchmarks._timing import stage_slopes
+    # int8 slopes are the FIRST thing the budget sheds (degradation order:
+    # int8 slopes → e2e → bf16 slopes → never the bf16 headline)
+    if _left() > 40:
+        try:
+            from benchmarks._timing import stage_slopes
 
-        stage_ms = stage_slopes(program, frame, n1=16, n2=64, repeats=3)
-    except Exception as e:
-        stage_ms = {"error": f"{type(e).__name__}: {e}"}
-    fps, rate_src = _robust_rate(fps, stage_ms)
-    return {"int8_pipeline_fps": round(fps, 2), "int8_stage_ms": stage_ms,
-            "int8_rate_source": rate_src}
+            stage_ms = stage_slopes(program, frame, n1=16, n2=64,
+                                    repeats=3 if _left() > 120 else 1)
+        except Exception as e:
+            stage_ms = {"error": f"{type(e).__name__}: {e}"}
+    else:
+        stage_ms = {"note": "skipped: budget"}
+    rate = _headline_rate(fps, stage_ms)
+    return {"int8_pipeline_fps": round(rate["fps"], 2),
+            "int8_stage_ms": stage_ms,
+            "int8_rate_source": rate["source"],
+            "int8_rate_batch_median_fps": round(fps, 2),
+            "int8_rate_disagreement_pct": rate["disagreement_pct"]}
 
 
 def depth_parity_status(model_name: str) -> dict:
@@ -519,7 +580,7 @@ def run_kernel_parity() -> str:
         return f"ERROR {type(e).__name__}: {e}"
 
 
-def run_end_to_end(program, policy) -> dict:
+def run_end_to_end(program, policy, duration: float = 240.0) -> dict:
     """FrameEngine capture→compute→sink rate (the reference's FPS metric,
     reference main.py:1194-1264).  On this dev harness every frame crosses
     the network tunnel twice (~15-90 MB/s vs PCIe ~16 GB/s), so the number
@@ -532,13 +593,14 @@ def run_end_to_end(program, policy) -> dict:
     from desktop2stereo_tpu.sources.synthetic import SyntheticSource
 
     try:
-        # ≥64 processed frames or 240 s, whichever first: at the tunnel's
-        # ~1 FPS that is ~1-2 min — enough samples for a real median (the
-        # r02 figure came from 3 frames and characterized nothing).
+        # 64 processed frames or the budget-derived duration, whichever
+        # first: at the tunnel's ~1 FPS that is ~1-2 min — enough samples
+        # for a real median (the r02 figure came from 3 frames and
+        # characterized nothing).
         source = SyntheticSource(size=(2160, 3840), max_frames=4096)
         engine = FrameEngine(source, program, NullSink(), target_fps=60.0,
                              shutdown=threading.Event())
-        stats = engine.run(duration=240.0, max_frames=64)
+        stats = engine.run(duration=duration, max_frames=64)
         med = stats.latency_median or {}
         return {
             "pipeline_fps_end_to_end": round(stats.fps, 2),
@@ -556,38 +618,95 @@ def run_end_to_end(program, policy) -> dict:
                 "pipeline_e2e_note": f"ERROR {type(e).__name__}: {e}"}
 
 
-def _run_stage(stage: str, timeout_s: float) -> dict:
-    """Run `bench.py --stage <stage>` in a fresh process; the child prints
-    its JSON on the LAST line of stdout."""
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--stage", stage],
-        capture_output=True, text=True, timeout=timeout_s,
+def _run_stage(stage: str, budget_s: float, timeout_s: float) -> tuple:
+    """Run `bench.py --stage <stage> --budget <s>` in a fresh process,
+    FORWARDING (and flushing) every child stdout line the moment it
+    arrives — a driver timeout that kills this orchestrator mid-int8 still
+    leaves the already-printed bf16 JSON line as a parseable artifact.
+
+    Returns (last_parseable_json_or_None, returncode, stderr_tail)."""
+    proc = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--stage", stage,
+         "--budget", f"{budget_s:.0f}"],
+        stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
     )
-    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
-    if proc.returncode != 0 or not lines:
-        tail = (proc.stderr or proc.stdout or "").strip().splitlines()[-8:]
-        raise RuntimeError(f"stage {stage} rc={proc.returncode}: "
-                           + " | ".join(tail))
-    return json.loads(lines[-1])
+    err_tail: list = []
+
+    def _drain_err():
+        for ln in proc.stderr:
+            err_tail.append(ln.rstrip())
+            del err_tail[:-8]
+
+    threading.Thread(target=_drain_err, daemon=True).start()
+    killer = threading.Timer(timeout_s, proc.kill)
+    killer.start()
+    last = None
+    try:
+        for ln in proc.stdout:
+            ln = ln.strip()
+            if not ln:
+                continue
+            print(ln, flush=True)
+            try:
+                last = json.loads(ln)
+            except ValueError:
+                pass
+        proc.wait()
+    finally:
+        killer.cancel()
+    return last, proc.returncode, err_tail
 
 
 def main() -> None:
+    if "--budget" in sys.argv:
+        budget = float(sys.argv[sys.argv.index("--budget") + 1])
+        _DEADLINE[0] = time.time() + budget
     if "--stage" in sys.argv:
         stage = sys.argv[sys.argv.index("--stage") + 1]
+        if stage not in ("bf16", "int8"):
+            raise SystemExit(f"unknown --stage {stage!r} (valid: bf16, int8)")
         result = stage_bf16() if stage == "bf16" else stage_int8()
-        print(json.dumps(result))
+        print(json.dumps(result), flush=True)
         return
 
     # orchestrator: one process per measurement (the TPU is held by exactly
-    # one child at a time; this parent never initializes jax)
-    result = _run_stage("bf16", timeout_s=3000)
-    try:
-        result.update(_run_stage("int8", timeout_s=1500))
-    except Exception as e:  # int8 is a secondary metric — never sink the artifact
-        result["int8_pipeline_fps"] = f"ERROR {type(e).__name__}: {e}"
+    # one child at a time; this parent never initializes jax).  The total
+    # wall budget splits ~60/40 across the stages; each child degrades
+    # internally against its own deadline, and its JSON line streams to
+    # stdout the moment it exists.
+    t_start = time.time()
+    budget = DEFAULT_BUDGET_S
+    bf16_budget = budget * 0.6
+    result, rc, err_tail = _run_stage("bf16", bf16_budget,
+                                      timeout_s=bf16_budget + 120)
+    if result is None or rc != 0:
+        if result is not None:
+            # child printed a diagnostic JSON line (dead-tunnel guard) —
+            # it is already streamed above; exit non-zero without burying
+            # it under a traceback (ADVICE r04)
+            sys.exit(1)
+        print(json.dumps({
+            "metric": "device_pipeline_fps_4k_halfsbs_vitl518",
+            "value": None, "unit": "frames/sec", "vs_baseline": None,
+            "error": f"bf16 stage rc={rc}: " + " | ".join(err_tail),
+        }), flush=True)
+        sys.exit(1)
+    remaining = budget - (time.time() - t_start)
+    if remaining < 60:
+        result["int8_pipeline_fps"] = "skipped: budget exhausted by bf16 stage"
         result["int8_stage_ms"] = {}
-    print(json.dumps(result))
+    else:
+        int8_result, rc8, err8 = _run_stage("int8", remaining,
+                                            timeout_s=remaining + 60)
+        if int8_result is not None and rc8 == 0:
+            result.update(int8_result)
+        else:  # int8 is secondary — never sink the artifact
+            result["int8_pipeline_fps"] = (
+                f"ERROR rc={rc8}: " + " | ".join(err8[-3:]))
+            result["int8_stage_ms"] = {}
+    result["bench_wall_s"] = round(time.time() - t_start, 1)
+    print(json.dumps(result), flush=True)
 
 
 if __name__ == "__main__":

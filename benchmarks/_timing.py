@@ -30,10 +30,15 @@ def slope_ms(fn, *args, n1: int = 20, n2: int = 60, warmup: int = 4,
              repeats: int = 1) -> float:
     """Per-call milliseconds of fn(*args) by the slope method.
 
-    With repeats > 1, takes the best POSITIVE slope of `repeats` runs;
-    tunnel jitter can make a single slope estimate zero or negative, which
-    would print nonsense FPS downstream.
+    With repeats > 1, takes the MEDIAN of the positive slopes; tunnel
+    jitter can make a single slope estimate zero or negative (which would
+    print nonsense FPS downstream), so non-positive samples are dropped,
+    but among the positive ones the median is unbiased — best-of-repeats
+    systematically undershot the true per-call time and, stacked with a
+    max-of-estimators headline, inflated the scored metric (ADVICE r04).
     """
+    import statistics
+
     def run(n: int) -> float:
         t0 = time.perf_counter()
         out = None
@@ -44,16 +49,16 @@ def slope_ms(fn, *args, n1: int = 20, n2: int = 60, warmup: int = 4,
 
     fn(*args)          # compile
     run(warmup)
-    best = None
+    samples = []
     for _ in range(max(1, repeats)):
         ms = (run(n2) - run(n1)) / (n2 - n1) * 1000
-        if ms > 0 and (best is None or ms < best):
-            best = ms
-    if best is None:
+        if ms > 0:
+            samples.append(ms)
+    if not samples:
         raise RuntimeError(
             f"slope_ms: no positive slope in {repeats} runs (tunnel jitter "
             f"swamped the measurement; raise n2 or repeats)")
-    return best
+    return statistics.median(samples)
 
 
 def timeit(name: str, fn, *args, n1: int = 20, n2: int = 60,

@@ -93,7 +93,7 @@ class FrameEngine:
         self.program = program
         self.sink = sink
         # Sink-negotiated depth: sinks that never read depth (null, mjpeg,
-        # rtmp, video, window-in-stereo-modes) advertise wants_depth=None
+        # rtmp, video, window-in-stereo-modes) advertise wants_depth=False
         # and the engine skips the device→host depth fetch entirely — at 4K
         # that is a full extra frame of d2h per frame saved.  Sinks that DO
         # consume it get it fetched asynchronously alongside sbs (the same

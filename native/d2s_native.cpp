@@ -517,7 +517,15 @@ static void append_title(X11Cap* cap, unsigned long win,
     if (len > 512) len = 512;
     if (*used + len + 2 < cap_bytes) {
       if (*count) out[(*used)++] = '\n';
-      memcpy(out + *used, title, len);
+      // '\n' is the record separator, but X11 titles are arbitrary bytes
+      // and may themselves contain control characters — a newline inside
+      // a title would split it into bogus dropdown entries.  Replace all
+      // C0 control bytes with spaces (UTF-8 continuation bytes are >=0x80
+      // and pass through untouched).
+      for (size_t i = 0; i < len; ++i) {
+        unsigned char c = static_cast<unsigned char>(title[i]);
+        out[*used + i] = (c < 0x20) ? ' ' : title[i];
+      }
       *used += static_cast<uint32_t>(len);
       out[*used] = 0;
       (*count)++;

@@ -106,3 +106,108 @@ def test_projected_pcie_fps_math():
     # transfer-bound regime: huge frames flip the overlapped bound
     p2 = bench.project_pcie_fps(1000.0, int(16e9), 0)
     assert abs(p2["pipeline_fps_projected_pcie_overlapped"] - 1.0) < 1e-6
+
+
+def test_headline_rate_declares_chained_slope():
+    """VERDICT r04 item 8: chained-slope is THE headline estimator
+    whenever it exists; batch-median is a cross-check field, never a
+    silent max."""
+    import bench
+
+    # slope available: headline comes from chained_ms even when the batch
+    # rate is HIGHER (the old max-of-two would have flipped here)
+    r = bench._headline_rate(120.0, {"chained_ms": 10.0})
+    assert r["source"] == "chained_slope"
+    assert abs(r["fps"] - 100.0) < 1e-9
+    assert r["disagree"] is True          # 20% apart → flagged
+    assert abs(r["disagreement_pct"] - 20.0) < 0.1
+
+    # agreement within 10% is not flagged
+    r2 = bench._headline_rate(95.0, {"chained_ms": 10.0})
+    assert r2["source"] == "chained_slope" and r2["disagree"] is False
+
+    # no slope → degrade to batch median with the source labeled
+    r3 = bench._headline_rate(95.0, {"note": "skipped: budget"})
+    assert r3["fps"] == 95.0 and "batch_median" in r3["source"]
+    r4 = bench._headline_rate(95.0, {"error": "boom"})
+    assert r4["fps"] == 95.0 and "batch_median" in r4["source"]
+
+
+def test_bench_stage_validation():
+    """ADVICE r04: a typo'd --stage must error, not silently run int8."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "bench.py", "--stage", "bf32", "--budget", "5"],
+        capture_output=True, text=True, timeout=60,
+        cwd=__file__.rsplit("/tests/", 1)[0])
+    assert proc.returncode != 0
+    assert "unknown --stage" in (proc.stderr + proc.stdout)
+
+
+def test_bench_budget_clock():
+    import time
+
+    import bench
+
+    old = bench._DEADLINE[0]
+    try:
+        bench._DEADLINE[0] = None
+        assert bench._left() == float("inf")
+        bench._DEADLINE[0] = time.time() + 30.0
+        assert 29.0 < bench._left() <= 30.0
+    finally:
+        bench._DEADLINE[0] = old
+
+
+def test_slope_ms_median_of_repeats():
+    """ADVICE r04 (medium): repeats must aggregate by MEDIAN of positive
+    slopes, not best-of (which biased the scored metric low-ms/high-FPS)."""
+    from benchmarks import _timing
+
+    calls = {"n": 0}
+    # fabricate a fn/sync pair where run(n) durations produce slopes of
+    # 2, 1, 6 ms across three repeats: median 2, best-of would say 1
+    # slope_ms evaluates run(n2) BEFORE run(n1) in the difference
+    durations = iter([0.0,            # warmup run(4)
+                      0.112, 0.016,   # repeat 1: (112-16)/48 = 2.0 ms
+                      0.064, 0.016,   # repeat 2: 1.0 ms
+                      0.304, 0.016])  # repeat 3: 6.0 ms
+
+    t = {"now": 0.0}
+
+    def fake_perf_counter():
+        return t["now"]
+
+    class _FakeTime:
+        perf_counter = staticmethod(fake_perf_counter)
+
+    real_time, real_sync = _timing.time, _timing.sync
+    try:
+        _timing.time = _FakeTime()
+        _timing.sync = lambda out: 0.0
+
+        def fn():
+            calls["n"] += 1
+            return 0
+
+        # every run(n) call advances the fake clock by the scripted amount
+        orig_slope = _timing.slope_ms
+
+        def instrumented(fn, n1, n2, repeats):
+            # wrap fn so each sync boundary consumes one scripted duration
+            return orig_slope(fn, n1=n1, n2=n2, warmup=4, repeats=repeats)
+
+        # emulate by advancing clock inside sync: each run() starts at now
+        # and we add the next scripted duration when sync fires
+        def scripted_sync(out):
+            t["now"] += next(durations)
+            return 0.0
+
+        _timing.sync = scripted_sync
+        ms = instrumented(fn, n1=16, n2=64, repeats=3)
+        assert abs(ms - 2.0) < 1e-6, ms
+    finally:
+        _timing.time = real_time
+        _timing.sync = real_sync
