@@ -27,8 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--settings", help="settings.yaml (reference-compatible)")
     p.add_argument("--model", help="model name from the registry")
     p.add_argument("--source", default=None,
-                   choices=["synthetic", "image", "video", "screen", "shm"],
-                   help="default: screen when --settings is given (the "
+                   help="synthetic|image|video|screen|shm|tcp[:PORT]. "
+                        "tcp listens for a remote capture agent "
+                        "(tools/capture_agent.py --connect HOST:PORT). "
+                        "default: screen when --settings is given (the "
                         "reference app's behavior), else synthetic")
     p.add_argument("--input", help="path for image/video sources")
     p.add_argument("--window-title",
@@ -250,6 +252,17 @@ def make_components(args, settings):
         src_kw = {"name": args.input or "/d2s_frames"}
         if args.frames:
             src_kw["max_frames"] = args.frames
+    elif args.source == "tcp" or args.source.startswith("tcp:"):
+        # `--source tcp:7800` — network frame ingest from a remote desktop
+        # (the reference's capture layer runs on the desktop by definition,
+        # reference capture.py:39-247; on a TPU host it arrives over TCP)
+        port = 7800
+        if ":" in args.source:
+            port = int(args.source.split(":", 1)[1])
+        args.source = "tcp"
+        src_kw = {"port": port}
+        if args.frames:
+            src_kw["max_frames"] = args.frames
     elif args.source in ("image", "video"):
         if not args.input:
             raise SystemExit(f"--source {args.source} requires --input")
@@ -258,6 +271,9 @@ def make_components(args, settings):
             src_kw["max_frames"] = args.frames
         if args.source == "video":
             src_kw["loop"] = args.frames is not None
+    elif args.source not in ("synthetic", "screen", "shm"):
+        raise SystemExit(f"unknown --source {args.source!r} (valid: "
+                         "synthetic|image|video|screen|shm|tcp[:PORT])")
     try:
         source = make_source(args.source, **src_kw)
     except Exception as e:
@@ -503,9 +519,14 @@ def run(args=None) -> int:
             if args.stats_every and now - last_stats >= args.stats_every:
                 s = engine.stats()
                 lat = ", ".join(f"{k}={v*1000:.1f}ms" for k, v in s["latency"].items())
+                net = ""
+                if hasattr(source, "stats"):  # tcp ingest fps + drop stats
+                    ns = source.stats()
+                    net = (f" ingest={ns['ingest_fps']:.1f}fps "
+                           f"net_dropped={ns['frames_dropped']}")
                 print(
                     f"[d2s] fps={s['fps']:.1f} (1%low={s['fps_1pct_low']:.1f}) "
-                    f"dropped={s['dropped']} {lat}"
+                    f"dropped={s['dropped']} {lat}{net}"
                 )
                 last_stats = now
             time.sleep(0.05)

@@ -27,4 +27,8 @@ def make_source(kind: str, **kw):
         from desktop2stereo_tpu.sources.shm import ShmSource
 
         return ShmSource(**kw)
+    if kind == "tcp":
+        from desktop2stereo_tpu.sources.net import TcpFrameSource
+
+        return TcpFrameSource(**kw)
     raise ValueError(f"unknown source kind {kind!r}")

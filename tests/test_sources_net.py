@@ -1,0 +1,235 @@
+"""Network frame ingest (sources/net.py): wire protocol round-trip,
+latest-wins drop accounting at both ends, connection takeover, and the
+loopback e2e — a scripted remote agent feeding a real FrameEngine over a
+real TCP socket (VERDICT r04 item 3; the role of reference capture.py's
+grabber in a TPU topology where capture is remote by construction)."""
+
+from __future__ import annotations
+
+import socket
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from desktop2stereo_tpu.sources.net import (
+    FLAG_ZLIB, TcpFrameSender, TcpFrameSource)
+
+
+def _frame(seed: int, h: int = 24, w: int = 32, c: int = 4) -> np.ndarray:
+    return np.random.default_rng(seed).integers(
+        0, 255, (h, w, c), dtype=np.uint8)
+
+
+def test_tcp_roundtrip_raw_and_zlib():
+    for compress in ("none", "zlib"):
+        src = TcpFrameSource(port=0, host="127.0.0.1", timeout=5.0)
+        try:
+            snd = TcpFrameSender("127.0.0.1", src.port, compress=compress)
+            sent = [_frame(i) for i in range(3)]
+            for f in sent:
+                snd.send(f)
+            got = [src.grab() for _ in range(3)]
+            # latest-wins may legally drop intermediates under scheduler
+            # stalls; the FINAL frame must arrive bit-exact, and every
+            # delivered frame must be one of the sent ones
+            assert got[0] is not None
+            delivered = [g for g in got if g is not None]
+            assert any(np.array_equal(delivered[-1], f) for f in sent)
+            for g in delivered:
+                assert any(np.array_equal(g, f) for f in sent)
+            st = src.stats()
+            assert st["frames_received"] >= len(delivered)
+            assert st["peer"] is not None
+            snd.close()
+        finally:
+            src.close()
+
+
+def test_tcp_jpeg_roundtrip():
+    cv2 = pytest.importorskip("cv2")
+    del cv2
+    src = TcpFrameSource(port=0, host="127.0.0.1", timeout=5.0)
+    try:
+        snd = TcpFrameSender("127.0.0.1", src.port, compress="jpeg",
+                             jpeg_quality=95)
+        # a smooth gradient, not noise — JPEG error on noise is unbounded
+        yy, xx = np.mgrid[0:24, 0:32]
+        f = np.stack([yy * 10, xx * 7, yy * 3 + xx * 2],
+                     axis=2).astype(np.uint8)
+        snd.send(f)
+        g = src.grab()
+        assert g is not None and g.shape == f.shape
+        # lossy: close, not equal
+        assert np.abs(g.astype(int) - f.astype(int)).mean() < 8
+        snd.close()
+    finally:
+        src.close()
+
+
+def test_tcp_latest_wins_and_drop_stats():
+    src = TcpFrameSource(port=0, host="127.0.0.1", timeout=5.0)
+    try:
+        snd = TcpFrameSender("127.0.0.1", src.port)
+        last = None
+        for i in range(20):
+            last = _frame(i)
+            snd.send(last)
+        # wait until the reader has drained everything we sent
+        deadline = time.monotonic() + 5.0
+        while (src.stats()["frames_received"] < 20
+               and time.monotonic() < deadline):
+            time.sleep(0.01)
+        got = src.grab()
+        assert np.array_equal(got, last)   # newest frame wins
+        st = src.stats()
+        assert st["frames_received"] == 20
+        assert st["frames_delivered"] == 1
+        assert st["frames_dropped"] == 19  # intermediates dropped, not queued
+        snd.close()
+    finally:
+        src.close()
+
+
+def test_tcp_sender_latest_wins_offer():
+    """Agent-side depth-1 slot: offers faster than the link replaces
+    pending frames (skipped), and the wire never misframes."""
+    # a sink that accepts but never reads -> the socket saturates
+    sink = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    sink.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    sink.bind(("127.0.0.1", 0))
+    sink.listen(1)
+    accepted = []
+
+    def _accept():
+        conn, _ = sink.accept()
+        conn.setsockopt(socket.SOL_SOCKET, socket.SO_RCVBUF, 4096)
+        accepted.append(conn)
+
+    threading.Thread(target=_accept, daemon=True).start()
+    snd = TcpFrameSender("127.0.0.1", sink.getsockname()[1])
+    try:
+        snd.sock.setsockopt(socket.SOL_SOCKET, socket.SO_SNDBUF, 4096)
+        big = _frame(0, h=256, w=256)      # 256 KB >> socket buffers
+        for i in range(30):
+            snd.offer(big)
+            time.sleep(0.002)
+        assert snd.skipped > 0             # slot replaced stale frames
+        assert snd.sent + snd.skipped <= 30
+    finally:
+        snd.close()
+        for c in accepted:
+            c.close()
+        sink.close()
+
+
+def test_tcp_new_connection_takes_over():
+    src = TcpFrameSource(port=0, host="127.0.0.1", timeout=5.0)
+    try:
+        a = TcpFrameSender("127.0.0.1", src.port)
+        a.send(_frame(1))
+        assert src.grab() is not None
+        b = TcpFrameSender("127.0.0.1", src.port)   # agent restart
+        time.sleep(0.05)
+        f2 = _frame(2)
+        b.send(f2)
+        got = src.grab()
+        assert np.array_equal(got, f2)
+        a.close()
+        b.close()
+    finally:
+        src.close()
+
+
+def test_tcp_protocol_violation_drops_connection():
+    src = TcpFrameSource(port=0, host="127.0.0.1", timeout=1.0)
+    try:
+        raw = socket.create_connection(("127.0.0.1", src.port), timeout=5)
+        raw.sendall(b"GET / HTTP/1.1\r\n\r\n")   # not our magic
+        time.sleep(0.1)
+        assert src.grab() is None                # nothing ingested
+        assert src.stats()["frames_received"] == 0
+        raw.close()
+    finally:
+        src.close()
+
+
+def test_tcp_grab_timeout_when_agent_gone():
+    src = TcpFrameSource(port=0, host="127.0.0.1", timeout=0.3)
+    try:
+        t0 = time.monotonic()
+        assert src.grab() is None
+        assert time.monotonic() - t0 < 2.0
+    finally:
+        src.close()
+
+
+def test_tcp_zlib_flag_on_wire():
+    """The zlib flag actually travels (guards against a silent fallback to
+    raw that would triple WAN bandwidth)."""
+    src = TcpFrameSource(port=0, host="127.0.0.1", timeout=5.0)
+    try:
+        snd = TcpFrameSender("127.0.0.1", src.port, compress="zlib")
+        pkt = snd._pack(np.zeros((16, 16, 4), np.uint8))
+        from desktop2stereo_tpu.sources.net import _FRAME_HDR
+
+        _, _, _, _, flags, plen = _FRAME_HDR.unpack(pkt[:_FRAME_HDR.size])
+        assert flags & FLAG_ZLIB
+        assert plen < 16 * 16 * 4            # zeros compress
+        snd.close()
+    finally:
+        src.close()
+
+
+def test_tcp_loopback_end_to_end():
+    """Scripted frames → remote agent (TcpFrameSender over real TCP) →
+    TcpFrameSource → FrameEngine → collecting sink."""
+    from desktop2stereo_tpu.pipeline.engine import FrameEngine
+
+    class EchoProgram:
+        def __call__(self, frame):
+            return frame, None
+
+    class CollectSink:
+        wants_depth = False
+
+        def __init__(self):
+            self.frames = []
+
+        def push(self, sbs, depth, stats):
+            self.frames.append(np.asarray(sbs))
+
+        def close(self):
+            pass
+
+    src = TcpFrameSource(port=0, host="127.0.0.1", timeout=5.0,
+                         max_frames=6)
+    sink = CollectSink()
+    stop = threading.Event()
+    engine = FrameEngine(src, EchoProgram(), sink, target_fps=120.0,
+                         shutdown=stop)
+
+    sent = [_frame(i) for i in range(40)]
+
+    def _agent():
+        snd = TcpFrameSender("127.0.0.1", src.port)
+        for f in sent:
+            snd.send(f)
+            time.sleep(0.01)
+        snd.flush()
+        snd.close()
+
+    t = threading.Thread(target=_agent, daemon=True)
+    t.start()
+    stats = engine.run(duration=10.0, max_frames=6)
+    stop.set()
+    t.join(timeout=10)
+    src.close()
+    assert stats.frames >= 1
+    assert len(sink.frames) >= 1
+    for g in sink.frames:                     # every output is a sent frame
+        assert any(np.array_equal(g, f) for f in sent)
+    st = src.stats()
+    assert st["frames_delivered"] >= 1
+    assert st["frames_received"] >= st["frames_delivered"]
