@@ -149,6 +149,16 @@ def load() -> Optional[ctypes.CDLL]:
                                       ctypes.c_int]
         lib.d2s_input_close.argtypes = [ctypes.c_void_p]
 
+        lib.d2s_touch_open.restype = ctypes.c_void_p
+        lib.d2s_touch_open.argtypes = [ctypes.c_int, ctypes.c_int]
+        lib.d2s_touch_point.restype = ctypes.c_int
+        lib.d2s_touch_point.argtypes = [ctypes.c_void_p, ctypes.c_int,
+                                        ctypes.c_int, ctypes.c_int,
+                                        ctypes.c_int]
+        lib.d2s_touch_frame.restype = ctypes.c_int
+        lib.d2s_touch_frame.argtypes = [ctypes.c_void_p]
+        lib.d2s_touch_close.argtypes = [ctypes.c_void_p]
+
         _lib = lib
         return _lib
 

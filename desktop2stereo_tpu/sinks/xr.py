@@ -37,14 +37,21 @@ class XrSink:
         frames-only; the url string says which."""
         self.frames = FrameServer()
         self.bridge = None
+        touch = None
         if injector is None and inject_input:
-            from desktop2stereo_tpu.xr.injector import make_injector
+            from desktop2stereo_tpu.xr.injector import (make_injector,
+                                                        make_touch_injector)
 
             injector = make_injector()
+            if injector is not None:
+                # real multitouch for the two-trigger pinch when the host
+                # grants /dev/uinput (reference InjectTouchInput parity);
+                # the bridge synthesizes ctrl+wheel zoom otherwise
+                touch = make_touch_injector(injector.screen_size)
         if injector is not None:
             from desktop2stereo_tpu.xr.injector import InputBridge
 
-            self.bridge = InputBridge(injector)
+            self.bridge = InputBridge(injector, touch_injector=touch)
         self._net = FrameNetServer(
             self.frames, host=host, port=port, meta=meta,
             on_input=self.bridge.handle if self.bridge else None).start()
@@ -70,3 +77,10 @@ class XrSink:
 
     def close(self) -> None:
         self._net.close()
+        if self.bridge is not None:
+            for inj in (self.bridge.touch_injector, self.bridge.injector):
+                try:
+                    if inj is not None:
+                        inj.close()   # lifts stuck touches / releases keys
+                except Exception:
+                    pass

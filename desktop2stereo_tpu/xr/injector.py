@@ -105,6 +105,40 @@ class XTestInjector:
             self._h = None
 
 
+class UinputTouchInjector:
+    """Real multitouch via a virtual uinput touchscreen (the Linux
+    counterpart of the reference's InjectTouchInput, reference
+    xr_viewer/input.py:121-390): apps that distinguish touch gestures from
+    ctrl+wheel (maps, browsers, photo viewers) see genuine two-finger
+    pinches.  Needs /dev/uinput write access; raises RuntimeError when the
+    host can't provide it (the bridge then degrades to wheel zoom)."""
+
+    def __init__(self, screen_size: Tuple[int, int] = (1920, 1080)):
+        from desktop2stereo_tpu.native import load
+
+        lib = load()
+        if lib is None:
+            raise RuntimeError("native library unavailable")
+        self._lib = lib
+        self._h = lib.d2s_touch_open(int(screen_size[0]), int(screen_size[1]))
+        if not self._h:
+            raise RuntimeError("uinput touch unavailable "
+                               "(no /dev/uinput write access)")
+        self.screen_size = (int(screen_size[0]), int(screen_size[1]))
+
+    def touch(self, slot: int, x: int, y: int, down: bool) -> None:
+        self._lib.d2s_touch_point(self._h, int(slot), int(x), int(y),
+                                  int(down))
+
+    def frame(self) -> None:
+        self._lib.d2s_touch_frame(self._h)
+
+    def close(self) -> None:
+        if self._h:
+            self._lib.d2s_touch_close(self._h)
+            self._h = None
+
+
 class RecordingInjector:
     """Test double: records every call (the loopback e2e harness)."""
 
@@ -125,11 +159,39 @@ class RecordingInjector:
         self.events.append(("close",))
 
 
+class RecordingTouchInjector:
+    """Test double for the touch path."""
+
+    def __init__(self, screen_size: Tuple[int, int] = (1920, 1080)):
+        self.screen_size = screen_size
+        self.events: List[tuple] = []
+
+    def touch(self, slot: int, x: int, y: int, down: bool) -> None:
+        self.events.append(("touch", int(slot), int(x), int(y), bool(down)))
+
+    def frame(self) -> None:
+        self.events.append(("frame",))
+
+    def close(self) -> None:
+        self.events.append(("close",))
+
+
 def make_injector(display: str = "") -> Optional[XTestInjector]:
     """XTest injector if the host can inject, else None (headless TPU pods
     serve frames but can't click — the sink logs that input is inert)."""
     try:
         return XTestInjector(display)
+    except RuntimeError:
+        return None
+
+
+def make_touch_injector(
+        screen_size: Tuple[int, int] = (1920, 1080)
+) -> Optional[UinputTouchInjector]:
+    """uinput touchscreen if the host grants /dev/uinput, else None (the
+    bridge synthesizes ctrl+wheel zoom from the same touch stream)."""
+    try:
+        return UinputTouchInjector(screen_size)
     except RuntimeError:
         return None
 
@@ -143,26 +205,96 @@ _WHEEL_V = (4, 5)
 _WHEEL_H = (7, 6)
 
 
+class PinchWheelZoom:
+    """Host-side fallback for touch streams on hosts without uinput:
+    re-derives the pinch scale from the two contacts and synthesizes the
+    ctrl+wheel zoom ticks the router used to send directly (the Linux
+    analog of the reference's touch zoom, reference input.py:121-390
+    geometric core — same _PINCH_TICK_SCALE semantics as r04)."""
+
+    TICK_SCALE = 0.08  # log-scale units per wheel tick
+
+    def __init__(self):
+        self._pts: Dict[int, Tuple[float, float]] = {}
+        self._anchor: Optional[float] = None
+        self._accum = 0.0
+
+    def feed(self, ev: dict, inj, screen: Tuple[int, int]) -> None:
+        import math
+
+        w, h = screen
+        tid = int(ev.get("id", 0))
+        phase = ev.get("phase")
+        if phase == "up":
+            self._pts.pop(tid, None)
+            self._anchor = None
+            self._accum = 0.0
+            return
+        self._pts[tid] = (float(ev.get("u", 0.0)) * max(w - 1, 1),
+                          float(ev.get("v", 0.0)) * max(h - 1, 1))
+        if len(self._pts) < 2:
+            return
+        (x1, y1), (x2, y2) = list(self._pts.values())[:2]
+        dist = max(math.hypot(x2 - x1, y2 - y1), 1e-6)
+        if self._anchor is None:
+            self._anchor = dist
+            return
+        self._accum += math.log(dist / self._anchor)
+        self._anchor = dist
+        ticks = int(self._accum / self.TICK_SCALE)
+        if ticks:
+            self._accum -= ticks * self.TICK_SCALE
+            inj.key_vk(0x11, True)               # Ctrl
+            btn = 4 if ticks > 0 else 5          # wheel up/down
+            for _ in range(abs(ticks)):
+                inj.button(btn, True)
+                inj.button(btn, False)
+            inj.key_vk(0x11, False)
+
+
 class InputBridge:
     """Wire events (xr/net.py input channel) → injector calls.
 
     Cursor positions travel as normalized (u, v) in IMAGE convention
     (v=0 top) of the captured frame, so resolution changes on either side
-    never skew the mapping; the bridge scales to the injector's screen."""
+    never skew the mapping; the bridge scales to the injector's screen.
 
-    def __init__(self, injector, screen_size: Optional[Tuple[int, int]] = None):
+    Touch streams ({"t": "touch", ...} from the router's two-trigger
+    pinch) go to the uinput touchscreen when the host has one; otherwise
+    they collapse to ctrl+wheel zoom via PinchWheelZoom — the capability
+    decision lives HERE, on the host that knows, not in the headset."""
+
+    def __init__(self, injector, screen_size: Optional[Tuple[int, int]] = None,
+                 touch_injector=None):
         self.injector = injector
+        self.touch_injector = touch_injector
         self.screen_size = screen_size or getattr(
             injector, "screen_size", (1920, 1080))
         self.events_handled = 0
+        self._pinch_fallback = PinchWheelZoom()
 
     def handle(self, events: List[dict]) -> None:
         inj = self.injector
-        if inj is None:
+        if inj is None and self.touch_injector is None:
             return
         w, h = self.screen_size
+        touched = False
         for ev in events:
             t = ev.get("t")
+            if t == "touch":
+                tj = self.touch_injector
+                if tj is not None:
+                    x = float(ev.get("u", 0.0)) * max(w - 1, 1)
+                    y = float(ev.get("v", 0.0)) * max(h - 1, 1)
+                    tj.touch(int(ev.get("id", 0)) % 10, int(round(x)),
+                             int(round(y)), ev.get("phase") != "up")
+                    touched = True
+                elif inj is not None:
+                    self._pinch_fallback.feed(ev, inj, (w, h))
+                self.events_handled += 1
+                continue
+            if inj is None:
+                continue
             if t == "move":
                 x = float(ev.get("u", 0.0)) * max(w - 1, 1)
                 y = float(ev.get("v", 0.0)) * max(h - 1, 1)
@@ -200,3 +332,7 @@ class InputBridge:
                 for m in reversed(mods):
                     inj.key_vk(m, False)
             self.events_handled += 1
+        if touched:
+            # one SYN_REPORT per wire batch: contacts that moved together
+            # land in the same input frame (multitouch is frame-oriented)
+            self.touch_injector.frame()

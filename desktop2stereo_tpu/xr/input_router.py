@@ -13,17 +13,21 @@ Event wire vocabulary (all little JSON dicts):
     {"t": "button", "b": 1|2|3, "down": bool}      mouse buttons
     {"t": "scroll", "dy": ±n, "dx": ±n}            wheel ticks
     {"t": "tap", "vk": int, "mods": [vk...]}       one-shot key (vkbd/arrows)
+    {"t": "touch", "id": n, "u":, "v":,
+     "phase": "down"|"move"|"up"}                  two-trigger pinch contacts
+                                                   (host injects uinput
+                                                   multitouch, or synthesizes
+                                                   ctrl+wheel zoom without it)
 """
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Tuple
 
 from desktop2stereo_tpu.xr.input_map import (ArrowRepeater, ClickDragTracker,
                                              CursorMapper, OwnershipArbiter,
-                                             PinchTracker, ScrollAccumulator)
+                                             ScrollAccumulator)
 from desktop2stereo_tpu.xr.keyboard import VK, Key, KeyboardState
 
 TRIGGER_ON = 0.55
@@ -35,9 +39,11 @@ _EDGE_BAND_UV = 0.25
 # pseudo screen-distance for edge-band plane hits: far enough that a real
 # keyboard hover always outranks it in the ownership arbiter
 _EDGE_BAND_DIST = 25.0
-# pinch scale step per ctrl+wheel tick (the Linux zoom analog of the
-# reference's Windows two-finger touch injection, input.py:121-390)
-_PINCH_TICK_SCALE = 0.08
+# NOTE r05: the router no longer synthesizes zoom ticks itself — the
+# two-trigger pinch travels as REAL touch contacts ({"t": "touch"}) and the
+# capture host decides: uinput multitouch when it can (parity with the
+# reference's InjectTouchInput, input.py:121-390), ctrl+wheel synthesis
+# when it can't (xr/injector.py PinchWheelZoom).
 
 
 @dataclass
@@ -73,12 +79,11 @@ class OsInputRouter:
         self.scroll_v = ScrollAccumulator()
         self.scroll_h = ScrollAccumulator(ticks_per_s=12.0)
         self.arrows = ArrowRepeater()
-        self.pinch = PinchTracker()
         self.kb = keyboard_state or KeyboardState()
         self.state = RouterState()
         self._kb_trigger_prev = {"left": False, "right": False}
         self._last_sent_px: Optional[Tuple[float, float]] = None
-        self._pinch_accum = 0.0
+        self._touch_pts: Dict[int, Tuple[float, float]] = {}
 
     def set_frame_size(self, w: int, h: int) -> None:
         if (w, h) != (self.frame_w, self.frame_h):
@@ -128,8 +133,9 @@ class OsInputRouter:
             min(sc_dists) if sc_dists else None, now=now)
         st.owner = owner
 
-        # mouse layer only while the screen owns the cursor
-        pinch_hands = [hi for hi in hands.values()
+        # mouse layer only while the screen owns the cursor.  Sorted hand
+        # names keep the same hand on the same touch id across ticks.
+        pinch_hands = [hi for _name, hi in sorted(hands.items())
                        if hi.screen_uv is not None
                        and hi.trigger >= TRIGGER_ON]
         if owner == "screen":
@@ -140,24 +146,24 @@ class OsInputRouter:
                     for i, hi in enumerate(hands.values())
                     if hi.screen_uv is not None or hi.plane_uv is not None]
             if len(pinch_hands) >= 2:
-                # two-trigger pinch: ctrl+wheel zoom ticks, no click/drag
-                # (the reference's touch-zoom geometric core)
-                p1 = self._uv_px(pinch_hands[0].screen_uv)
-                p2 = self._uv_px(pinch_hands[1].screen_uv)
-                pst = self.pinch.update(p1, p2)
-                if pst is not None:
-                    # integrate log-scale, then re-anchor so each tick
-                    # measures growth since the last one
-                    self._pinch_accum += math.log(max(pst.scale, 1e-6))
-                    self.pinch._start = (pst.center, max(pst.distance, 1e-6))
-                    ticks = int(self._pinch_accum / _PINCH_TICK_SCALE)
-                    if ticks:
-                        self._pinch_accum -= ticks * _PINCH_TICK_SCALE
-                        events.append({"t": "key", "vk": VK["Ctrl"],
-                                       "down": True})
-                        events.append({"t": "scroll", "dy": ticks, "dx": 0})
-                        events.append({"t": "key", "vk": VK["Ctrl"],
-                                       "down": False})
+                # two-trigger pinch → touch contacts on the wire, no
+                # click/drag (the reference's two-trigger touch zoom,
+                # reference input.py:121-390; the host's InputBridge
+                # injects real multitouch or synthesizes ctrl+wheel)
+                for tid, hi in enumerate(pinch_hands[:2]):
+                    x, y = self._uv_px(hi.screen_uv)
+                    uv = {"u": x / max(self.frame_w - 1, 1),
+                          "v": y / max(self.frame_h - 1, 1)}
+                    prev = self._touch_pts.get(tid)
+                    if prev is None:
+                        self._touch_pts[tid] = (x, y)
+                        events.append({"t": "touch", "id": tid,
+                                       "phase": "down", **uv})
+                    elif (abs(x - prev[0]) >= _MOVE_EPS_PX
+                          or abs(y - prev[1]) >= _MOVE_EPS_PX):
+                        self._touch_pts[tid] = (x, y)
+                        events.append({"t": "touch", "id": tid,
+                                       "phase": "move", **uv})
             elif cand:
                 cand.sort()
                 hi = cand[0][3]
@@ -186,16 +192,14 @@ class OsInputRouter:
                                            "down": False})
                         st.dragging = ev.kind in ("drag_start", "drag")
                 if len(pinch_hands) < 2:
-                    self.pinch.update(None, None)
-                    self._pinch_accum = 0.0
+                    self._end_touch(events)
         else:
             # keyboard owns (or nothing): release any held drag cleanly
             for ev in self.clicks.update(False, *(st.cursor_px or (0, 0)),
                                          now=now):
                 if ev.kind == "release":
                     events.append({"t": "button", "b": 1, "down": False})
-            self.pinch.update(None, None)
-            self._pinch_accum = 0.0
+            self._end_touch(events)
 
         # free-stick scroll / arrows (chord router grants ownership,
         # reference readme.md:219-224)
@@ -207,6 +211,12 @@ class OsInputRouter:
             events.append({"t": "tap", "vk": VK[name], "mods": []})
 
         return events
+
+    def _end_touch(self, events: List[dict]) -> None:
+        """Lift every active pinch contact (phase=up, ids ascending)."""
+        for tid in sorted(self._touch_pts):
+            events.append({"t": "touch", "id": tid, "phase": "up"})
+        self._touch_pts.clear()
 
     def _uv_px(self, uv: Optional[Tuple[float, float]]):
         if uv is None:

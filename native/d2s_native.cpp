@@ -27,9 +27,13 @@
 
 #include <dlfcn.h>
 #include <fcntl.h>
+#include <sys/ioctl.h>
 #include <sys/mman.h>
 #include <sys/stat.h>
 #include <unistd.h>
+
+#include <linux/input.h>
+#include <linux/uinput.h>
 
 extern "C" {
 
@@ -792,6 +796,132 @@ void d2s_input_close(void* handle) {
   dlclose(inj->xtst_lib);
   dlclose(inj->x11_lib);
   delete inj;
+}
+
+// ---------------------------------------------------------------------------
+// uinput multitouch injection
+//
+// The reference's two-trigger pinch injects REAL touch events on Windows
+// (InjectTouchInput, reference xr_viewer/input.py:121-390) — apps that
+// distinguish touch from ctrl+wheel (maps, browsers, photo viewers) zoom
+// smoothly instead of in wheel steps.  XTest cannot fake touch; Linux
+// uinput can: this creates a virtual direct-touch device (type-B slot
+// protocol) sized to the captured screen.  Requires /dev/uinput write
+// access (udev/group or root); the Python shim degrades to ctrl+wheel
+// synthesis when open fails.
+// ---------------------------------------------------------------------------
+
+#define D2S_TOUCH_SLOTS 10
+
+struct UinputTouch {
+  int fd;
+  int tracking[D2S_TOUCH_SLOTS];  // -1 = slot free
+  int next_id;
+  int contacts;
+};
+
+static int uinput_emit(int fd, uint16_t type, uint16_t code, int32_t value) {
+  struct input_event ev;
+  memset(&ev, 0, sizeof(ev));
+  ev.type = type;
+  ev.code = code;
+  ev.value = value;
+  return write(fd, &ev, sizeof(ev)) == (ssize_t)sizeof(ev) ? 0 : -1;
+}
+
+void* d2s_touch_open(int screen_w, int screen_h) {
+  int fd = open("/dev/uinput", O_WRONLY | O_NONBLOCK);
+  if (fd < 0) return nullptr;
+  if (ioctl(fd, UI_SET_EVBIT, EV_KEY) < 0 ||
+      ioctl(fd, UI_SET_EVBIT, EV_ABS) < 0 ||
+      ioctl(fd, UI_SET_EVBIT, EV_SYN) < 0 ||
+      ioctl(fd, UI_SET_KEYBIT, BTN_TOUCH) < 0 ||
+      ioctl(fd, UI_SET_PROPBIT, INPUT_PROP_DIRECT) < 0) {
+    close(fd);
+    return nullptr;
+  }
+  struct uinput_abs_setup abs;
+  const struct { uint16_t code; int max; } axes[] = {
+      {ABS_MT_SLOT, D2S_TOUCH_SLOTS - 1},
+      {ABS_MT_TRACKING_ID, 65535},
+      {ABS_MT_POSITION_X, screen_w > 1 ? screen_w - 1 : 1},
+      {ABS_MT_POSITION_Y, screen_h > 1 ? screen_h - 1 : 1},
+      // single-touch mirrors so legacy pointer emulation works
+      {ABS_X, screen_w > 1 ? screen_w - 1 : 1},
+      {ABS_Y, screen_h > 1 ? screen_h - 1 : 1},
+  };
+  for (const auto& ax : axes) {
+    memset(&abs, 0, sizeof(abs));
+    abs.code = ax.code;
+    abs.absinfo.minimum = 0;
+    abs.absinfo.maximum = ax.max;
+    if (ioctl(fd, UI_ABS_SETUP, &abs) < 0) {
+      close(fd);
+      return nullptr;
+    }
+  }
+  struct uinput_setup setup;
+  memset(&setup, 0, sizeof(setup));
+  setup.id.bustype = BUS_VIRTUAL;
+  setup.id.vendor = 0xd25;
+  setup.id.product = 0x7001;
+  snprintf(setup.name, sizeof(setup.name), "d2s-virtual-touchscreen");
+  if (ioctl(fd, UI_DEV_SETUP, &setup) < 0 ||
+      ioctl(fd, UI_DEV_CREATE) < 0) {
+    close(fd);
+    return nullptr;
+  }
+  UinputTouch* t = new UinputTouch();
+  t->fd = fd;
+  t->next_id = 1;
+  t->contacts = 0;
+  for (int i = 0; i < D2S_TOUCH_SLOTS; ++i) t->tracking[i] = -1;
+  return t;
+}
+
+// One contact transition/move in the type-B slot protocol; call
+// d2s_touch_frame() after the batch to SYN_REPORT the frame.
+int d2s_touch_point(void* handle, int slot, int x, int y, int down) {
+  UinputTouch* t = reinterpret_cast<UinputTouch*>(handle);
+  if (slot < 0 || slot >= D2S_TOUCH_SLOTS) return -2;
+  if (uinput_emit(t->fd, EV_ABS, ABS_MT_SLOT, slot) < 0) return -1;
+  if (down) {
+    if (t->tracking[slot] < 0) {
+      t->tracking[slot] = t->next_id++ & 0xffff;
+      if (uinput_emit(t->fd, EV_ABS, ABS_MT_TRACKING_ID,
+                      t->tracking[slot]) < 0)
+        return -1;
+      if (++t->contacts == 1)
+        uinput_emit(t->fd, EV_KEY, BTN_TOUCH, 1);
+    }
+    if (uinput_emit(t->fd, EV_ABS, ABS_MT_POSITION_X, x) < 0) return -1;
+    if (uinput_emit(t->fd, EV_ABS, ABS_MT_POSITION_Y, y) < 0) return -1;
+    // pointer-emulation mirror follows the first contact
+    uinput_emit(t->fd, EV_ABS, ABS_X, x);
+    uinput_emit(t->fd, EV_ABS, ABS_Y, y);
+  } else if (t->tracking[slot] >= 0) {
+    t->tracking[slot] = -1;
+    if (uinput_emit(t->fd, EV_ABS, ABS_MT_TRACKING_ID, -1) < 0) return -1;
+    if (t->contacts > 0 && --t->contacts == 0)
+      uinput_emit(t->fd, EV_KEY, BTN_TOUCH, 0);
+  }
+  return 0;
+}
+
+int d2s_touch_frame(void* handle) {
+  UinputTouch* t = reinterpret_cast<UinputTouch*>(handle);
+  return uinput_emit(t->fd, EV_SYN, SYN_REPORT, 0);
+}
+
+void d2s_touch_close(void* handle) {
+  UinputTouch* t = reinterpret_cast<UinputTouch*>(handle);
+  // lift any contacts still down so the desktop never sees a stuck touch
+  for (int i = 0; i < D2S_TOUCH_SLOTS; ++i)
+    if (t->tracking[i] >= 0) d2s_touch_point(t, i, 0, 0, 0);
+  d2s_touch_frame(t);
+  ioctl(t->fd, UI_DEV_DESTROY);
+  close(t->fd);
+  delete t;
 }
 
 // ---------------------------------------------------------------------------

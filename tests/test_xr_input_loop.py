@@ -133,19 +133,94 @@ def test_router_scroll_and_arrow_accumulators():
     assert {"t": "tap", "vk": VK["Right"], "mods": []} in ev
 
 
-def test_router_pinch_zoom_ctrl_scroll():
+def test_router_pinch_emits_touch_contacts():
+    """Two-trigger pinch travels as REAL touch contacts (r05): down on
+    engage, move while held, up on release — the reference's touch
+    semantics (reference input.py:121-390), host decides injection."""
     r = OsInputRouter((1000, 1000))
-    r.update({"left": hand_at(0.4, 0.5, trigger=1.0),
-              "right": hand_at(0.6, 0.5, trigger=1.0)}, now=0.0)
+    evs = r.update({"left": hand_at(0.4, 0.5, trigger=1.0),
+                    "right": hand_at(0.6, 0.5, trigger=1.0)}, now=0.0)
+    downs = [e for e in evs if e["t"] == "touch" and e["phase"] == "down"]
+    assert len(downs) == 2 and {d["id"] for d in downs} == {0, 1}
+    # contacts carry frame-normalized uv of both hands
+    assert abs(downs[0]["u"] - 0.4) < 0.02 and abs(downs[1]["u"] - 0.6) < 0.02
+
     evs = []
     for i, span in enumerate((0.15, 0.22, 0.3)):
         evs += r.update({"left": hand_at(0.5 - span, 0.5, trigger=1.0),
                          "right": hand_at(0.5 + span, 0.5, trigger=1.0)},
                         now=0.1 + i * 0.1)
-    scrolls = [e for e in evs if e["t"] == "scroll"]
-    keys = [e for e in evs if e["t"] == "key" and e["vk"] == VK["Ctrl"]]
-    assert scrolls and sum(s["dy"] for s in scrolls) > 0
-    assert keys and keys[0]["down"] is True
+    moves = [e for e in evs if e["t"] == "touch" and e["phase"] == "move"]
+    assert len(moves) >= 4                 # both contacts tracked the spread
+    assert not [e for e in evs if e["t"] == "scroll"]   # no wheel synthesis
+    assert not [e for e in evs if e["t"] == "button"]   # pinch != click/drag
+
+    # trigger release lifts both contacts
+    evs = r.update({"left": hand_at(0.35, 0.5, trigger=0.0),
+                    "right": hand_at(0.8, 0.5, trigger=0.0)}, now=1.0)
+    ups = [e for e in evs if e["t"] == "touch" and e["phase"] == "up"]
+    assert {u["id"] for u in ups} == {0, 1}
+
+
+def test_bridge_touch_to_uinput_injector():
+    """With a touch-capable host the contacts land as multitouch frames."""
+    from desktop2stereo_tpu.xr.injector import RecordingTouchInjector
+
+    inj = RecordingInjector(screen_size=(2000, 1000))
+    touch = RecordingTouchInjector(screen_size=(2000, 1000))
+    b = InputBridge(inj, touch_injector=touch)
+    b.handle([{"t": "touch", "id": 0, "u": 0.25, "v": 0.5, "phase": "down"},
+              {"t": "touch", "id": 1, "u": 0.75, "v": 0.5, "phase": "down"}])
+    b.handle([{"t": "touch", "id": 0, "u": 0.20, "v": 0.5, "phase": "move"},
+              {"t": "touch", "id": 1, "u": 0.80, "v": 0.5, "phase": "move"}])
+    b.handle([{"t": "touch", "id": 0, "phase": "up"},
+              {"t": "touch", "id": 1, "phase": "up"}])
+    ev = touch.events
+    assert ("touch", 0, round(0.25 * 1999), round(0.5 * 999), True) in ev
+    assert ("touch", 1, round(0.75 * 1999), round(0.5 * 999), True) in ev
+    assert ev.count(("frame",)) == 3       # one SYN_REPORT per wire batch
+    ups = [e for e in ev if e[0] == "touch" and e[4] is False]
+    assert len(ups) == 2
+    assert not inj.events                  # nothing leaked to the mouse path
+
+
+def test_bridge_touch_fallback_synthesizes_ctrl_wheel_zoom():
+    """Without uinput the SAME touch stream degrades to ctrl+wheel zoom
+    (the r04 behavior, now synthesized host-side where capability lives)."""
+    inj = RecordingInjector(screen_size=(1000, 1000))
+    b = InputBridge(inj)                   # no touch injector
+    b.handle([{"t": "touch", "id": 0, "u": 0.40, "v": 0.5, "phase": "down"},
+              {"t": "touch", "id": 1, "u": 0.60, "v": 0.5, "phase": "down"}])
+    for span in (0.15, 0.22, 0.30):
+        b.handle([{"t": "touch", "id": 0, "u": 0.5 - span, "v": 0.5,
+                   "phase": "move"},
+                  {"t": "touch", "id": 1, "u": 0.5 + span, "v": 0.5,
+                   "phase": "move"}])
+    b.handle([{"t": "touch", "id": 0, "phase": "up"},
+              {"t": "touch", "id": 1, "phase": "up"}])
+    ev = inj.events
+    ups = ev.count(("button", 4, True))    # wheel-up = zoom in (spread)
+    assert ups >= 2
+    ki = ev.index(("key", 0x11, True))     # Ctrl wraps the ticks
+    assert ("key", 0x11, False) in ev[ki:]
+    # pinching IN zooms out (wheel-down)
+    b2 = InputBridge(RecordingInjector(screen_size=(1000, 1000)))
+    b2.handle([{"t": "touch", "id": 0, "u": 0.2, "v": 0.5, "phase": "down"},
+               {"t": "touch", "id": 1, "u": 0.8, "v": 0.5, "phase": "down"}])
+    for span in (0.2, 0.1, 0.05):
+        b2.handle([{"t": "touch", "id": 0, "u": 0.5 - span, "v": 0.5,
+                    "phase": "move"},
+                   {"t": "touch", "id": 1, "u": 0.5 + span, "v": 0.5,
+                    "phase": "move"}])
+    assert b2.injector.events.count(("button", 5, True)) >= 2
+
+
+def test_make_touch_injector_degrades_without_uinput():
+    from desktop2stereo_tpu.xr.injector import make_touch_injector
+
+    # no /dev/uinput in CI: graceful None, never an exception
+    tj = make_touch_injector((1920, 1080))
+    assert tj is None or hasattr(tj, "touch")
 
 
 # ---- bridge ----------------------------------------------------------------
