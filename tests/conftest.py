@@ -21,6 +21,10 @@ if "--xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("TF_ENABLE_ONEDNN_OPTS", "0")
+# PyOpenGL platform latches at first import; the headless GL tests
+# (tests/test_gl_theater.py, Mesa EGL surfaceless + llvmpipe) need the
+# EGL platform, and no test in this suite ever has a GLX display.
+os.environ.setdefault("PYOPENGL_PLATFORM", "egl")
 
 import jax  # noqa: E402
 
