@@ -87,6 +87,67 @@ def verify(model_name: str) -> None:
           f"{param_count(params) / 1e6:.1f}M params OK")
 
 
+def make_random_snapshot(model_name: str, out_dir: str,
+                         seed: int = 7) -> str:
+    """Full HF-format snapshot (config.json + model.safetensors) of the
+    registry model at its REAL architecture with seeded random weights.
+
+    On an egress-dead harness this is the strongest stand-in for a hub
+    download: every byte of the --verify-depth gate (AutoModel load, weight
+    conversion, both forward paths) runs at production geometry, so the
+    only thing left unproven is the weight VALUES (VERDICT r04 item 4).
+    Families limited to those AutoModelForDepthEstimation can host."""
+    import torch
+    from transformers import (DepthAnythingConfig,
+                              DepthAnythingForDepthEstimation, Dinov2Config)
+
+    from desktop2stereo_tpu.core.registry import get_spec
+
+    spec = get_spec(model_name)
+    if spec.family not in ("depth_anything",):
+        raise NotImplementedError(
+            f"--make-random-snapshot supports the depth_anything family "
+            f"(AutoModel-hosted); got {spec.family!r}")
+    hidden, layers, heads, mlp = spec.dims
+    bb = Dinov2Config(
+        hidden_size=hidden, num_hidden_layers=layers,
+        num_attention_heads=heads, intermediate_size=mlp,
+        patch_size=spec.patch_size, image_size=518,
+        out_indices=[i + 1 for i in spec.dpt_layers], apply_layernorm=True,
+        reshape_hidden_states=False,
+    )
+    cfg = DepthAnythingConfig(
+        backbone_config=bb, fusion_hidden_size=spec.fusion_channels,
+        patch_size=spec.patch_size, reassemble_hidden_size=hidden,
+        neck_hidden_sizes=list(spec.neck_channels), head_hidden_size=32,
+        depth_estimation_type="relative",
+    )
+    torch.manual_seed(seed)
+    tmodel = DepthAnythingForDepthEstimation(cfg)
+    tmodel.eval()
+    out = os.path.join(out_dir, model_name)
+    tmodel.save_pretrained(out, safe_serialization=True)
+    n = sum(p.numel() for p in tmodel.parameters())
+    print(f"[convert] random snapshot {model_name} ({n / 1e6:.1f}M params) "
+          f"-> {out}")
+    return out
+
+
+def probe_egress() -> dict:
+    """Record whether the HF hub is reachable — the artifact's provenance
+    for why weights are random (re-probed every round per VERDICT r04)."""
+    import socket
+
+    status = {}
+    for host in ("huggingface.co", "hf-mirror.com"):
+        try:
+            socket.getaddrinfo(host, 443)
+            status[host] = "dns-ok"
+        except OSError as e:
+            status[host] = f"dns-dead ({e.__class__.__name__})"
+    return status
+
+
 REFERENCE_DEPTH_PY = "/root/reference/depth.py"
 
 
@@ -279,6 +340,7 @@ def verify_depth(model_name: str, checkpoint: str | None = None,
         "rel_err_mean": rel_mean,
         "tol": tol,
         "pass": bool(rel_max <= tol),
+        "egress": probe_egress(),  # why these weights are(n't) real
     }
     print(json.dumps(verdict))
     return verdict
@@ -303,7 +365,22 @@ def main() -> None:
                    help="--verify-depth model input resolution")
     p.add_argument("--skip-download", action="store_true",
                    help="with --verify-depth: use local caches, no hub pull")
+    p.add_argument("--make-random-snapshot", metavar="DIR",
+                   help="write a full HF-format snapshot of --model at its "
+                        "real architecture with seeded random weights into "
+                        "DIR (egress-dead stand-in for the hub download; "
+                        "feed it back via --checkpoint)")
+    p.add_argument("--seed", type=int, default=7,
+                   help="--make-random-snapshot weight seed")
     args = p.parse_args()
+    if args.make_random_snapshot:
+        if not args.model:
+            raise SystemExit("--make-random-snapshot needs --model")
+        path = make_random_snapshot(args.model, args.make_random_snapshot,
+                                    seed=args.seed)
+        if not args.verify_depth:
+            return
+        args.checkpoint = path
     if args.verify_depth:
         # force CPU before ANYTHING initializes a jax backend (--verify
         # builds the flax tree first and would otherwise pin the TPU)

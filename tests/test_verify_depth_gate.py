@@ -21,7 +21,6 @@ import os
 
 import numpy as np
 import pytest
-import torch
 
 MODEL = "Depth-Anything-V2-Small"
 
@@ -30,35 +29,17 @@ MODEL = "Depth-Anything-V2-Small"
 def pretrained_dir(tmp_path_factory):
     """Real-shape ViT-S DepthAnything checkpoint as a full save_pretrained
     folder — what a HF snapshot looks like on disk (config.json included,
-    which --verify-depth's AutoModel load needs)."""
-    from transformers import (
-        DepthAnythingConfig,
-        DepthAnythingForDepthEstimation,
-        Dinov2Config,
-    )
+    which --verify-depth's AutoModel load needs).  Built by the same
+    `--make-random-snapshot` production path the flagship artifact used
+    (artifacts/verify_depth_flagship_r05.json), so the builder itself is
+    under test."""
+    from desktop2stereo_tpu.tools.convert import make_random_snapshot
 
-    from desktop2stereo_tpu.core.registry import get_spec
-
-    spec = get_spec(MODEL)
-    hidden, layers, heads, mlp = spec.dims
-    bb = Dinov2Config(
-        hidden_size=hidden, num_hidden_layers=layers, num_attention_heads=heads,
-        intermediate_size=mlp, patch_size=spec.patch_size, image_size=518,
-        out_indices=[i + 1 for i in spec.dpt_layers], apply_layernorm=True,
-        reshape_hidden_states=False,
-    )
-    cfg = DepthAnythingConfig(
-        backbone_config=bb, fusion_hidden_size=spec.fusion_channels,
-        patch_size=spec.patch_size, reassemble_hidden_size=hidden,
-        neck_hidden_sizes=list(spec.neck_channels), head_hidden_size=32,
-        depth_estimation_type="relative",
-    )
-    torch.manual_seed(7)
-    tmodel = DepthAnythingForDepthEstimation(cfg)
-    tmodel.eval()
-    out = tmp_path_factory.mktemp("hf_snapshot") / MODEL
-    tmodel.save_pretrained(str(out), safe_serialization=True)
-    return str(out)
+    out = make_random_snapshot(
+        MODEL, str(tmp_path_factory.mktemp("hf_snapshot")), seed=7)
+    assert os.path.exists(os.path.join(out, "config.json"))
+    assert os.path.exists(os.path.join(out, "model.safetensors"))
+    return out
 
 
 @pytest.fixture()
