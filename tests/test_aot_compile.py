@@ -3,11 +3,13 @@ analog, reference depth.py:1841-1862): the CLI must build, compile, and
 prime every requested capture shape without touching a TPU."""
 
 import io
+import pytest
 import contextlib
 
 from desktop2stereo_tpu.tools.aot_compile import main
 
 
+@pytest.mark.slow
 def test_aot_compile_smoke(tmp_path, monkeypatch):
     monkeypatch.setenv("D2S_COMPILE_CACHE", str(tmp_path / "xla"))
     out = io.StringIO()

@@ -11,6 +11,10 @@ xr_viewer/implementation.py:1880-2045, viewer.py:386-631)."""
 
 from __future__ import annotations
 
+import os
+import subprocess
+import sys
+
 import numpy as np
 import pytest
 
@@ -21,6 +25,32 @@ from desktop2stereo_tpu.xr.raster import (render_items, symmetric_proj,
 from desktop2stereo_tpu.xr.theater import Theater
 
 W, H = 240, 136
+
+# Mesa's llvmpipe EGL context cannot share a process with the native
+# runtimes other test modules load (torch/transformers/safetensors bring
+# their own LLVM/OpenMP; glTexImage then segfaults mid-suite even though
+# this module alone is green).  So the real GL tests only run in a CLEAN
+# subprocess: the outer collection sees them skipped plus one wrapper test
+# that re-runs this file isolated and surfaces its output on failure.
+_ISOLATED = os.environ.get("D2S_GL_SUBPROC") == "1"
+_isolated_only = pytest.mark.skipif(
+    not _ISOLATED, reason="GL tests run via test_gl_suite_in_clean_subprocess")
+
+
+if not _ISOLATED:
+    def test_gl_suite_in_clean_subprocess():
+        """Run this module's GL tests in a fresh interpreter (no torch/jax
+        native state) and fail with their output if any fails."""
+        env = dict(os.environ, D2S_GL_SUBPROC="1")
+        r = subprocess.run(
+            [sys.executable, "-m", "pytest", os.path.abspath(__file__),
+             "-q", "-p", "no:cacheprovider"],
+            capture_output=True, text=True, env=env, timeout=600,
+            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        assert r.returncode == 0, (
+            f"isolated GL suite failed (rc={r.returncode}):\n"
+            f"{r.stdout}\n{r.stderr}")
+        assert "5 passed" in r.stdout, r.stdout
 
 
 def _profile(**kw):
@@ -88,6 +118,7 @@ def _block_mean(img, k=8):
     return img.reshape(h // k, k, w // k, k, -1).mean((1, 3))
 
 
+@_isolated_only
 def test_gl_matches_soft_rasterizer_on_theater_frame(theater_gl):
     """The GL backend and the numpy rasterizer consume identical draw
     lists; at zero parallax their outputs must agree structurally
@@ -109,6 +140,7 @@ def test_gl_matches_soft_rasterizer_on_theater_frame(theater_gl):
         assert gl_img[y, x].sum() > 20, (y, x, gl_img[y, x])
 
 
+@_isolated_only
 def test_gl_dibr_warp_produces_parallax(theater_gl):
     """Nonzero eye offset + a depth gradient must SHIFT screen content
     between the eyes — the DIBR fragment shader actually warping (a
@@ -130,6 +162,7 @@ def test_gl_dibr_warp_produces_parallax(theater_gl):
     assert (left != zero).any() and (right != zero).any()
 
 
+@_isolated_only
 def test_gl_ui_toggles_change_pixels(theater_gl):
     """glow/keyboard/help/fps toggles alter the GL output too (prog_tex +
     blending paths; pins the overlay texture submission)."""
@@ -146,6 +179,7 @@ def test_gl_ui_toggles_change_pixels(theater_gl):
     assert all(changed.values()), changed
 
 
+@_isolated_only
 def test_gl_curved_screen_renders(theater_gl):
     th = Theater(profile=_profile())
     th.ui["curved"] = True
@@ -155,6 +189,7 @@ def test_gl_curved_screen_renders(theater_gl):
     assert c[1] > 100, c   # green square still lands mid-screen
 
 
+@_isolated_only
 def test_gl_frame_texture_reupload_new_shape(theater_gl):
     """Shape change re-creates the frame textures without GL errors."""
     from OpenGL import GL

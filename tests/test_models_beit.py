@@ -78,6 +78,7 @@ def test_dpt_beit_parity_offgrid_window(torch):
     run_parity(torch, 96, 96)
 
 
+@pytest.mark.slow
 def test_beit_stream_fns_precomputed_bias_parity():
     """first/step (bias carried as model state) ≡ the in-graph-bias apply —
     the per-shape precompute must not change numerics."""

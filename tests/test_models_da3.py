@@ -124,6 +124,7 @@ def test_da3_mono_parity(torch):
         assert rel < 5e-4, f"{key}: rel err {rel:.2e}"
 
 
+@pytest.mark.slow
 def test_da3_multiview_runs():
     """S=2 multi-view: cross-view (global) attention spans both views."""
     jmodel = DepthAnything3(variant="vits", mode="anyview", **VITS)

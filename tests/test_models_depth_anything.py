@@ -98,6 +98,7 @@ def test_parity_vits_shape_at_266():
                266, 266, tol=5e-4)
 
 
+@pytest.mark.slow
 def test_converted_tree_matches_init_tree():
     """Converter output must be structurally identical to a fresh init."""
     torch.manual_seed(0)

@@ -58,6 +58,7 @@ def test_depthpro_parity(torch):
         dp.MERGE_PAD = orig_pad
 
 
+@pytest.mark.slow
 def test_depthpro_nondivisible_tile_parity(torch):
     """The real DepthPro runs DINOv2/14 on 384px tiles (384 % 14 != 0): the
     HF conv patchify drops the sub-patch remainder.  Tile 24 with patch 7

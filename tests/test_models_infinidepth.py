@@ -65,6 +65,7 @@ def test_infinidepth_parity(torch, encoder, name):
     assert rel < 5e-4, f"rel err {rel:.2e}"
 
 
+@pytest.mark.slow
 def test_infinidepth_converted_tree_matches_init(torch):
     ref = load_reference_infinidepth(torch, "vits16")
     spec = get_spec("InfiniDepth-Small")

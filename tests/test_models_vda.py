@@ -304,6 +304,7 @@ def synth_state_dict(rng):
     return sd
 
 
+@pytest.mark.slow
 def test_vda_converter_tree_matches_init():
     rng = np.random.default_rng(11)
     sd = synth_state_dict(rng)
@@ -325,6 +326,7 @@ def test_vda_converter_tree_matches_init():
     assert param_count(conv) == param_count(init)
 
 
+@pytest.mark.slow
 def test_vda_full_streaming_parity_vs_reference(torch):
     """End-to-end: the reference VideoDepthAnything (random weights, vits,
     56x56) streamed over 3 frames must match our flax streaming path after
@@ -370,6 +372,7 @@ def test_vda_full_streaming_parity_vs_reference(torch):
     ref_dpt_temporal.maybe_autocast = orig_autocast
 
 
+@pytest.mark.slow
 def test_vda_streaming_rolls_cache():
     model = tiny_vda()
     x0 = jnp.asarray(np.random.default_rng(0).standard_normal((1, 42, 42, 3)),

@@ -92,5 +92,6 @@ def test_zoedepth_single_head_parity(torch):
     run_parity(torch, multi=False)
 
 
+@pytest.mark.slow
 def test_zoedepth_multi_head_parity(torch):
     run_parity(torch, multi=True)

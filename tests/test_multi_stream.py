@@ -1,6 +1,7 @@
 """Multi-stream engine: N feeds through one compiled pipeline."""
 
 import threading
+import pytest
 
 import numpy as np
 import jax.numpy as jnp
@@ -233,6 +234,7 @@ def test_stream_exhaustion_and_latest_wins():
     assert eng.streams[0].done.is_set()
 
 
+@pytest.mark.slow
 def test_batched_real_vda_streams_are_independent():
     """Two batched VDA streams: stream A's rolling 31-frame cache must not
     see stream B's content (real temporal model, tiny config)."""

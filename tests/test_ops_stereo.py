@@ -180,6 +180,7 @@ def test_stereo_compose_feather_flag(rng):
     assert np.all(soft <= plain + 1e-3)
 
 
+@pytest.mark.slow
 def test_stereo_compose_fill_16_9_pads_each_eye(rng):
     """FILL_16_9 parity (reference depth.py:2175-2177 via main.py:1340):
     each EYE pads to 16:9 before arrangement, so bars sit beside each eye
@@ -364,6 +365,7 @@ def test_roll_gate_rejects_half_turn():
     assert _is_rolled(0.3)
 
 
+@pytest.mark.slow
 def test_dibr_roll_quarter_turn_moves_parallax_vertical(rng):
     """At roll=π/2 the parallax is purely vertical: constant near depth →
     a uniform vertical translation (the roll=0 test's transposed twin)."""

@@ -75,6 +75,7 @@ def test_dibr_pair_kernel_matches_per_eye_jnp():
     np.testing.assert_allclose(np.asarray(right), want_r, atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_dibr_pair_fused_half_sbs_u8():
     """out_mode='half_sbs_u8' ≡ eyes → compose_display('Half-SBS') →
     clip(+0.5)→u8, fused into the kernel (incl. non-128-multiple width)."""
@@ -107,6 +108,7 @@ def test_dibr_pair_fused_half_sbs_u8():
             got.astype(np.int32), want.astype(np.int32), atol=1)
 
 
+@pytest.mark.slow
 def test_dibr_pair_hwc_u8_modes_match_eyes_u8():
     """'sbs_hwc_u8' / 'eyes_hwc_u8' ≡ 'eyes_u8' + the XLA crop/concat/
     transpose tail they replace — exact (quantize commutes with the
@@ -142,6 +144,7 @@ def test_dibr_pair_hwc_u8_modes_match_eyes_u8():
             np.asarray(r8)[:H, : 3 * W].reshape(H, W, 3), r_hwc)
 
 
+@pytest.mark.slow
 def test_dibr_pair_feather_matches_jnp():
     """In-kernel per-eye edge feathering ≡ the jnp edge_feather applied to
     the unfeathered kernel eyes (reference viewer.py:586-613 KEY_B)."""

@@ -44,7 +44,8 @@ def _pix(batch, rng_seed=0):
 
 @pytest.mark.parametrize("name,size", [
     ("Depth-Anything-V2-Small", 56),     # fused qkv + fc1/fc2
-    ("DA3-SMALL", 56),                   # qkv + RoPE + DualDPT decoder
+    pytest.param("DA3-SMALL", 56,        # qkv + RoPE + DualDPT decoder
+                 marks=pytest.mark.slow),
 ])
 def test_tp_sharded_matches_unsharded(name, size):
     apply_fn, params, _ = build_model(name, init_size=size)
@@ -134,6 +135,7 @@ def test_data_sharded_output_layout(small_model):
     assert out.sharding.spec[0] == DATA_AXIS
 
 
+@pytest.mark.slow
 def test_tp_sharded_quantized_matches_unsharded():
     """int8 trees TP-shard too: QuantDense leaves (kernel_q/scale/bias)
     inherit the parent module's Megatron role, and the XLA int8 path is
@@ -158,6 +160,7 @@ def test_tp_sharded_quantized_matches_unsharded():
     np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_sp_sharded_matches_unsharded(small_model):
     """Sequence-parallel (token-sharded residual stream over the model
     axis, Megatron-SP via GSPMD) composed with TP must be numerically
@@ -217,6 +220,7 @@ def test_flash_kernel_survives_tp_trace():
         attn.FORCE_FLASH = prev
 
 
+@pytest.mark.slow
 def test_kernels_survive_pure_dp_trace():
     """A pure-DP mesh (tp==1) is still a GSPMD trace: the flash and quant
     kernels must enter the graph through shard_map (a bare pallas_call is
@@ -268,6 +272,7 @@ def _count_prims_top_level(jaxpr, name: str) -> int:
     return n
 
 
+@pytest.mark.slow
 def test_quant_kernel_survives_pure_dp_trace():
     """Same guarantee for the fused int8 kernel under DP-only: QuantDense
     must route through tp_quant_dense's shard_map whenever ANY parallel
@@ -296,6 +301,7 @@ def test_quant_kernel_survives_pure_dp_trace():
     assert _count_prims_top_level(closed.jaxpr, "pallas_call") == 0
 
 
+@pytest.mark.slow
 def test_quant_kernel_survives_tp_and_sp_trace():
     """The fused int8 kernel runs per-shard under TP (col: F split; row: K
     split with an exact int32 psum) and is BIT-IDENTICAL to the GSPMD XLA

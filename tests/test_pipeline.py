@@ -288,6 +288,7 @@ def test_engine_propagates_stage_errors():
         engine.join(timeout=5.0)
 
 
+@pytest.mark.slow
 def test_fused_halfsbs_structure_matches_generic(monkeypatch):
     """The TPU-only fused tail (planar preprocess + post+stereo in one
     program, u8 emitted by the kernel) must produce the same frames as the
@@ -344,6 +345,7 @@ def test_fused_halfsbs_structure_matches_generic(monkeypatch):
                                want.astype(np.int32), atol=1)
 
 
+@pytest.mark.slow
 def test_fused_halftab_structure_matches_jnp(monkeypatch):
     """Half-TAB fused tail: each eye renders at output height (oh/2) from a
     row-pair-mean-squeezed source; check against the same formulation in
@@ -391,6 +393,7 @@ def test_fused_halftab_structure_matches_jnp(monkeypatch):
                                want.astype(np.int32), atol=1)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("mode", ["Half-SBS", "Half-TAB"])
 def test_fused_hwc_tail_at_lane_multiple_widths(mode, monkeypatch):
     """At lane-multiple eye widths the fused tail emits the final HWC u8

@@ -110,6 +110,7 @@ def test_quant_rejected_for_nested():
     ("dpt-beit-base-384", 64, 0.99),
     ("zoedepth-nyu", 64, 0.95),  # metric-bins head amplifies small deltas
 ])
+@pytest.mark.slow
 def test_quantized_family_tracks_float(name, size, tol):
     """Every remaining family under --quant int8: the ViT trunk runs int8,
     stems/decoders/metric heads stay float; outputs track the f32 model."""
@@ -148,6 +149,7 @@ def test_quantize_tree_multiple_scopes():
     assert "kernel" in out["decoder"]["fc1"]
 
 
+@pytest.mark.slow
 def test_quantized_vda_tracks_float_model():
     """VDA streaming family under --quant int8: the dinov2 trunk runs int8
     while the temporal head stays float; outputs must track the f32 model."""
@@ -165,6 +167,7 @@ def test_quantized_vda_tracks_float_model():
     assert corr > 0.99, f"int8 VDA corr {corr:.4f}"
 
 
+@pytest.mark.slow
 def test_quantized_depthpro_towers():
     """DepthPro's TWO ViT towers quantize (patch_encoder + image_encoder);
     the fusion decoder stays float.  Tiny config keeps CPU time sane."""
@@ -198,6 +201,7 @@ def test_quantized_depthpro_towers():
         dp.MERGE_PAD = orig_pad
 
 
+@pytest.mark.slow
 def test_quantized_da3_tracks_float_model():
     """DA3 family under --quant int8 (alt-attention/QK-norm/RoPE trunk)."""
     from desktop2stereo_tpu.models.factory import build_model
@@ -357,6 +361,7 @@ def test_quant_matmul_kernel_under_vmap():
     assert float(jnp.abs(out_v - per).max()) == 0.0
 
 
+@pytest.mark.slow
 def test_cli_end_to_end_int8(tmp_path):
     """`--quant int8` through the real CLI: synthetic frames → quantized
     DA-V2-S → PNG sink (the surface a user actually runs)."""
@@ -429,6 +434,7 @@ from hypothesis import given, settings as hsettings, strategies as st
 
 @given(rows=st.integers(1, 40), cols=st.integers(1, 40),
        scale_pow=st.integers(-6, 6), seed=st.integers(0, 2**31 - 1))
+@pytest.mark.slow
 @hsettings(max_examples=30, deadline=None)
 def test_quantize_weight_error_bound_property(rows, cols, scale_pow, seed):
     """Reconstruction error ≤ half an LSB per channel at ANY magnitude."""

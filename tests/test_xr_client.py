@@ -91,6 +91,7 @@ def test_loopback_sink_to_client_png(tmp_path):
         sink.close()
 
 
+@pytest.mark.slow
 def test_full_cli_server_client_end_to_end(tmp_path):
     """The complete remote-XR path: `cli --sink xr` serving a live model
     pipeline in a thread; the client rendering frames on loopback."""
