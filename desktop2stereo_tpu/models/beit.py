@@ -25,6 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from desktop2stereo_tpu.ops.activations import gelu
+
 from desktop2stereo_tpu.models.init_util import jit_init
 import numpy as np
 
@@ -155,7 +157,7 @@ class BeitLayer(nn.Module):
 
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2", dtype=x.dtype)(x)
         h = _dense(self.mlp_dim, "fc1", h.dtype, self.quant)(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = gelu(h)
         h = _dense(D, "fc2", h.dtype, self.quant)(h)
         lam2 = self.param("lambda_2", nn.initializers.ones, (D,))
         return x + h * lam2.astype(x.dtype)

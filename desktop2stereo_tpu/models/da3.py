@@ -30,6 +30,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from desktop2stereo_tpu.ops.activations import gelu
+
 from desktop2stereo_tpu.models.init_util import jit_init
 import numpy as np
 
@@ -184,7 +186,7 @@ class DA3Mlp(nn.Module):
             return _dense(self.hidden_size, "w3", x.dtype, self.quant)(
                 jax.nn.silu(x1) * x2)
         h = _dense(self.mlp_dim, "fc1", x.dtype, self.quant)(x)
-        h = jax.nn.gelu(h, approximate=False)
+        h = gelu(h)
         return _dense(self.hidden_size, "fc2", x.dtype, self.quant)(h)
 
 

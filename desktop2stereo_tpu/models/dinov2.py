@@ -23,6 +23,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from desktop2stereo_tpu.ops.activations import gelu
+
 from desktop2stereo_tpu.ops.attention import multi_head_attention
 from desktop2stereo_tpu.ops.resize import resize
 
@@ -118,7 +120,7 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = _dense(self.mlp_dim, "fc1", x.dtype, self.quant)(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = gelu(x)
         return _dense(self.hidden_size, "fc2", x.dtype, self.quant)(x)
 
 

@@ -21,6 +21,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from desktop2stereo_tpu.ops.activations import gelu
+
 from desktop2stereo_tpu.models.init_util import jit_init
 
 from desktop2stereo_tpu.core.registry import ModelSpec
@@ -210,7 +212,7 @@ class DPTHybrid(nn.Module):
             readout = jnp.broadcast_to(cls_tok[:, None, :], tok.shape)
             merged = jnp.concatenate([tok, readout], axis=-1)
             proj = nn.Dense(D, name=f"readout_{si}", dtype=merged.dtype)(merged)
-            proj = jax.nn.gelu(proj, approximate=False)
+            proj = gelu(proj)
             grid = proj.reshape(B, gh, gw, D)
             grid = ReassembleLayer(self.neck_channels[si], factors[si],
                                    name=f"reassemble_{si}")(grid)

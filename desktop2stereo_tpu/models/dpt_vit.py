@@ -25,6 +25,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from desktop2stereo_tpu.ops.activations import gelu
+
 from desktop2stereo_tpu.models.init_util import jit_init
 
 from desktop2stereo_tpu.core.registry import ModelSpec
@@ -70,7 +72,7 @@ class ViTLayer(nn.Module):
         x = x + _dense(D, "proj", out.dtype, self.quant)(out)
         h = nn.LayerNorm(epsilon=self.layer_norm_eps, name="norm2", dtype=x.dtype)(x)
         h = _dense(self.mlp_dim, "fc1", h.dtype, self.quant)(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = gelu(h)
         return x + _dense(D, "fc2", h.dtype, self.quant)(h)
 
 
@@ -96,7 +98,7 @@ class ClassicDPTDecoder(nn.Module):
             readout = jnp.broadcast_to(cls_tok[:, None, :], tokens.shape)
             merged = jnp.concatenate([tokens, readout], axis=-1)
             proj = nn.Dense(D, name=f"readout_{i}", dtype=merged.dtype)(merged)
-            proj = jax.nn.gelu(proj, approximate=False)
+            proj = gelu(proj)
             grid = proj.reshape(B, gh, gw, D)
             grid = ReassembleLayer(self.neck_channels[i], factors[i],
                                    name=f"reassemble_{i}")(grid)

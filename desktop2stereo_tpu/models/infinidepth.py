@@ -33,6 +33,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from desktop2stereo_tpu.ops.activations import gelu
+
 from desktop2stereo_tpu.models.init_util import jit_init
 import numpy as np
 
@@ -139,7 +141,7 @@ class Dinov3Block(nn.Module):
             h = _dense(D, "w3", h.dtype, self.quant)(jax.nn.silu(x1) * x2)
         else:
             h = _dense(self.ffn_hidden, "fc1", h.dtype, self.quant)(h)
-            h = jax.nn.gelu(h, approximate=False)
+            h = gelu(h)
             h = _dense(D, "fc2", h.dtype, self.quant)(h)
         ls2 = self.param("layer_scale2", nn.initializers.ones, (D,))
         return x + h * ls2.astype(x.dtype)

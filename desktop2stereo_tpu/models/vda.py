@@ -35,6 +35,8 @@ from typing import NamedTuple, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from desktop2stereo_tpu.ops.activations import gelu
 import numpy as np
 
 from desktop2stereo_tpu.core.registry import ModelSpec
@@ -152,7 +154,7 @@ class TemporalTransformer(nn.Module):
         proj = nn.Dense(8 * C, name="ff_proj", dtype=h.dtype)(ff_in)
         val, gate = jnp.split(proj, 2, axis=-1)
         ff = nn.Dense(C, name="ff_out", dtype=h.dtype)(
-            val * jax.nn.gelu(gate, approximate=False)
+            val * gelu(gate)
         )
         h = h + ff
 

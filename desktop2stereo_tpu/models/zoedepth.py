@@ -24,6 +24,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from desktop2stereo_tpu.ops.activations import gelu
+
 from desktop2stereo_tpu.models.init_util import jit_init
 import numpy as np
 
@@ -112,7 +114,7 @@ class ConditionalLogBinomial(nn.Module):
         mid = (self.in_features + self.condition_dim) // self.bottleneck_factor
         h = jnp.concatenate([main, cond], axis=-1)
         h = nn.Conv(mid, (1, 1), name="mlp_conv1", dtype=h.dtype)(h)
-        h = jax.nn.gelu(h, approximate=False)
+        h = gelu(h)
         h = nn.Conv(4, (1, 1), name="mlp_conv2", dtype=h.dtype)(h)
         h = jax.nn.softplus(h)
 
