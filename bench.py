@@ -659,6 +659,7 @@ def _run_stage(stage: str, budget_s: float, timeout_s: float) -> tuple:
 
 
 def main() -> None:
+    budget = DEFAULT_BUDGET_S
     if "--budget" in sys.argv:
         budget = float(sys.argv[sys.argv.index("--budget") + 1])
         _DEADLINE[0] = time.time() + budget
@@ -676,7 +677,6 @@ def main() -> None:
     # internally against its own deadline, and its JSON line streams to
     # stdout the moment it exists.
     t_start = time.time()
-    budget = DEFAULT_BUDGET_S
     bf16_budget = budget * 0.6
     result, rc, err_tail = _run_stage("bf16", bf16_budget,
                                       timeout_s=bf16_budget + 120)

@@ -71,11 +71,6 @@ class IdentityResidual(nn.Module):
 
 
 def build_neck(variant: str):
-    class Conv1x1(nn.Conv):
-        def __init__(self, features, kernel_size, **kw):
-            super().__init__(features, (1, 1), **{k: v for k, v in kw.items()
-                                                  if k != "padding"})
-
     subs = {
         "base": {},
         "no_residual_convs": {"PreActResidual": IdentityResidual},

@@ -97,15 +97,17 @@ def build(variant: str):
     def attn_free(q, k, v, use_flash=None, bias=None):
         return v  # no QK^T, no softmax, no PV: isolates qkv/proj matmuls
 
-    def gelu_free(x, approximate=True):
+    # NOTE: since r05 the models route GELU through ops/activations.gelu
+    # (tanh on bf16) — imported into dinov2's namespace as `dv.gelu`, which
+    # is what these variants must patch.  On the bf16 TPU path "base" IS
+    # the tanh form; gelu_erf re-measures the pre-r05 exact-erf cost.
+    def gelu_free(x):
         return x
 
-    _orig_gelu = jax.nn.gelu
+    def gelu_erf(x):
+        return jax.nn.gelu(x, approximate=False)
 
-    def gelu_tanh(x, approximate=True):
-        return _orig_gelu(x, approximate=True)
-
-    def gelu_sigmoid(x, approximate=True):
+    def gelu_sigmoid(x):
         return x * jax.nn.sigmoid(1.702 * x)
 
     class LNFree(nn.Module):
@@ -123,9 +125,9 @@ def build(variant: str):
         "flash": {},  # FORCE_FLASH handled below
         "no_softmax": {"dv.multi_head_attention": softmax_free},
         "no_attention": {"dv.multi_head_attention": attn_free},
-        "no_gelu": {"jnn.gelu": gelu_free},
-        "gelu_tanh": {"jnn.gelu": gelu_tanh},
-        "gelu_sigmoid": {"jnn.gelu": gelu_sigmoid},
+        "no_gelu": {"dv.gelu": gelu_free},
+        "gelu_erf": {"dv.gelu": gelu_erf},
+        "gelu_sigmoid": {"dv.gelu": gelu_sigmoid},
         "no_layernorm": {"nn.LayerNorm": LNFree},
     }[variant]
 
@@ -195,7 +197,7 @@ def main():
     # ---- encoder variant deltas (one process, back-to-back) ----
     results = {}
     for variant in ("base", "no_softmax", "no_attention", "no_gelu",
-                    "gelu_tanh", "gelu_sigmoid", "no_layernorm", "flash"):
+                    "gelu_erf", "gelu_sigmoid", "no_layernorm", "flash"):
         fn, params = build(variant)
         results[variant] = timeit(f"encoder[{variant}]", fn, params, pixels,
                                   repeats=3)
@@ -205,11 +207,12 @@ def main():
     print(f"  attn core cost (base - no_attention): "
           f"{b - results['no_attention']:+.3f} ms")
     print(f"  gelu cost      (base - no_gelu):      "
-          f"{b - results['no_gelu']:+.3f} ms")
-    print(f"  gelu_tanh saves    vs exact erf:      "
-          f"{b - results['gelu_tanh']:+.3f} ms")
-    print(f"  gelu_sigmoid saves vs exact erf:      "
-          f"{b - results['gelu_sigmoid']:+.3f} ms")
+          f"{b - results['no_gelu']:+.3f} ms  (base = production path: "
+          f"tanh on bf16)")
+    print(f"  exact-erf gelu costs vs base:         "
+          f"{results['gelu_erf'] - b:+.3f} ms  (the pre-r05 form)")
+    print(f"  sigmoid gelu vs base:                 "
+          f"{results['gelu_sigmoid'] - b:+.3f} ms")
     print(f"  layernorm cost (base - no_layernorm): "
           f"{b - results['no_layernorm']:+.3f} ms")
     print(f"  flash vs base:                        "

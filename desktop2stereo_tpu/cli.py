@@ -258,7 +258,12 @@ def make_components(args, settings):
         # reference capture.py:39-247; on a TPU host it arrives over TCP)
         port = 7800
         if ":" in args.source:
-            port = int(args.source.split(":", 1)[1])
+            try:
+                port = int(args.source.split(":", 1)[1])
+            except ValueError:
+                raise SystemExit(
+                    f"--source {args.source!r}: expected tcp:<port> "
+                    f"(e.g. tcp:7800)")
         args.source = "tcp"
         src_kw = {"port": port}
         if args.frames:

@@ -6,10 +6,14 @@ most expensive elementwise op on a TPU VPU — XLA lowers it to a long
 polynomial that cannot fuse into the MXU epilogue.  Measured on v5e at the
 flagship ViT-L geometry (benchmarks/encoder_split.py, in-graph A/B deltas,
 one process): exact-erf GELU costs 1.03 ms of the encoder's 5.15 ms frame
-time; the tanh form costs ~0.06 ms and is within 4.8e-4 ABSOLUTE of exact
-(max over ±12; jax.nn.gelu approximate=True) — less than 1/16 of a bf16
-LSB at unit scale, i.e. below the quantization noise the bf16 matmul path
-already carries.  So:
+time; the tanh form costs ~0.06 ms.  Accuracy (measured elementwise over
+±12, tests/test_activations.py): the tanh form's ANALYTIC error is
+≤4.8e-4 absolute, and computed in bf16 arithmetic the total error stays
+within ONE bf16 ULP of the output wherever |out| > 0.5 (indistinguishable
+from the rounding bf16 already performs) and ≤3.4e-3 absolute in the
+near-zero tail (the bf16 cancellation knee of 1+tanh) — under half the
+bf16 LSB at unit scale, so downstream matmul sums see sub-quantization
+noise.  So:
 
 - half/bfloat16 inputs (the TPU production path) take the tanh form;
 - f32/f64 (the CPU torch-parity path, tests/test_models_*.py, the golden

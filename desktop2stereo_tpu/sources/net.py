@@ -65,6 +65,11 @@ def _read_exact(sock: socket.socket, n: int) -> Optional[bytes]:
 
 def _decode_payload(payload: bytes, w: int, h: int, channels: int,
                     flags: int) -> np.ndarray:
+    expect = w * h * channels
+    if expect > MAX_PAYLOAD:
+        # the listener is network-facing by design; a crafted header must
+        # not be able to command a huge allocation
+        raise ValueError(f"{w}x{h}x{channels} exceeds the frame bound")
     if flags & FLAG_JPEG:
         import cv2
 
@@ -74,10 +79,14 @@ def _decode_payload(payload: bytes, w: int, h: int, channels: int,
             raise ValueError("JPEG decode failed")
         if arr.ndim == 2:
             arr = np.repeat(arr[:, :, None], 3, axis=2)
+        if arr.shape[0] != h or arr.shape[1] != w:
+            raise ValueError(f"JPEG dims {arr.shape[:2]} != header ({h},{w})")
         return np.ascontiguousarray(arr)
     if flags & FLAG_ZLIB:
-        payload = zlib.decompress(payload)
-    expect = w * h * channels
+        # bounded inflate: a ~33 MB zlib body expanding 1000:1 must stop at
+        # the declared frame size, not OOM the pipeline (decompression bomb)
+        d = zlib.decompressobj()
+        payload = d.decompress(payload, expect + 1)
     if len(payload) != expect:
         raise ValueError(f"payload {len(payload)} B != {expect} B "
                          f"for {w}x{h}x{channels}")
@@ -112,6 +121,7 @@ class TcpFrameSource:
         self._srv.listen(2)
         self.port = self._srv.getsockname()[1]   # resolves port=0
         self._conn_gen = 0
+        self._conn: Optional[socket.socket] = None
         self._accept_thread = threading.Thread(
             target=self._accept_loop, daemon=True, name="tcp-src-accept")
         self._accept_thread.start()
@@ -123,14 +133,13 @@ class TcpFrameSource:
                 conn, addr = self._srv.accept()
             except OSError:
                 return  # closed
-            with self._lock:
-                self._conn_gen += 1
-                gen = self._conn_gen
-                self._peer = f"{addr[0]}:{addr[1]}"
-            threading.Thread(target=self._reader, args=(conn, gen),
+            # takeover happens only AFTER a valid handshake (in _reader):
+            # a port scanner / health check connecting here must not kill
+            # the active capture stream
+            threading.Thread(target=self._reader, args=(conn, addr),
                              daemon=True, name="tcp-src-reader").start()
 
-    def _reader(self, conn: socket.socket, gen: int) -> None:
+    def _reader(self, conn: socket.socket, addr) -> None:
         try:
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
             hs = _read_exact(conn, _HANDSHAKE.size)
@@ -139,6 +148,19 @@ class TcpFrameSource:
             magic, version = _HANDSHAKE.unpack(hs)
             if magic != MAGIC or version != VERSION:
                 return
+            with self._lock:
+                # handshake OK: this connection is now the producer; close
+                # the superseded socket so its blocked recv() errors out
+                # instead of leaking a thread waiting on a silent peer
+                self._conn_gen += 1
+                gen = self._conn_gen
+                self._peer = f"{addr[0]}:{addr[1]}"
+                old, self._conn = getattr(self, "_conn", None), conn
+            if old is not None:
+                try:
+                    old.shutdown(socket.SHUT_RDWR)
+                except OSError:
+                    pass
             while not self._closed:
                 hdr = _read_exact(conn, _FRAME_HDR.size)
                 if hdr is None:
@@ -149,9 +171,6 @@ class TcpFrameSource:
                 payload = _read_exact(conn, plen)
                 if payload is None:
                     return
-                with self._lock:
-                    if gen != self._conn_gen:
-                        return  # a newer agent took over
                 try:
                     frame = _decode_payload(payload, w, h, channels, flags)
                 except Exception:
@@ -159,6 +178,9 @@ class TcpFrameSource:
                         self._decode_errors += 1
                     continue
                 with self._cond:
+                    if gen != self._conn_gen:
+                        return  # a newer agent took over mid-decode —
+                                # never overwrite its fresher frame
                     self._latest = frame
                     self._latest_seq += 1
                     self._received += 1
@@ -214,6 +236,13 @@ class TcpFrameSource:
             self._srv.close()
         except OSError:
             pass
+        with self._lock:
+            conn, self._conn = self._conn, None
+        if conn is not None:
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
         with self._cond:
             self._cond.notify_all()
 

@@ -50,7 +50,15 @@ if not _ISOLATED:
         assert r.returncode == 0, (
             f"isolated GL suite failed (rc={r.returncode}):\n"
             f"{r.stdout}\n{r.stderr}")
-        assert "5 passed" in r.stdout, r.stdout
+        if "passed" not in r.stdout and "skipped" in r.stdout:
+            # host without PyOpenGL / Mesa EGL: the inner gl_ctx fixture
+            # skipped everything — propagate the skip, don't fail the
+            # documented no-display default suite
+            pytest.skip(f"GL unavailable in subprocess: {r.stdout.strip()}")
+        import re as _re
+
+        m = _re.search(r"(\d+) passed", r.stdout)
+        assert m and int(m.group(1)) >= 5, r.stdout
 
 
 def _profile(**kw):

@@ -233,3 +233,66 @@ def test_tcp_loopback_end_to_end():
     st = src.stats()
     assert st["frames_delivered"] >= 1
     assert st["frames_received"] >= st["frames_delivered"]
+
+
+def test_tcp_stray_connection_does_not_displace_active_stream():
+    """A port scan / health check (connect, send nothing or garbage) must
+    not kill the live capture stream: takeover only happens after a valid
+    D2SF handshake (r05 review fix)."""
+    src = TcpFrameSource(port=0, host="127.0.0.1", timeout=5.0)
+    try:
+        agent = TcpFrameSender("127.0.0.1", src.port)
+        agent.send(_frame(1))
+        assert src.grab() is not None
+
+        for garbage in (b"", b"GET / HTTP/1.1\r\n\r\n"):
+            stray = socket.create_connection(("127.0.0.1", src.port),
+                                             timeout=5)
+            if garbage:
+                stray.sendall(garbage)
+            time.sleep(0.1)
+            stray.close()
+
+        f2 = _frame(2)
+        agent.send(f2)                     # same connection keeps working
+        got = src.grab()
+        assert got is not None and np.array_equal(got, f2)
+        agent.close()
+    finally:
+        src.close()
+
+
+def test_tcp_decompression_bomb_bounded():
+    """A small zlib payload claiming absurd frame dims must be rejected as
+    a decode error (bounded inflate), not expand to tens of GB; the
+    connection stays usable for valid frames."""
+    import struct as _struct
+    import zlib as _zlib
+
+    from desktop2stereo_tpu.sources import net as net_mod
+
+    src = TcpFrameSource(port=0, host="127.0.0.1", timeout=5.0)
+    try:
+        raw = socket.create_connection(("127.0.0.1", src.port), timeout=5)
+        raw.sendall(net_mod._HANDSHAKE.pack(net_mod.MAGIC, net_mod.VERSION))
+        # 16384 x 16384 x 4 claimed (=1 GiB) via a tiny zlib body of zeros
+        bomb = _zlib.compress(b"\x00" * (1 << 20), 9)   # ~1 KiB wire bytes
+        hdr = net_mod._FRAME_HDR.pack(1, 16384, 16384, 4, FLAG_ZLIB,
+                                      len(bomb))
+        raw.sendall(hdr + bomb)
+        deadline = time.monotonic() + 5.0
+        while (src.stats()["decode_errors"] == 0
+               and time.monotonic() < deadline):
+            time.sleep(0.02)
+        assert src.stats()["decode_errors"] == 1
+        assert src.stats()["frames_received"] == 0
+        # connection survived: a valid frame on the SAME socket lands
+        f = _frame(3, h=8, w=8)
+        payload = f.tobytes()
+        raw.sendall(net_mod._FRAME_HDR.pack(2, 8, 8, 4, 0, len(payload))
+                    + payload)
+        got = src.grab()
+        assert got is not None and np.array_equal(got, f)
+        raw.close()
+    finally:
+        src.close()
