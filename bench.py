@@ -638,7 +638,8 @@ def _run_stage(stage: str, budget_s: float, timeout_s: float) -> tuple:
             err_tail.append(ln.rstrip())
             del err_tail[:-8]
 
-    threading.Thread(target=_drain_err, daemon=True).start()
+    drain = threading.Thread(target=_drain_err, daemon=True)
+    drain.start()
     killer = threading.Timer(timeout_s, proc.kill)
     killer.start()
     last = None
@@ -649,12 +650,15 @@ def _run_stage(stage: str, budget_s: float, timeout_s: float) -> tuple:
                 continue
             print(ln, flush=True)
             try:
-                last = json.loads(ln)
+                parsed = json.loads(ln)
             except ValueError:
-                pass
+                continue
+            if isinstance(parsed, dict):   # a stray numeric/null line must
+                last = parsed              # not displace the result dict
         proc.wait()
     finally:
         killer.cancel()
+    drain.join(timeout=2.0)  # settle err_tail before the caller reads it
     return last, proc.returncode, err_tail
 
 

@@ -127,6 +127,13 @@ def apply_settings_defaults(args, settings) -> None:
     if args.source is None:
         args.source = "screen" if had else "synthetic"
         args.source_from_settings = had
+    # reject typos NOW, before device detection / model build spend
+    # minutes (make_components re-checks as the final guard)
+    if args.source.split(":", 1)[0] not in (
+            "screen", "synthetic", "shm", "image", "video", "tcp"):
+        raise SystemExit(
+            f"unknown --source {args.source!r} (valid: screen, synthetic, "
+            f"shm, image, video, tcp[:<port>])")
     if args.sink is None:
         args.sink = _sink_for_run_mode(settings.run_mode) if had else "mjpeg"
         # the reference's flat preview alongside XR (utils.py:1072)
@@ -255,17 +262,25 @@ def make_components(args, settings):
     elif args.source == "tcp" or args.source.startswith("tcp:"):
         # `--source tcp:7800` — network frame ingest from a remote desktop
         # (the reference's capture layer runs on the desktop by definition,
-        # reference capture.py:39-247; on a TPU host it arrives over TCP)
+        # reference capture.py:39-247; on a TPU host it arrives over TCP).
+        # Optional shared secret via D2S_INGEST_TOKEN (agent: --token).
         port = 7800
         if ":" in args.source:
             try:
                 port = int(args.source.split(":", 1)[1])
             except ValueError:
+                port = -1
+            if not 0 <= port <= 65535:
                 raise SystemExit(
-                    f"--source {args.source!r}: expected tcp:<port> "
+                    f"--source {args.source!r}: expected tcp:<port 0-65535> "
                     f"(e.g. tcp:7800)")
         args.source = "tcp"
-        src_kw = {"port": port}
+        # timeout=None: a server waits for its agent indefinitely (agents
+        # restart, links drop >30 s — neither is end-of-stream), unless a
+        # bounded run was requested
+        src_kw = {"port": port,
+                  "timeout": 30.0 if args.frames else None,
+                  "token": os.environ.get("D2S_INGEST_TOKEN")}
         if args.frames:
             src_kw["max_frames"] = args.frames
     elif args.source in ("image", "video"):

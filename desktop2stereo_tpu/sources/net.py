@@ -42,15 +42,53 @@ from typing import Optional
 import numpy as np
 
 MAGIC = b"D2SF"
-VERSION = 1
+VERSION = 2
 
-_HANDSHAKE = struct.Struct("<4sH")          # magic, version
+_HANDSHAKE = struct.Struct("<4sH16s")       # magic, version, auth token
 _FRAME_HDR = struct.Struct("<IHHBBI")       # seq, w, h, channels, flags, len
 
 FLAG_ZLIB = 1
 FLAG_JPEG = 2
 
 MAX_PAYLOAD = 3840 * 2160 * 4 + 1024        # one 4K BGRA frame
+
+
+def _token_bytes(token) -> bytes:
+    """Normalize a passphrase to the 16-byte wire token (sha256/16 —
+    any-length secrets, constant wire size).  None/'' → all-zeros = open."""
+    if not token:
+        return b"\x00" * 16
+    import hashlib
+
+    if isinstance(token, str):
+        token = token.encode()
+    return hashlib.sha256(token).digest()[:16]
+
+
+def _jpeg_dims(data: bytes):
+    """(h, w) from the first SOF marker, or None.  Parsed BEFORE
+    cv2.imdecode so a crafted JPEG cannot command a multi-GB allocation
+    regardless of what the frame header claims."""
+    i, n = 2, len(data)
+    if n < 4 or data[0:2] != b"\xff\xd8":
+        return None
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        seg_len = int.from_bytes(data[i + 2:i + 4], "big")
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if i + 9 <= n:
+                h = int.from_bytes(data[i + 5:i + 7], "big")
+                w = int.from_bytes(data[i + 7:i + 9], "big")
+                return h, w
+            return None
+        i += 2 + seg_len
+    return None
 
 
 def _read_exact(sock: socket.socket, n: int) -> Optional[bytes]:
@@ -73,6 +111,11 @@ def _decode_payload(payload: bytes, w: int, h: int, channels: int,
     if flags & FLAG_JPEG:
         import cv2
 
+        dims = _jpeg_dims(payload)
+        if dims != (h, w):
+            # checked BEFORE imdecode: the decoder allocates at the
+            # JPEG's internal dims, which must match the bounded header
+            raise ValueError(f"JPEG SOF dims {dims} != header ({h},{w})")
         arr = cv2.imdecode(np.frombuffer(payload, np.uint8),
                            cv2.IMREAD_UNCHANGED)
         if arr is None:
@@ -101,9 +144,16 @@ class TcpFrameSource:
 
     def __init__(self, port: int, host: str = "0.0.0.0",
                  timeout: Optional[float] = 30.0,
-                 max_frames: Optional[int] = None):
+                 max_frames: Optional[int] = None,
+                 token: "str | bytes | None" = None):
         self.timeout = timeout  # None: wait for an agent indefinitely
         self.max_frames = max_frames
+        # shared-secret gate for the takeover handshake: the listener is
+        # network-facing by design (the agent is remote), so without a
+        # token ANY reachable host could become the producer.  Set the
+        # same secret on both ends (cli: D2S_INGEST_TOKEN / agent:
+        # --token); unset = open mode for trusted networks.
+        self._token = _token_bytes(token)
         self._delivered = 0
         self._lock = threading.Lock()
         self._cond = threading.Condition(self._lock)
@@ -145,9 +195,13 @@ class TcpFrameSource:
             hs = _read_exact(conn, _HANDSHAKE.size)
             if hs is None:
                 return
-            magic, version = _HANDSHAKE.unpack(hs)
+            magic, version, token = _HANDSHAKE.unpack(hs)
             if magic != MAGIC or version != VERSION:
                 return
+            import hmac
+
+            if not hmac.compare_digest(token, self._token):
+                return  # wrong/missing secret — no takeover, no frames
             with self._lock:
                 # handshake OK: this connection is now the producer; close
                 # the superseded socket so its blocked recv() errors out
@@ -259,9 +313,11 @@ class TcpFrameSender:
     must deliver every frame."""
 
     def __init__(self, host: str, port: int, connect_timeout: float = 10.0,
-                 compress: str = "none", jpeg_quality: int = 85):
+                 compress: str = "none", jpeg_quality: int = 85,
+                 token: "str | bytes | None" = None):
         if compress not in ("none", "zlib", "jpeg"):
             raise ValueError(f"unknown compress mode {compress!r}")
+        self._token = _token_bytes(token)
         self.compress = compress
         self.jpeg_quality = int(jpeg_quality)
         self._seq = 0
@@ -278,7 +334,7 @@ class TcpFrameSender:
                                              timeout=connect_timeout)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self.sock.settimeout(None)
-        self.sock.sendall(_HANDSHAKE.pack(MAGIC, VERSION))
+        self.sock.sendall(_HANDSHAKE.pack(MAGIC, VERSION, self._token))
 
     def _pack(self, frame: np.ndarray) -> bytes:
         frame = np.ascontiguousarray(frame, dtype=np.uint8)

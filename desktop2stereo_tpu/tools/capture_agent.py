@@ -29,6 +29,7 @@ can't stall the TPU pipeline.
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 
@@ -45,6 +46,9 @@ def main() -> None:
                         "stdlib; jpeg needs cv2 and trades quality for "
                         "~10-20x less bandwidth)")
     p.add_argument("--jpeg-quality", type=int, default=85)
+    p.add_argument("--token", default=os.environ.get("D2S_INGEST_TOKEN"),
+                   help="shared secret for --connect; must match the "
+                        "pipeline's D2S_INGEST_TOKEN (unset = open mode)")
     p.add_argument("--retry", type=float, default=60.0,
                    help="remote mode: keep retrying the connect this many "
                         "seconds (the pipeline may still be compiling)")
@@ -80,16 +84,26 @@ def main() -> None:
     if args.connect:
         from desktop2stereo_tpu.sources.net import TcpFrameSender
 
-        host, _, port = args.connect.rpartition(":")
+        host, sep, port_s = args.connect.rpartition(":")
+        if not sep:                      # `--connect tpu-host` → default port
+            host, port_s = args.connect, "7800"
+        try:
+            port = int(port_s)
+            if not 0 <= port <= 65535:
+                raise ValueError
+        except ValueError:
+            raise SystemExit(
+                f"--connect {args.connect!r}: expected HOST[:PORT 0-65535]")
         # the pipeline may still be compiling when the agent starts —
         # retry the connect for up to retry_s (the reference's capture
         # fallback chains retry the same way, reference capture.py:457-470)
         retry_s, t0, sender = args.retry, time.time(), None
         while True:
             try:
-                sender = TcpFrameSender(host or "127.0.0.1", int(port),
+                sender = TcpFrameSender(host or "127.0.0.1", port,
                                         compress=args.compress,
-                                        jpeg_quality=args.jpeg_quality)
+                                        jpeg_quality=args.jpeg_quality,
+                                        token=args.token)
                 break
             except OSError as e:
                 if time.time() - t0 > retry_s:

@@ -209,15 +209,18 @@ class PinchWheelZoom:
     """Host-side fallback for touch streams on hosts without uinput:
     re-derives the pinch scale from the two contacts and synthesizes the
     ctrl+wheel zoom ticks the router used to send directly (the Linux
-    analog of the reference's touch zoom, reference input.py:121-390
-    geometric core — same _PINCH_TICK_SCALE semantics as r04)."""
+    analog of the reference's touch zoom, reference input.py:121-390).
+    The geometry lives in ONE place — input_map.PinchTracker — and this
+    class only converts its cumulative scale into discrete wheel ticks."""
 
     TICK_SCALE = 0.08  # log-scale units per wheel tick
 
     def __init__(self):
+        from desktop2stereo_tpu.xr.input_map import PinchTracker
+
         self._pts: Dict[int, Tuple[float, float]] = {}
-        self._anchor: Optional[float] = None
-        self._accum = 0.0
+        self._tracker = PinchTracker()
+        self._emitted = 0.0  # log-scale already converted to ticks
 
     def feed(self, ev: dict, inj, screen: Tuple[int, int]) -> None:
         import math
@@ -227,23 +230,21 @@ class PinchWheelZoom:
         phase = ev.get("phase")
         if phase == "up":
             self._pts.pop(tid, None)
-            self._anchor = None
-            self._accum = 0.0
+            self._tracker.update(None, None)
+            self._emitted = 0.0
             return
         self._pts[tid] = (float(ev.get("u", 0.0)) * max(w - 1, 1),
                           float(ev.get("v", 0.0)) * max(h - 1, 1))
         if len(self._pts) < 2:
             return
-        (x1, y1), (x2, y2) = list(self._pts.values())[:2]
-        dist = max(math.hypot(x2 - x1, y2 - y1), 1e-6)
-        if self._anchor is None:
-            self._anchor = dist
+        p1, p2 = list(self._pts.values())[:2]
+        state = self._tracker.update(p1, p2)
+        if state is None:
             return
-        self._accum += math.log(dist / self._anchor)
-        self._anchor = dist
-        ticks = int(self._accum / self.TICK_SCALE)
+        total = math.log(max(state.scale, 1e-6))
+        ticks = int((total - self._emitted) / self.TICK_SCALE)
         if ticks:
-            self._accum -= ticks * self.TICK_SCALE
+            self._emitted += ticks * self.TICK_SCALE
             inj.key_vk(0x11, True)               # Ctrl
             btn = 4 if ticks > 0 else 5          # wheel up/down
             for _ in range(abs(ticks)):

@@ -193,6 +193,13 @@ class OsInputRouter:
                         st.dragging = ev.kind in ("drag_start", "drag")
                 if len(pinch_hands) < 2:
                     self._end_touch(events)
+            else:
+                # owner latched to "screen" (arbiter hysteresis) but no
+                # hand currently reports a hit: without this, touch
+                # contacts put down by a pinch would stay pressed on the
+                # remote desktop (long-press side effects) until
+                # ownership changed
+                self._end_touch(events)
         else:
             # keyboard owns (or nothing): release any held drag cleanly
             for ev in self.clicks.update(False, *(st.cursor_px or (0, 0)),

@@ -274,7 +274,8 @@ def test_tcp_decompression_bomb_bounded():
     src = TcpFrameSource(port=0, host="127.0.0.1", timeout=5.0)
     try:
         raw = socket.create_connection(("127.0.0.1", src.port), timeout=5)
-        raw.sendall(net_mod._HANDSHAKE.pack(net_mod.MAGIC, net_mod.VERSION))
+        raw.sendall(net_mod._HANDSHAKE.pack(net_mod.MAGIC, net_mod.VERSION,
+                                     b"\x00" * 16))
         # 16384 x 16384 x 4 claimed (=1 GiB) via a tiny zlib body of zeros
         bomb = _zlib.compress(b"\x00" * (1 << 20), 9)   # ~1 KiB wire bytes
         hdr = net_mod._FRAME_HDR.pack(1, 16384, 16384, 4, FLAG_ZLIB,
@@ -296,3 +297,46 @@ def test_tcp_decompression_bomb_bounded():
         raw.close()
     finally:
         src.close()
+
+
+def test_tcp_token_gate():
+    """With a shared secret set, only a matching agent is accepted; a
+    wrong or missing token gets no takeover and no ingestion."""
+    src = TcpFrameSource(port=0, host="127.0.0.1", timeout=1.0,
+                         token="s3cret")
+    try:
+        bad = TcpFrameSender("127.0.0.1", src.port, token="wrong")
+        try:
+            bad.send(_frame(1))
+        except OSError:
+            pass  # server closed on us — acceptable
+        time.sleep(0.2)
+        assert src.stats()["frames_received"] == 0
+        good = TcpFrameSender("127.0.0.1", src.port, token="s3cret")
+        f = _frame(2)
+        good.send(f)
+        got = src.grab()
+        assert got is not None and np.array_equal(got, f)
+        good.close()
+        bad.close()
+    finally:
+        src.close()
+
+
+def test_tcp_jpeg_bomb_dims_rejected_before_decode():
+    """A JPEG whose internal SOF dims disagree with the (bounded) frame
+    header is rejected by the marker parser BEFORE cv2.imdecode can
+    allocate at the attacker-declared size."""
+    cv2 = pytest.importorskip("cv2")
+    from desktop2stereo_tpu.sources import net as net_mod
+
+    big = np.zeros((64, 64, 3), np.uint8)
+    ok, enc = cv2.imencode(".jpg", big)
+    assert ok
+    payload = enc.tobytes()
+    assert net_mod._jpeg_dims(payload) == (64, 64)
+    with pytest.raises(ValueError, match="SOF dims"):
+        net_mod._decode_payload(payload, 1, 1, 3, net_mod.FLAG_JPEG)
+    # matching dims decode fine
+    out = net_mod._decode_payload(payload, 64, 64, 3, net_mod.FLAG_JPEG)
+    assert out.shape == (64, 64, 3)
