@@ -186,6 +186,7 @@ _L10N = {
         "source": "Source", "window": "Input Window", "cursor": "Cursor",
         "sink": "Sink", "audio": "Audio (rtmp)", "quant": "Quantization",
         "port": "Port", "out": "Output Path", "input": "Input Path",
+        "ingest": "Ingest Port (capture agent)",
         "refresh": "Refresh", "run": "Run", "stop": "Stop",
         "running": "running pid ",
         "stopped": "stopped", "lang_link": "中文",
@@ -202,6 +203,7 @@ _L10N = {
         "source": "输入源", "window": "输入窗口", "cursor": "光标",
         "sink": "输出", "audio": "音频 (rtmp)", "quant": "量化",
         "port": "端口", "out": "输出路径", "input": "输入路径",
+        "ingest": "接收端口（采集代理）",
         "refresh": "刷新", "run": "运行", "stop": "停止",
         "running": "运行中 pid ",
         "stopped": "已停止", "lang_link": "English",
@@ -309,13 +311,14 @@ input[type=checkbox]{{width:auto}}</style>
 </div></div>
 <label><input type="checkbox" name="temporal_smooth" {smooth_sel}> {L['smooth']}</label>
 <label>{L['device']}</label><select name="device">{dev_opts}</select>
-<label>{L['source']}</label><select name="source" id="source" onchange="syncRows()"><option>screen</option><option>shm</option><option>synthetic</option><option>video</option><option>image</option></select>
+<label>{L['source']}</label><select name="source" id="source" onchange="syncRows()"><option>screen</option><option>shm</option><option>synthetic</option><option>video</option><option>image</option><option>tcp</option></select>
 <div id="row_monitor"><label>{L['monitor']}</label><select name="monitor">{mon_opts}</select></div>
 <div id="row_window"><label>{L['window']} <a href="#" onclick="refreshWindows();return false">({L['refresh']})</a></label>
 <input name="window_title" id="window_title" list="winlist" placeholder="(whole screen)">
 <datalist id="winlist">{win_opts}</datalist></div>
 <div id="row_cursor"><label>{L['cursor']}</label><select name="cursor"><option value="on">on</option><option value="off">off</option></select></div>
 <div id="row_input"><label>{L['input']}</label><input name="input" placeholder="/path/to/file"></div>
+<div id="row_ingest"><label>{L['ingest']}</label><input name="ingest_port" placeholder="7800"></div>
 <label>{L['sink']}</label><select name="sink" id="sink" onchange="syncRows()"><option>mjpeg</option><option>window</option><option>png</option><option>video</option><option>null</option><option>rtmp</option><option>xr</option><option>xr,mjpeg</option></select>
 <div id="row_port"><label>{L['port']}</label><input name="port" placeholder="(default)"></div>
 <div id="row_out"><label>{L['out']}</label><input name="out" placeholder="out"></div>
@@ -374,6 +377,7 @@ function syncRows(){{
  show('row_window', src==='screen');
  show('row_cursor', src==='screen');
  show('row_input', src==='video'||src==='image'||src==='shm');
+ show('row_ingest', src==='tcp');
  show('row_audio', sink.includes('rtmp'));
  show('row_port', sink.includes('mjpeg')||sink.includes('xr')||sink.includes('rtmp'));
  show('row_out', sink.includes('png')||sink.includes('video'));
@@ -425,10 +429,11 @@ def serve(port: int = 8700, settings_path: str = "settings.yaml",
                 self._send(200, _form_page(settings, lang))
             elif self.path == "/status":
                 body = json.dumps({
-                    "running": manager.running,
-                    "pid": manager.proc.pid if manager.running else None,
-                    "stats": worker_stats_from_log() if manager.running
-                    else {},
+                    "running": self.server.manager.running,
+                    "pid": (self.server.manager.proc.pid
+                            if self.server.manager.running else None),
+                    "stats": (worker_stats_from_log()
+                              if self.server.manager.running else {}),
                 }).encode()
                 self._send(200, body, "application/json")
             elif self.path == "/windows":
@@ -503,14 +508,18 @@ def serve(port: int = 8700, settings_path: str = "settings.yaml",
                     extra += ["--audio", val("audio", "auto")]
                 if val("quant", "none") != "none":
                     extra += ["--quant", val("quant", "none")]
+                source = val("source", "synthetic")
+                if source == "tcp":
+                    # remote capture agent feeds this port (sources/net.py)
+                    source = "tcp:" + (val("ingest_port", "") or "7800")
                 try:
-                    manager.start(settings, val("source", "synthetic"),
+                    self.server.manager.start(settings, source,
                                   val("sink", "mjpeg"), extra_args=extra)
                 except RuntimeError as e:
                     self._send(409, str(e).encode())
                     return
             elif parsed.path == "/stop":
-                manager.stop()
+                self.server.manager.stop()
             else:
                 self._send(404, b"not found")
                 return

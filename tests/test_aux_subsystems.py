@@ -223,3 +223,49 @@ def test_native_list_windows_binding():
     names = list_windows()
     assert isinstance(names, list)
     assert all(isinstance(n, str) and n for n in names)
+
+
+def test_control_panel_tcp_source_composes_port():
+    """The panel's `tcp` source row composes `tcp:<ingest port>` for the
+    worker CLI (sources/net.py remote-agent ingest; r05)."""
+    from desktop2stereo_tpu.service import control
+
+    server = control.serve(port=0,
+                           settings_path="/tmp/d2s_test_settings2.yaml")
+    port = server.server_address[1]
+
+    calls = {}
+
+    class FakeManager:
+        def start(self, settings, source, sink, extra_args=None):
+            calls["source"] = source
+            calls["sink"] = sink
+
+        def stop(self):
+            pass
+
+        def status(self):
+            return {"running": False}
+
+    server.manager = FakeManager()
+    t = threading.Thread(target=server.serve_forever, daemon=True)
+    t.start()
+    try:
+        page = urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/", timeout=5).read()
+        assert b"<option>tcp</option>" in page and b"row_ingest" in page
+        data = urllib.parse.urlencode({
+            "source": "tcp", "ingest_port": "7901", "sink": "null",
+            "model": "Depth-Anything-V2-Small"}).encode()
+        urllib.request.urlopen(urllib.request.Request(
+            f"http://127.0.0.1:{port}/start", data=data), timeout=5)
+        assert calls["source"] == "tcp:7901"
+        # empty port falls back to the documented default
+        data = urllib.parse.urlencode({
+            "source": "tcp", "sink": "null",
+            "model": "Depth-Anything-V2-Small"}).encode()
+        urllib.request.urlopen(urllib.request.Request(
+            f"http://{'127.0.0.1'}:{port}/start", data=data), timeout=5)
+        assert calls["source"] == "tcp:7800"
+    finally:
+        server.shutdown()
