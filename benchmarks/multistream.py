@@ -7,6 +7,13 @@ measured by the repo's slope method (benchmarks/_timing.py).  Reports
 per-launch ms and the aggregate FPS (S frames per launch).
 
 Usage: python benchmarks/multistream.py [S ...]   (default 1 2 4)
+
+Measured note (r05): the S=2 aggregate DIP below S=1 is the MODEL stage —
+the raw ViT-S forward itself costs 1.49/1.84/1.44 ms per frame at XLA
+batch 1/2/4 (batch-2 tiles worse on this chip; recovered by batch 4).
+Per-stage slopes via `step.model_j`/`step.stages` introspection showed
+pre and the vmapped Pallas tail scale linearly — the batched machinery
+adds nothing; the dip is XLA's batch-2 compile.
 """
 from __future__ import annotations
 

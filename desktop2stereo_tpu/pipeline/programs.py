@@ -527,6 +527,7 @@ def _build_step(
                 out = depth if cfg.emit_depth == "full" else small
                 return sbs, out, FrameState(ema_depth=small, model=mstate)
         step.stages = stages  # share between first/step builds
+        step.model_j = model_j  # introspection (stage timing tools)
         return step
 
     if shared_stages is not None:
