@@ -896,9 +896,13 @@ int d2s_touch_point(void* handle, int slot, int x, int y, int down) {
     }
     if (uinput_emit(t->fd, EV_ABS, ABS_MT_POSITION_X, x) < 0) return -1;
     if (uinput_emit(t->fd, EV_ABS, ABS_MT_POSITION_Y, y) < 0) return -1;
-    // pointer-emulation mirror follows the first contact
-    uinput_emit(t->fd, EV_ABS, ABS_X, x);
-    uinput_emit(t->fd, EV_ABS, ABS_Y, y);
+    // pointer-emulation mirror follows slot 0 ONLY: mirroring every
+    // contact makes the legacy single-touch cursor jump between fingers
+    // mid-pinch on desktops that consume the ST stream
+    if (slot == 0) {
+      uinput_emit(t->fd, EV_ABS, ABS_X, x);
+      uinput_emit(t->fd, EV_ABS, ABS_Y, y);
+    }
   } else if (t->tracking[slot] >= 0) {
     t->tracking[slot] = -1;
     if (uinput_emit(t->fd, EV_ABS, ABS_MT_TRACKING_ID, -1) < 0) return -1;
