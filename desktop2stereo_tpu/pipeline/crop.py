@@ -173,7 +173,13 @@ class CropController:
         if detected != FULL:
             self.full_hits = 0
             old = self.crop
-            if max(abs(old[i] - detected[i]) for i in range(4)) >= 2.0 / max(h, 1):
+            # 2-px deadband per component in ITS OWN axis: (u0, uw) are
+            # width-normalized, (v0, vh) height-normalized — one shared
+            # h-based threshold ignored real >=2 px pillarbox changes on
+            # wide frames (and over-triggered on portrait ones)
+            tol = (2.0 / max(w, 1), 2.0 / max(h, 1),
+                   2.0 / max(w, 1), 2.0 / max(h, 1))
+            if max(abs(old[i] - detected[i]) / tol[i] for i in range(4)) >= 1.0:
                 self.crop = detected
         else:
             self.full_hits += 1

@@ -111,6 +111,8 @@ class FrameEngine:
         self.capture_done = threading.Event()  # source exhausted (drain, don't kill)
         self._consumed_seq = 0
         self._has_pending = False
+        self._sink_seq = 0        # newest out_box seq the sink has PUSHED
+        self._sink_busy = False   # a push is in flight right now
 
     # ---- stages ----------------------------------------------------------
 
@@ -140,13 +142,21 @@ class FrameEngine:
         pending: Optional[Tuple[Any, Any, float, float]] = None  # (sbs, depth, t0, t_submit)
         try:
             while not self.shutdown.is_set():
-                item, seq = self.raw_box.get(timeout=0.1, last_seq=seq)
+                # If no frame is IMMEDIATELY ready, flush the pending result
+                # before blocking for the next one: on a paced source the
+                # sink then receives each frame as soon as its d2h lands
+                # instead of one frame-interval later, and the
+                # 'depth+compose' stat measures dispatch→done rather than
+                # absorbing the inter-frame wait.  A saturated source takes
+                # the fast path below and keeps the d2h/compute overlap.
+                item, seq = self.raw_box.get(timeout=0.0, last_seq=seq)
+                if item is None and pending is not None:
+                    self._finish(pending)
+                    pending = None
+                    self._has_pending = False
                 if item is None:
-                    # No new frame; flush any pending result.
-                    if pending is not None:
-                        self._finish(pending)
-                        pending = None
-                        self._has_pending = False
+                    item, seq = self.raw_box.get(timeout=0.1, last_seq=seq)
+                if item is None:
                     self._consumed_seq = seq
                     continue
                 frame, t0 = item
@@ -196,7 +206,12 @@ class FrameEngine:
                     continue
                 sbs_np, depth, t0 = item
                 t1 = time.perf_counter()
-                self.sink.push(sbs_np, depth, self.stats())
+                self._sink_busy = True
+                try:
+                    self.sink.push(sbs_np, depth, self.stats())
+                finally:
+                    self._sink_busy = False
+                    self._sink_seq = seq
                 self.latency.record("sink", time.perf_counter() - t1)
         except BaseException as e:
             self._error = e
@@ -234,13 +249,25 @@ class FrameEngine:
             raise self._error
 
     def drained(self) -> bool:
-        """True when a finite source is exhausted and every captured frame
-        has been consumed (processed or dropped by latest-wins)."""
+        """True when a finite source is exhausted, every captured frame has
+        been consumed (processed or dropped by latest-wins), AND the sink
+        has finished pushing the newest composed frame — without the sink
+        clause, stop() could beat a mid-push sink to the final frame and a
+        `--frames N` run would nondeterministically emit N-1 outputs."""
         return (
             self.capture_done.is_set()
             and not self._has_pending
             and self._consumed_seq >= self.raw_box._seq
+            and self._sink_seq >= self.out_box._seq
+            and not self._sink_busy
         )
+
+    def _wait_sink_drain(self, timeout: float = 5.0) -> None:
+        """Give the sink a bounded window to deliver what was composed."""
+        deadline = time.monotonic() + timeout
+        while (not self.shutdown.is_set() and time.monotonic() < deadline
+               and (self._sink_busy or self._sink_seq < self.out_box._seq)):
+            time.sleep(0.01)
 
     def run(self, duration: Optional[float] = None, max_frames: Optional[int] = None) -> EngineStats:
         """Blocking convenience: start, wait, stop."""
@@ -252,8 +279,9 @@ class FrameEngine:
             if max_frames is not None and self.frames >= max_frames:
                 break
             if self.drained():
-                break  # everything the source produced has been processed
+                break  # everything the source produced has been delivered
             time.sleep(0.01)
+        self._wait_sink_drain()
         self.stop()
         return self.stats_final()
 

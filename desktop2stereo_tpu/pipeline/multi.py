@@ -113,8 +113,11 @@ class MultiStreamEngine:
     def _compute_loop(self) -> None:
         try:
             while not self.shutdown.is_set():
-                if all(st.done.is_set() for st in self.streams):
-                    break
+                if (all(st.done.is_set() for st in self.streams)
+                        and all(st.raw_seq >= st.raw._seq
+                                for st in self.streams)):
+                    break  # done AND raw boxes drained (a source's last
+                           # frame may land in the same tick as done)
                 progressed = False
                 for st in self.streams:
                     item, st.raw_seq = st.raw.get(timeout=0.0, last_seq=st.raw_seq)
@@ -184,7 +187,16 @@ class MultiStreamEngine:
                     break
                 time.sleep(0.02)
         finally:
-            time.sleep(0.05)
+            # bounded delivery drain instead of a fixed grace sleep: a sink
+            # mid-encode on a 4K frame takes longer than 50 ms, and the
+            # final flushed frame per stream must be TAKEN before shutdown
+            # (a taken item is always pushed — the sink loop re-checks
+            # shutdown only after its push completes)
+            deadline = time.monotonic() + 5.0
+            while (not self.shutdown.is_set()
+                   and time.monotonic() < deadline
+                   and any(st.out_seq < st.out._seq for st in self.streams)):
+                time.sleep(0.01)
             self.shutdown.set()
             # join (bounded) before returning: letting the interpreter tear
             # down while the compute/sink daemons are inside a device call
@@ -224,8 +236,10 @@ class BatchedStreamEngine(MultiStreamEngine):
         pending = None                        # (sbs, depth, fresh_mask, t0s)
         try:
             while not self.shutdown.is_set():
-                if all(st.done.is_set() for st in self.streams):
-                    break
+                if (all(st.done.is_set() for st in self.streams)
+                        and all(st.raw_seq >= st.raw._seq
+                                for st in self.streams)):
+                    break  # done AND raw boxes drained
                 got_any = False
                 for st in self.streams:
                     item, st.raw_seq = st.raw.get(timeout=0.0, last_seq=st.raw_seq)
@@ -233,14 +247,21 @@ class BatchedStreamEngine(MultiStreamEngine):
                         last[st.idx], t0s[st.idx] = item
                         fresh[st.idx] = True
                         got_any = True
-                # a stream that ended before producing ANY frame (empty
-                # video, dead shm producer) must not starve the batch: give
-                # it a stand-in from a live stream (never marked fresh, so
-                # its sink never sees the stand-in)
+                # a stream with no frame yet must not starve the batch:
+                # one that ENDED frameless (empty video, dead shm producer)
+                # always gets a stand-in from a live stream, and for
+                # stateless models so does one that merely hasn't STARTED
+                # (remote agent still connecting) — never marked fresh, so
+                # its sink never sees the stand-in.  Streaming models keep
+                # waiting for late streams: their stacked first-frame
+                # program would otherwise seed the late stream's temporal
+                # window with another stream's content.
                 have = [f for f in last if f is not None]
+                stateless = getattr(self.program, "_first", None) is None
                 if have and len(have) < len(last):
                     for st in self.streams:
-                        if last[st.idx] is None and st.done.is_set():
+                        if last[st.idx] is None and (st.done.is_set()
+                                                     or stateless):
                             last[st.idx] = have[0]
                 if not got_any or any(f is None for f in last):
                     if pending is not None:
@@ -260,11 +281,15 @@ class BatchedStreamEngine(MultiStreamEngine):
                 # re-submitted duplicate frames
                 sbs, depth = self.program(jax.device_put(batch),
                                           fresh=np.asarray(fresh, bool))
-                if hasattr(sbs, "copy_to_host_async"):
-                    try:
-                        sbs.copy_to_host_async()
-                    except Exception:
-                        pass
+                # depth rides the async d2h window iff ANY sink consumes it
+                # (the same sink negotiation as the single-stream engines)
+                want_depth = any(st.wants_depth for st in self.streams)
+                for arr in (sbs, depth) if want_depth else (sbs,):
+                    if hasattr(arr, "copy_to_host_async"):
+                        try:
+                            arr.copy_to_host_async()
+                        except Exception:
+                            pass
                 if pending is not None:
                     self._finish_batch(pending)
                 pending = (sbs, depth, list(fresh), list(t0s))
@@ -278,9 +303,16 @@ class BatchedStreamEngine(MultiStreamEngine):
     def _finish_batch(self, pending) -> None:
         sbs, depth, fresh_mask, t0s = pending
         sbs_np = np.asarray(sbs)              # blocks on the whole batch
+        # one host fetch for the whole depth batch, only if some sink
+        # reads it; per-stream rows slice the numpy copy (no per-stream
+        # synchronous device gathers)
+        depth_np = (np.asarray(depth)
+                    if any(st.wants_depth for st in self.streams) else None)
         for st in self.streams:
             if not fresh_mask[st.idx]:
                 continue                      # no duplicate pushes
-            st.out.put((sbs_np[st.idx], depth[st.idx], t0s[st.idx]))
+            d = depth_np[st.idx] if (depth_np is not None
+                                     and st.wants_depth) else None
+            st.out.put((sbs_np[st.idx], d, t0s[st.idx]))
             st.frames += 1
             st.fps.tick()

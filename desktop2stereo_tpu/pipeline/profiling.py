@@ -47,21 +47,33 @@ def annotate(name: str):
 
 
 class StageTimer:
-    """Tiny helper for per-stage wall timing with EMA (the reference's
-    thread_latencies dict, main.py:70-77)."""
+    """Profiler-annotated per-stage wall timing (the reference's
+    thread_latencies dict, main.py:70-77).
+
+    The EMA/history math lives in ONE place — metrics.StageLatency — and
+    this wrapper only adds the TraceAnnotation so the region shows up in
+    the profiler timeline; the sample records even when the block raises
+    (try/finally), so a failing stage still shows its cost."""
 
     def __init__(self, alpha: float = 0.9):
+        from desktop2stereo_tpu.pipeline.metrics import StageLatency
+
         self.alpha = alpha
-        self.latency = {}
+        self._lat = StageLatency()
 
     @contextlib.contextmanager
     def stage(self, name: str):
         t0 = time.perf_counter()
-        with annotate(f"d2s.{name}"):
-            yield
-        dt = time.perf_counter() - t0
-        prev = self.latency.get(name)
-        self.latency[name] = dt if prev is None else prev * self.alpha + dt * (1 - self.alpha)
+        try:
+            with annotate(f"d2s.{name}"):
+                yield
+        finally:
+            self._lat.record(name, time.perf_counter() - t0,
+                             ema_alpha=self.alpha)
+
+    @property
+    def latency(self) -> dict:
+        return self._lat.snapshot()
 
     def snapshot(self) -> dict:
-        return dict(self.latency)
+        return self._lat.snapshot()

@@ -68,6 +68,22 @@ class MjpegSink:
             def log_message(self, *a):  # quiet
                 pass
 
+            def _send_json(self, code: int, obj) -> None:
+                import json as _json
+
+                body = (obj if isinstance(obj, bytes)
+                        else _json.dumps(obj).encode())
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _query(self) -> dict:
+                from urllib.parse import parse_qs, urlparse
+
+                return parse_qs(urlparse(self.path).query)
+
             def do_GET(self):  # noqa: N802
                 if self.path in ("/", "/index.html"):
                     self.send_response(200)
@@ -77,110 +93,75 @@ class MjpegSink:
                     self.wfile.write(_PAGE)
                     return
                 if self.path.startswith("/mode"):
-                    import json as _json
-                    from urllib.parse import parse_qs, urlparse
-
                     from desktop2stereo_tpu.core.config import DISPLAY_MODES
 
-                    q = parse_qs(urlparse(self.path).query)
-                    body: bytes
-                    if sink.mode_switcher is None:
-                        self.send_response(503)
-                        body = b'{"error": "no live pipeline attached"}'
+                    q = self._query()
+                    sw = sink.mode_switcher
+                    if sw is None:
+                        self._send_json(503,
+                                        {"error": "no live pipeline attached"})
                     elif "set" in q:
-                        mode = q["set"][0]
                         try:
-                            sink.mode_switcher.set_display_mode(mode)
-                            self.send_response(200)
-                            body = _json.dumps({"mode": mode}).encode()
+                            sw.set_display_mode(q["set"][0])
+                            self._send_json(200, {"mode": q["set"][0]})
                         except ValueError as e:
-                            self.send_response(400)
-                            body = _json.dumps({"error": str(e)}).encode()
+                            self._send_json(400, {"error": str(e)})
                     else:
-                        self.send_response(200)
-                        body = _json.dumps({
-                            "mode": sink.mode_switcher.cfg.display_mode,
-                            "available": list(DISPLAY_MODES),
-                        }).encode()
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                        # pending-aware property: reports a just-set mode
+                        # before the next frame applies it (like /strength)
+                        self._send_json(200, {
+                            "mode": sw.display_mode,
+                            "available": list(DISPLAY_MODES)})
                     return
                 if self.path.startswith("/strength"):
                     # live depth strength (the reference viewer's UP/DOWN/0
                     # keys, reference viewer.py:2321-2329): GET /strength,
                     # ?set=2.5, ?delta=0.5, ?reset=1
-                    import json as _json
-                    from urllib.parse import parse_qs, urlparse
-
-                    q = parse_qs(urlparse(self.path).query)
+                    q = self._query()
                     sw = sink.mode_switcher
                     if sw is None or not hasattr(sw, "set_depth_strength"):
-                        self.send_response(503)
-                        body = b'{"error": "no live pipeline attached"}'
-                    else:
-                        try:
-                            if "set" in q:
-                                # snap to the key-step grid: each distinct
-                                # strength is a separately COMPILED program
-                                # variant kept for the session, so an
-                                # arbitrary-float web slider must not mint
-                                # unbounded variants (ProgramCache._variants)
-                                v = sw.set_depth_strength(
-                                    round(float(q["set"][0]) * 2.0) / 2.0)
-                            elif "delta" in q:
-                                v = sw.adjust_depth_strength(
-                                    round(float(q["delta"][0]) * 2.0) / 2.0)
-                            elif "reset" in q:
-                                v = sw.reset_depth_strength()
-                            else:
-                                v = sw.depth_strength
-                            self.send_response(200)
-                            body = _json.dumps(
-                                {"depth_strength": v}).encode()
-                        except ValueError as e:
-                            self.send_response(400)
-                            body = _json.dumps({"error": str(e)}).encode()
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                        self._send_json(503,
+                                        {"error": "no live pipeline attached"})
+                        return
+                    try:
+                        if "set" in q:
+                            # snap to the key-step grid: each distinct
+                            # strength is a separately COMPILED program
+                            # variant kept for the session, so an
+                            # arbitrary-float web slider must not mint
+                            # unbounded variants (ProgramCache._variants)
+                            v = sw.set_depth_strength(
+                                round(float(q["set"][0]) * 2.0) / 2.0)
+                        elif "delta" in q:
+                            v = sw.adjust_depth_strength(
+                                round(float(q["delta"][0]) * 2.0) / 2.0)
+                        elif "reset" in q:
+                            v = sw.reset_depth_strength()
+                        else:
+                            v = sw.depth_strength
+                        self._send_json(200, {"depth_strength": v})
+                    except ValueError as e:
+                        self._send_json(400, {"error": str(e)})
                     return
                 if self.path.startswith("/feather"):
                     # per-eye edge feathering toggle (the reference viewer's
                     # KEY_B, reference viewer.py:2338): GET /feather,
                     # ?toggle=1
-                    import json as _json
-                    from urllib.parse import parse_qs, urlparse
-
-                    q = parse_qs(urlparse(self.path).query)
+                    q = self._query()
                     sw = sink.mode_switcher
                     if sw is None or not hasattr(sw, "toggle_feather"):
-                        self.send_response(503)
-                        body = b'{"error": "no live pipeline attached"}'
-                    else:
-                        on = (sw.toggle_feather() if "toggle" in q
-                              else sw.edge_feather)
-                        self.send_response(200)
-                        body = _json.dumps({"edge_feather": bool(on)}).encode()
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                        self._send_json(503,
+                                        {"error": "no live pipeline attached"})
+                        return
+                    on = (sw.toggle_feather() if "toggle" in q
+                          else sw.edge_feather)
+                    self._send_json(200, {"edge_feather": bool(on)})
                     return
                 if self.path.startswith("/stats"):
                     # FPS / 1%-low / per-stage latency / frame + drop counts
                     # — the reference's title-bar readout as JSON (reference
                     # main.py:1233-1251)
-                    import json as _json
-
-                    body = _json.dumps(sink._stats or {}).encode()
-                    self.send_response(200)
-                    self.send_header("Content-Type", "application/json")
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
+                    self._send_json(200, sink._stats or {})
                     return
                 if self.path != "/stream":
                     self.send_response(404)

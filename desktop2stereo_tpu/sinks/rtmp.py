@@ -9,6 +9,7 @@ window, no screen grab — and ffmpeg encodes/publishes to the given URL.
 from __future__ import annotations
 
 import os
+import time
 import shutil
 import subprocess
 from typing import List, Optional
@@ -78,6 +79,9 @@ class RtmpSink:
         else:
             self.audio_args = ["-f", "pulse", "-i", audio]
         self._proc: Optional[subprocess.Popen] = None
+        self._retry_at = 0.0     # earliest monotonic time to respawn ffmpeg
+        self._backoff = 0.5      # doubles per consecutive failure, cap 10 s
+        self._fails = 0
         self._shape = None
         self._server: Optional[subprocess.Popen] = None
         if serve:
@@ -113,13 +117,26 @@ class RtmpSink:
     def push(self, sbs_u8: np.ndarray, depth, stats) -> None:
         h, w = sbs_u8.shape[:2]
         if self._proc is None or self._shape != (h, w):
-            # restart on resolution change (reference main.py:1018-1061)
+            # restart on resolution change (reference main.py:1018-1061);
+            # after a FAILED encoder (publish URL down) back off
+            # exponentially instead of forking ffmpeg every frame at 60 Hz
+            now = time.monotonic()
+            if self._proc is None and now < self._retry_at:
+                return  # drop the frame; stream resumes when ffmpeg does
             self.close()
             self._start(h, w)
         try:
             self._proc.stdin.write(np.ascontiguousarray(sbs_u8).tobytes())
+            self._backoff = 0.5
         except (BrokenPipeError, ValueError):
             self.close()
+            self._retry_at = time.monotonic() + self._backoff
+            self._fails += 1
+            if self._fails in (1, 10):   # surface once, then once more
+                print(f"[rtmp] publish to {self.url} failing "
+                      f"(x{self._fails}); retrying with backoff "
+                      f"{self._backoff:.1f}s", flush=True)
+            self._backoff = min(self._backoff * 2.0, 10.0)
 
     def close(self) -> None:
         if self._proc is not None:

@@ -294,3 +294,62 @@ def test_batched_stale_stream_freezes_model_carry():
     key = next(iter(batched._states))
     counters = np.asarray(batched._states[key].model)
     np.testing.assert_array_equal(counters, [2.0, 1.0])
+
+
+def test_batched_late_stream_does_not_starve_live_ones():
+    """A stream whose source hasn't produced yet (remote agent still
+    connecting) must not block the batch for stateless models: the live
+    stream flows with a stand-in row, the late stream's sink stays silent
+    until its own frames arrive (r05 review fix)."""
+    import time as _time
+
+    from desktop2stereo_tpu.pipeline.multi import BatchedStreamEngine
+    from desktop2stereo_tpu.pipeline.programs import BatchedProgramCache
+
+    rng = np.random.default_rng(5)
+    frames0 = [rng.integers(0, 255, (48, 64, 4), np.uint8)
+               for _ in range(8)]
+    frame1 = rng.integers(0, 255, (48, 64, 4), np.uint8)
+
+    class DelayedSource:
+        def __init__(self, delay_s, frames):
+            self._t0 = _time.monotonic()
+            self.delay = delay_s
+            self._frames = list(frames)
+
+        def grab(self):
+            if _time.monotonic() - self._t0 < self.delay:
+                _time.sleep(0.02)
+                return self.grab()
+            return self._frames.pop(0) if self._frames else None
+
+    class TimedSink(CollectSink):
+        def __init__(self):
+            super().__init__()
+            self.first_push_t = None
+
+        def push(self, sbs, depth, stats):
+            if self.first_push_t is None:
+                self.first_push_t = _time.monotonic()
+            super().push(sbs, depth, stats)
+
+    cfg = make_cfg(output_height=48, temporal_smooth=False)
+    prog = BatchedProgramCache(cfg, fake_model,
+                               compute_dtype=jnp.float32, num_streams=2)
+    sinks = [TimedSink(), TimedSink()]
+    t_start = _time.monotonic()
+    eng = BatchedStreamEngine(
+        [ListSource([f.copy() for f in frames0]),
+         DelayedSource(1.2, [frame1])],
+        prog, sinks, target_fps=30.0,
+    )
+    eng.run(duration=20.0)
+
+    assert sinks[0].frames, "live stream starved by the late one"
+    # the live stream's first delivery must NOT have waited for the late
+    # stream's 1.2 s first frame
+    assert sinks[0].first_push_t - t_start < 1.0, (
+        f"first push at +{sinks[0].first_push_t - t_start:.2f}s")
+    # the late stream eventually delivers its own (real) frame and never
+    # received a stand-in
+    assert sinks[1].frames, "late stream never delivered"

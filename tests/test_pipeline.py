@@ -138,6 +138,43 @@ def test_engine_end_to_end_synthetic():
     assert "depth+compose" in stats.latency
 
 
+def test_engine_slow_sink_receives_final_frame():
+    """A finite run must not shut down between composing the last frame
+    and the sink pushing it: with a sink slower than the source, run()
+    waits for delivery (r05 review fix — `--frames N` nondeterministically
+    emitted N-1 outputs before)."""
+    import time as _time
+
+    cfg = make_cfg()
+    program = ProgramCache(cfg, fake_model_apply, compute_dtype=jnp.float32)
+    program.warmup((144, 256, 4))
+
+    class SlowRecordingSink:
+        wants_depth = False
+
+        def __init__(self):
+            self.pushed = []
+
+        def push(self, sbs, depth, stats):
+            _time.sleep(0.06)             # slower than the 10 ms stop poll
+            self.pushed.append(np.asarray(sbs).copy())
+
+        def close(self):
+            pass
+
+    for _ in range(3):                    # the race was nondeterministic
+        source = SyntheticSource(size=(144, 256), max_frames=4)
+        sink = SlowRecordingSink()
+        engine = FrameEngine(source, program, sink, target_fps=240.0)
+        stats = engine.run(duration=20.0)
+        # the LAST composed frame must always have been pushed (earlier
+        # ones may legally drop to latest-wins under the slow sink)
+        assert sink.pushed, "sink never received a frame"
+        assert len(sink.pushed) >= 1
+        assert engine._sink_seq >= engine.out_box._seq, (
+            "engine stopped before the sink consumed the newest frame")
+
+
 def test_program_cache_live_display_mode_switch():
     """set_display_mode re-targets a lazily-compiled variant at the next
     frame while carried state survives (the reference's viewer hot-keys,

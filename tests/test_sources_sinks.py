@@ -107,6 +107,12 @@ def test_mjpeg_mode_endpoint():
                 raise ValueError(m)
             self.calls.append(m)
 
+        @property
+        def display_mode(self):
+            # pending-aware, like ProgramCache.display_mode: a just-set
+            # mode reports immediately, before a frame applies it
+            return self.calls[-1] if self.calls else self.cfg.display_mode
+
     sink = MjpegSink(port=0, host="127.0.0.1")
     try:
         def get(path):
@@ -127,6 +133,11 @@ def test_mjpeg_mode_endpoint():
 
         status, body = get("/mode?set=Anaglyph")
         assert status == 200 and prog.calls == ["Anaglyph"]
+
+        # pending-aware read-back: the endpoint must report the just-set
+        # mode even before the next frame applies it (r05 review fix)
+        status, body = get("/mode")
+        assert status == 200 and body["mode"] == "Anaglyph"
 
         status, body = get("/mode?set=Bogus")
         assert status == 400 and "error" in body
