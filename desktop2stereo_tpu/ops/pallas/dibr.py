@@ -73,7 +73,7 @@ def _dibr_kernel(px_ref, conf_ref,
     i = pl.program_id(0)
 
     rgb = [rgb_c_ref[c] for c in range(3)]           # 3 × [th, wp]
-    dep = dep_c_ref[0]
+    dep = dep_c_ref[0]                               # RAW depth rows
 
     # --- 1. warp: decomposed dynamic-gather ---------------------------------
     px = px_ref[...]
@@ -99,7 +99,21 @@ def _dibr_kernel(px_ref, conf_ref,
         color.append((g0 * (1.0 - frac_f) + g1 * frac_f).reshape(th, wp))
 
     # --- 2. push-pull inpaint (reference viewer.py:437-506) -----------------
-    cdi = -dep  # center_depth_inv = -d (depth_inv of the smoothed depth)
+    # center_depth_inv = -smooth(d): the 3-tap 1.5px pre-smooth is a
+    # symmetric sum (sign-invariant), recomputed here from the RAW rows;
+    # the sweep/blur taps below read RAW depth — exactly the reference's
+    # split (smoothed center viewer.py:546-551, raw tex_depth neighbors
+    # viewer.py:448,473,492; r05 fix)
+    def _htap15(x):
+        lo = _shift_cols_clamp(x, 1)
+        hi = _shift_cols_clamp(x, 2)
+        a = lo * 0.5 + hi * 0.5
+        lo2 = _shift_cols_clamp(x, -1)
+        hi2 = _shift_cols_clamp(x, -2)
+        b = lo2 * 0.5 + hi2 * 0.5
+        return a + b
+
+    cdi = -(dep * 0.7 + _htap15(dep) * 0.15)
 
     def sweep(direction: float, decay: float, use_depth_weight: bool):
         colors = [jnp.zeros((th, wp), jnp.float32) for _ in range(3)]
@@ -286,7 +300,9 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
     cdi = -smooth
     # shift commutes with the affine 1-x: precompute once instead of
     # subtracting inside every sweep tap (24 full-tile ops saved)
-    inv_smooth = 1.0 - smooth
+    inv_raw = 1.0 - dep_raw  # sweep/blur taps read RAW depth
+                             # (reference viewer.py:448,473,492; r05 fix —
+                             # only the center cdi uses the smooth)
     jump = jnp.abs(htap(dep_raw, -2.0) - htap(dep_raw, +2.0))
     t_ = jnp.clip((jump - 0.04) / (0.10 - 0.04), 0.0, 1.0)
     conf_base = t_ * t_ * (3.0 - 2.0 * t_)
@@ -350,7 +366,7 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
         wsum = jnp.zeros((th, wp), jnp.float32)
         for t in range(1, search_radius + 1):
             off = direction * t
-            s_depth_inv = _shift_cols_clamp(inv_smooth, off)
+            s_depth_inv = _shift_cols_clamp(inv_raw, off)
             is_bg = s_depth_inv > thr
             s_rgb = [_shift_cols_clamp(rgb[c], off) for c in range(3)]
             dist_w = math.exp(-float(t) * decay)
@@ -387,10 +403,8 @@ def _dibr_pair_kernel(rgb_u_ref, rgb_c_ref, rgb_d_ref,
     vert_w = jnp.full((th, wp), 0.5, jnp.float32)
     for off in (-vshift, vshift):
         v_raw = row_shifted((dep_u_ref[0], dep_raw, dep_d_ref[0]), off)
-        # the jnp path blurs with row-shifted SMOOTHED depth; smoothing is
-        # horizontal-only, so smooth the shifted raw rows (exact)
-        v_d = v_raw * 0.7 + htap(v_raw, -1.5) * 0.15 + htap(v_raw, +1.5) * 0.15
-        ok = (1.0 - v_d) > cdi + depth_tolerance * 0.5
+        # RAW row taps (reference viewer.py:492); only cdi is smoothed
+        ok = (1.0 - v_raw) > cdi + depth_tolerance * 0.5
         w = jnp.where(ok, 0.25, 0.0)
         for c in range(3):
             v_rgb = row_shifted((rgb_u_ref[c], rgb[c], rgb_d_ref[c]), off)

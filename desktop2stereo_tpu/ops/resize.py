@@ -185,17 +185,23 @@ def resize(
 
     def axis_resize(y, axis, n_in, n_out):
         # Integer-factor area downscale is a uniform block mean (torch's
-        # adaptive-pool indices land exactly on block edges) — a reshape+mean
-        # beats the dense [n_out, n_in] contraction by ~n_in/n_out FLOPs
-        # (the Half-SBS ×2 squeeze at 4K: ~0.5 ms vs ~16 ms).
+        # adaptive-pool indices land exactly on block edges) — a block mean
+        # beats the dense [n_out, n_in] contraction by ~n_in/n_out FLOPs,
+        # and it must be reduce_window, NOT reshape(-1,f).mean: the reshape
+        # form is lane-shuffle-bound on TPU when `axis` is the minor (W)
+        # dim (~8× slower at 4K — CLAUDE.md rule; same reason the fused
+        # preprocess squeezes via reduce_window).
         sc_axis = sh if axis == h_axis else sw
         if mode == "area" and n_in % n_out == 0 and sc_axis is None:
             f = n_in // n_out
             if f == 1:
                 return y
-            shape = list(y.shape)
-            shape[axis:axis + 1] = [n_out, f]
-            return y.reshape(shape).mean(axis=axis + 1)
+            window = [1] * y.ndim
+            window[axis] = f
+            summed = jax.lax.reduce_window(
+                y, jnp.zeros((), y.dtype), jax.lax.add,
+                tuple(window), tuple(window), "VALID")
+            return summed / f
         return _apply_1d(
             y, resize_weights(n_in, n_out, mode, align_corners, antialias, sc_axis),
             axis)

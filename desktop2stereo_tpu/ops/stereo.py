@@ -438,7 +438,7 @@ def dibr_render(
             from desktop2stereo_tpu.ops.pallas.dibr import dibr_warp_fill_blend
 
             return dibr_warp_fill_blend(
-                rgb.astype(jnp.float32), d.astype(jnp.float32),
+                rgb.astype(jnp.float32), depth.astype(jnp.float32),
                 conf.astype(jnp.float32), px_clamped.astype(jnp.float32),
                 max_disp=max_disp, search_radius=search_radius,
                 depth_tolerance=depth_tolerance, sweep_sign=sweep_sign,
@@ -450,8 +450,12 @@ def dibr_render(
         color = _sample_2d_bilinear(rgb, px, py).astype(dt)
     else:
         color = _hsample(rgb, px_clamped, max_disp)
+    # neighbor taps sample the RAW depth: the reference's inpaint reads
+    # 1-texture(tex_depth) (viewer.py:448,473,492) while only the center/
+    # shift path uses the 3-tap smooth — r05 fix; the GL backend
+    # (gl_theater.DIBR_FRAG) always did it the reference's way
     filled = push_pull_inpaint(
-        rgb, d, depth_inv, sweep_sign, search_radius, depth_tolerance,
+        rgb, depth, depth_inv, sweep_sign, search_radius, depth_tolerance,
         par_dir=(cos_t, sin_t),
     )
     return color + conf[..., None] * (filled - color)

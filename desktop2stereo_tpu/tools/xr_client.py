@@ -247,8 +247,11 @@ def warp_eye(
     colors = np.zeros_like(rgb)
     weights = np.zeros_like(d)
     cum = np.zeros_like(d)
+    # neighbor taps read RAW depth — the reference's inpaint samples
+    # tex_depth directly (viewer.py:448,473,492); only depth_inv (the
+    # center) is smoothed (r05 fix, matching ops/stereo + the kernels)
     for i in range(1, search_radius + 1):
-        s_dinv = 1.0 - tap_img(d[..., None], sweep, i)[..., 0]
+        s_dinv = 1.0 - tap_img(depth[..., None], sweep, i)[..., 0]
         is_bg = s_dinv > depth_inv + depth_tolerance
         w = np.exp(-i * 0.15) * (1.0 + (s_dinv - depth_inv) * 10.0)
         w = np.where(is_bg & (cum <= 5.0), w, 0.0)
@@ -259,7 +262,7 @@ def warp_eye(
     need = weights < 2.0
     cum2 = np.zeros_like(d)
     for i in range(1, search_radius + 1):
-        s_dinv = 1.0 - tap_img(d[..., None], -sweep, i)[..., 0]
+        s_dinv = 1.0 - tap_img(depth[..., None], -sweep, i)[..., 0]
         is_bg = s_dinv > depth_inv + depth_tolerance
         w = np.where(is_bg & (cum2 <= 5.0) & need, np.exp(-i * 0.2), 0.0)
         colors += tap_img(rgb, -sweep, i) * w[..., None]
@@ -271,7 +274,7 @@ def warp_eye(
     vc = base * 0.5
     vw = np.full_like(d, 0.5)
     for dy in (-2, 2):
-        ok = (1.0 - _shift_rows(d, dy)) > depth_inv + depth_tolerance * 0.5
+        ok = (1.0 - _shift_rows(depth, dy)) > depth_inv + depth_tolerance * 0.5
         w = np.where(ok, 0.25, 0.0)
         vc += _shift_rows(rgb, dy) * w[..., None]
         vw += w

@@ -285,9 +285,12 @@ class TheaterGL:
     # -- item textures ------------------------------------------------------------
 
     def _item_texture(self, arr: np.ndarray, wrap_u: bool) -> int:
+        # entries RETAIN the keying array: id(arr) of a freed ndarray can
+        # be recycled by the next same-size allocation (overlay textures
+        # re-render every 0.25-0.5 s), which would alias a stale texture
         key = id(arr)
         hit = self._textures.pop(key, None)
-        if hit is not None and hit[1] == arr.shape:
+        if hit is not None and hit[1] == arr.shape and hit[2] is arr:
             self._textures[key] = hit  # refresh LRU order
             return hit[0]
         if hit is not None:
@@ -308,10 +311,10 @@ class TheaterGL:
         GL.glPixelStorei(GL.GL_UNPACK_ALIGNMENT, 1)
         GL.glTexImage2D(GL.GL_TEXTURE_2D, 0, ifmt, w, h, 0, fmt,
                         GL.GL_UNSIGNED_BYTE, np.ascontiguousarray(arr))
-        self._textures[key] = (tex, arr.shape)
+        self._textures[key] = (tex, arr.shape, arr)
         while len(self._textures) > _TEX_CACHE_MAX:
             oldest = next(iter(self._textures))
-            old, _shape = self._textures.pop(oldest)
+            old, _shape, _ref = self._textures.pop(oldest)
             GL.glDeleteTextures([old])
         return tex
 
@@ -335,8 +338,12 @@ class TheaterGL:
         static = item.kind in ("env", "panorama")
         key = id(item)
         if static and key in self._static:
-            vao, _vbo, n = self._static[key]
-            return vao, n
+            vao, _vbo, n, ref = self._static[key]
+            if ref is item:  # retained ref => id cannot have been recycled
+                return vao, n
+            GL.glDeleteVertexArrays(1, [vao])
+            GL.glDeleteBuffers(1, [_vbo])
+            del self._static[key]
         data = _interleave(item)
         if static:
             vao = GL.glGenVertexArrays(1)
@@ -347,11 +354,11 @@ class TheaterGL:
                             GL.GL_STATIC_DRAW)
             self._bind_attribs()
             if len(self._static) >= _STATIC_CACHE_MAX:
-                for k, (ov, ob, _n) in list(self._static.items())[:8]:
+                for k, (ov, ob, _n, _ref) in list(self._static.items())[:8]:
                     GL.glDeleteVertexArrays(1, [ov])
                     GL.glDeleteBuffers(1, [ob])
                     del self._static[k]
-            self._static[key] = (vao, vbo, data.shape[0])
+            self._static[key] = (vao, vbo, data.shape[0], item)
             return vao, data.shape[0]
         GL.glBindVertexArray(self._vao_stream)
         GL.glBindBuffer(GL.GL_ARRAY_BUFFER, self._vbo_stream)
@@ -466,10 +473,10 @@ class TheaterGL:
             GL.glDrawArrays(gl_mode, 0, n)
 
     def release(self) -> None:
-        for _k, (vao, vbo, _n) in self._static.items():
+        for _k, (vao, vbo, _n, _ref) in self._static.items():
             GL.glDeleteVertexArrays(1, [vao])
             GL.glDeleteBuffers(1, [vbo])
         self._static.clear()
-        for _k, (tex, _shape) in self._textures.items():
+        for _k, (tex, _shape, _ref) in self._textures.items():
             GL.glDeleteTextures([tex])
         self._textures.clear()

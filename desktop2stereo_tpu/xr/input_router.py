@@ -149,7 +149,17 @@ class OsInputRouter:
                 # two-trigger pinch → touch contacts on the wire, no
                 # click/drag (the reference's two-trigger touch zoom,
                 # reference input.py:121-390; the host's InputBridge
-                # injects real multitouch or synthesizes ctrl+wheel)
+                # injects real multitouch or synthesizes ctrl+wheel).
+                # Release a click the FIRST trigger may have pressed
+                # before the second joined — otherwise the host drags
+                # whatever is under the cursor for the whole pinch.
+                for ev in self.clicks.update(False,
+                                             *(st.cursor_px or (0, 0)),
+                                             now=now):
+                    if ev.kind == "release":
+                        events.append({"t": "button", "b": 1,
+                                       "down": False})
+                st.dragging = False
                 for tid, hi in enumerate(pinch_hands[:2]):
                     x, y = self._uv_px(hi.screen_uv)
                     uv = {"u": x / max(self.frame_w - 1, 1),

@@ -233,8 +233,11 @@ class FrameNetClient:
         if header.get("encoding") == "jpeg":
             import cv2
 
-            rgb = cv2.imdecode(np.frombuffer(rgb_b, np.uint8),
-                               cv2.IMREAD_COLOR)[..., ::-1]
+            dec = cv2.imdecode(np.frombuffer(rgb_b, np.uint8),
+                               cv2.IMREAD_COLOR)
+            if dec is None:   # corrupt/truncated jpeg: skip, don't crash
+                return None   # the poll loop (the next frame supersedes it)
+            rgb = dec[..., ::-1]
         else:
             rgb = np.frombuffer(rgb_b, np.uint8).reshape(h, w, 3)
         depth = _decode_depth(dep_b, int(header.get("dh", h)),

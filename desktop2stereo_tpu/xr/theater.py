@@ -292,7 +292,8 @@ class Theater:
             cols = np.full((verts.shape[0], 4), expo, np.float32)
             cols[:, 3] = 1.0
             item = DrawItem(kind="panorama", verts=verts, uvs=uvs,
-                            colors=np.clip(cols, 0.0, 1.0),
+                            colors=cols,  # exposure 1..2 headroom is real;
+                                          # outputs clamp at the backends
                             texture=self.panorama, depth_write=False,
                             wrap_u=True)
             items.append((item, item.colors))
@@ -373,6 +374,11 @@ class Theater:
                                -self.screen.distance], np.float32)
             for item, base in self._env_items():
                 if item.kind == "panorama" or spill <= 1e-6:
+                    if gpu and item.uniforms.get("spill"):
+                        # cached items are mutated in place below; a dark
+                        # frame must not keep glowing with the last bright
+                        # frame's spill
+                        item.uniforms["spill"] = 0.0
                     items.append(item)
                     continue
                 if gpu:
@@ -582,8 +588,11 @@ class Theater:
         rot = np.stack([x, y, z], axis=1).astype(np.float32)
         world = verts @ rot.T + np.asarray(beam.origin, np.float32)
         wn = norms @ rot.T
-        # simple headlight shade toward the seated origin
-        to_head = -world
+        # simple headlight shade toward the seated EYE (origin_y up —
+        # aiming at the floor origin inverted the shading on controllers
+        # held at chest height)
+        eye = np.array([0.0, self.origin_y, 0.0], np.float32)
+        to_head = eye[None, :] - world
         to_head /= np.maximum(
             np.linalg.norm(to_head, axis=1, keepdims=True), 1e-6)
         ndl = np.maximum((wn * to_head).sum(1, keepdims=True), 0.0)

@@ -40,7 +40,12 @@ def test_dibr_kernel_matches_jnp_path():
     ))
 
     color = np.asarray(horizontal_sample_ref(rgb, px))
-    filled = np.asarray(S.push_pull_inpaint(rgb, d, -d, 1.0, 12, 0.012))
+    # the kernel takes RAW depth and computes the 3-tap center smooth
+    # itself (taps read raw — the reference shader's split, r05); the jnp
+    # oracle mirrors that: smoothed center, raw neighbor taps
+    sm = (d * 0.7 + S._sample_const_offset(d, -1.5) * 0.15
+          + S._sample_const_offset(d, +1.5) * 0.15)
+    filled = np.asarray(S.push_pull_inpaint(rgb, d, -sm, 1.0, 12, 0.012))
     want = color + np.asarray(conf)[..., None] * (filled - color)
     np.testing.assert_allclose(got, want, atol=1e-3, rtol=1e-3)
 
