@@ -16,6 +16,8 @@ Key transforms (torch → flax):
 
 from __future__ import annotations
 
+import os
+import re
 from typing import Any, Dict, Mapping, Optional
 
 import numpy as np
@@ -44,10 +46,39 @@ def _layernorm(sd: Mapping[str, np.ndarray], prefix: str) -> Params:
 
 
 def to_numpy_state_dict(obj: Any) -> Dict[str, np.ndarray]:
-    """torch state_dict / safetensors path → {key: float32 ndarray}."""
+    """torch state_dict / safetensors path → {key: float32 ndarray}.
+
+    A path may also be a SHARDED checkpoint: the index json
+    (model.safetensors.index.json) or any one shard
+    (model-0000N-of-0000M.safetensors) loads and merges the whole set —
+    large checkpoints (DA3-GIANT class) ship only in this layout."""
     if isinstance(obj, (str,)):
         from safetensors.numpy import load_file
 
+        base = os.path.basename(obj)
+        if base.endswith(".index.json"):
+            import json as _json
+
+            with open(obj) as f:
+                idx = _json.load(f)
+            d = os.path.dirname(obj)
+            shards = sorted(set(idx.get("weight_map", {}).values()))
+            out: Dict[str, np.ndarray] = {}
+            for s in shards:
+                out.update({k: np.asarray(v, dtype=np.float32)
+                            for k, v in load_file(os.path.join(d, s)).items()})
+            return out
+        m = re.match(r"model-\d+-of-\d+\.safetensors$", base)
+        if m:
+            import glob as _glob
+
+            out = {}
+            for s in sorted(_glob.glob(os.path.join(
+                    os.path.dirname(obj) or ".",
+                    "model-*-of-*.safetensors"))):
+                out.update({k: np.asarray(v, dtype=np.float32)
+                            for k, v in load_file(s).items()})
+            return out
         return {k: np.asarray(v, dtype=np.float32) for k, v in load_file(obj).items()}
     out = {}
     for k, v in obj.items():
@@ -570,6 +601,20 @@ def _convert_beit_backbone(sd: Mapping[str, np.ndarray], D: int, num_layers: int
             "lambda_2": sd[lp + "lambda_2"],
         }
     return backbone
+
+
+def convert_dpt_dinov2(state_dict: Any, spec: ModelSpec) -> Params:
+    """HF DPTForDepthEstimation + Dinov2Backbone (facebook/dpt-dinov2-*)
+    → DPTDinov2 params: the dinov2 trunk converts with the same layout as
+    DepthAnything's (prefix "backbone."), the readout-project neck/head
+    with the classic-DPT decoder mapping."""
+    sd = to_numpy_state_dict(state_dict)
+    _, num_layers, _, _ = spec.dims
+    return {
+        "backbone": convert_dinov2_backbone(sd, num_layers,
+                                            prefix="backbone."),
+        "decoder": convert_classic_dpt_decoder(sd),
+    }
 
 
 def convert_dpt_beit(state_dict: Any, spec: ModelSpec) -> Params:

@@ -471,8 +471,16 @@ class DA3DualDPT(nn.Module):
                         name="head_conv1", dtype=fused.dtype)(fused)
         fused = resize(fused, (gh * self.patch_size, gw * self.patch_size),
                        mode="bilinear", align_corners=True)
+        # full-output-res table (up to ~tens of MB at the top DA3 menu
+        # resolutions): hoist_const routes it in as a runtime argument
+        # when the caller is hjit (programs.py model program) instead of
+        # an inline HLO constant (~70x slower device landing, bloated
+        # persistent cache — CLAUDE.md rule); plain-jit callers fall back
+        # to jnp.asarray unchanged
+        from desktop2stereo_tpu.ops.hoist import hoist_const
+
         pe = _uv_pos_embed(fused.shape[1], fused.shape[2], self.fusion_channels // 2, aspect)
-        fused = fused + jnp.asarray(pe, dtype=fused.dtype)
+        fused = fused + hoist_const(pe).astype(fused.dtype)
         h = nn.Conv(32, (3, 3), padding=[(1, 1), (1, 1)], name="head_conv2", dtype=fused.dtype)(fused)
         h = nn.relu(h)
         logits = nn.Conv(self.output_dim, (1, 1), name="head_conv3", dtype=h.dtype)(h)
@@ -493,7 +501,7 @@ class DA3DualDPT(nn.Module):
             a = nn.Conv(wdt, (3, 3), padding=[(1, 1), (1, 1)],
                         name=f"aux_conv1_{k}", dtype=a.dtype)(a)
         pe_a = _uv_pos_embed(a.shape[1], a.shape[2], fc // 2, aspect)
-        a = a + jnp.asarray(pe_a, dtype=a.dtype)
+        a = a + hoist_const(pe_a).astype(a.dtype)
         a = nn.Conv(32, (3, 3), padding=[(1, 1), (1, 1)], name="aux_conv2", dtype=a.dtype)(a)
         a = nn.LayerNorm(epsilon=1e-5, name="aux_ln", dtype=a.dtype)(a)
         a = nn.relu(a)
@@ -821,18 +829,20 @@ def build_da3_nested(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
 
         sd = to_numpy_state_dict(ckpt)
         # nested checkpoints nest branches as model.da3.* / model.da3_metric.*
-        def branch(prefix, branch_spec, any_flag):
+        def branch(prefix, branch_spec):
+            # (mode — anyview vs metric — is derived from branch_spec.name
+            # inside convert_da3; no separate flag)
             bsd = {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
             return convert_da3(bsd, branch_spec)
 
         metric_spec = _dc.replace(spec, name="DA3METRIC-LARGE", variant="vitl")
         params = {"params": {
-            "da3": branch("model.da3.model.", spec, True)
+            "da3": branch("model.da3.model.", spec)
             if any(k.startswith("model.da3.model.") for k in sd)
-            else branch("model.da3.", spec, True),
-            "da3_metric": branch("model.da3_metric.model.", metric_spec, False)
+            else branch("model.da3.", spec),
+            "da3_metric": branch("model.da3_metric.model.", metric_spec)
             if any(k.startswith("model.da3_metric.model.") for k in sd)
-            else branch("model.da3_metric.", metric_spec, False),
+            else branch("model.da3_metric.", metric_spec),
         }}
     else:
         size = init_size or (spec.patch_size * 4)

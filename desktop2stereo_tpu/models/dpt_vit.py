@@ -237,3 +237,82 @@ def build_dpt_vit(spec: ModelSpec, checkpoint=None, param_dtype=jnp.float32,
         return model.apply(p, pixels)
 
     return apply, params, spec
+
+
+class DPTDinov2(nn.Module):
+    """DINOv2 trunk + classic readout-project DPT decoder — the actual
+    architecture of facebook/dpt-dinov2-* (HF `DPTForDepthEstimation` with
+    `backbone_config=Dinov2Config`, modeling_dpt.py backbone path): the
+    backbone emits final-layernormed token sequences WITH the cls token,
+    and the neck consumes cls via per-stage readout projections — unlike
+    DepthAnything, whose neck drops cls and has no readout (this family
+    was mis-routed through DepthAnything before r05).
+
+    Feature layers follow the DINOv2 depth-adaptation convention (the
+    LAST FOUR blocks); published checkpoints carry the definitive
+    out_indices in their config.json — revalidate with
+    `convert.py --verify-depth` when egress allows."""
+
+    hidden_size: int
+    num_layers: int
+    num_heads: int
+    mlp_dim: int
+    neck_channels: Sequence[int]
+    fusion_channels: int
+    patch_size: int = 14
+    quant: bool = False
+
+    @classmethod
+    def from_spec(cls, spec: ModelSpec, quant: bool = False) -> "DPTDinov2":
+        hidden, layers, heads, mlp = spec.dims
+        return cls(hidden_size=hidden, num_layers=layers, num_heads=heads,
+                   mlp_dim=mlp, neck_channels=spec.neck_channels,
+                   fusion_channels=spec.fusion_channels,
+                   patch_size=spec.patch_size, quant=quant)
+
+    @nn.compact
+    def __call__(self, pixels: jax.Array) -> jax.Array:
+        from desktop2stereo_tpu.models.dinov2 import Dinov2Encoder
+
+        B, H, W, _ = pixels.shape
+        gh, gw = H // self.patch_size, W // self.patch_size
+        feats = Dinov2Encoder(
+            hidden_size=self.hidden_size, num_layers=self.num_layers,
+            num_heads=self.num_heads, mlp_dim=self.mlp_dim,
+            out_layers=tuple(range(self.num_layers - 4, self.num_layers)),
+            patch_size=self.patch_size, quant=self.quant, name="backbone",
+        )(pixels)
+        return ClassicDPTDecoder(
+            hidden_size=self.hidden_size, neck_channels=self.neck_channels,
+            fusion_channels=self.fusion_channels, name="decoder",
+        )(list(feats), gh, gw)
+
+
+def build_dpt_dinov2(spec: ModelSpec, checkpoint=None,
+                     param_dtype=jnp.float32, rng_seed: int = 0,
+                     init_size: Optional[int] = None, quant: bool = False):
+    model = DPTDinov2.from_spec(spec, quant=quant)
+    from desktop2stereo_tpu.models.factory import find_checkpoint
+
+    ckpt = checkpoint or find_checkpoint(spec)
+    if ckpt is not None:
+        from desktop2stereo_tpu.models.convert_hf import convert_dpt_dinov2
+
+        params = {"params": convert_dpt_dinov2(ckpt, spec)}
+    else:
+        size = init_size or (spec.patch_size * 4)
+        float_model = DPTDinov2.from_spec(spec) if quant else model
+        params = jit_init(float_model,
+                          jnp.zeros((1, size, size, 3), jnp.float32),
+                          rng_seed=rng_seed)
+        print(f"[models] no checkpoint found for {spec.name}; using random init")
+    params = jax.tree.map(lambda p: jnp.asarray(p, param_dtype), params)
+    if quant:
+        from desktop2stereo_tpu.ops.quant import quantize_tree
+
+        params = quantize_tree(params, scope=("backbone",))
+
+    def apply(p, pixels):
+        return model.apply(p, pixels)
+
+    return apply, params, spec

@@ -33,25 +33,45 @@ QUANT_FAMILIES = frozenset(
      "infinidepth", "dpt", "dpt_beit", "dpt_hybrid", "zoedepth"})
 
 
+def _resolve_in_dir(d: str) -> Optional[str]:
+    """model.safetensors in `d`, or the shard set of a SHARDED checkpoint
+    (models above ~5 GB ship as model-0000N-of-0000M.safetensors with an
+    index json and NO single file — DA3-GIANT/NESTED class): returns the
+    index json if present, else the first shard (the converter globs its
+    siblings)."""
+    single = os.path.join(d, "model.safetensors")
+    if os.path.exists(single):
+        return single
+    idx = os.path.join(d, "model.safetensors.index.json")
+    if os.path.exists(idx):
+        return idx
+    import glob as _glob
+
+    shards = sorted(_glob.glob(os.path.join(d, "model-*-of-*.safetensors")))
+    return shards[0] if shards else None
+
+
 def find_checkpoint(spec: ModelSpec) -> Optional[str]:
-    """Locate a local safetensors file for the spec (cache-first, like the
-    reference's HF local-cache lookup, reference depth.py:498-526)."""
+    """Locate a local safetensors checkpoint for the spec — single-file OR
+    sharded (cache-first, like the reference's HF local-cache lookup,
+    reference depth.py:498-526)."""
     repo_flat = spec.hf_repo.replace("/", "--")
-    candidates = []
+    dirs = []
     for d in DEFAULT_WEIGHTS_DIRS:
-        candidates += [
-            os.path.join(d, repo_flat, "model.safetensors"),
-            os.path.join(d, spec.name, "model.safetensors"),
-            os.path.join(d, f"{spec.name}.safetensors"),
-        ]
+        dirs += [os.path.join(d, repo_flat), os.path.join(d, spec.name)]
+        flat = os.path.join(d, f"{spec.name}.safetensors")
+        if os.path.exists(flat):
+            return flat
     hf_cache = os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface"))
     hub_dir = os.path.join(hf_cache, "hub", f"models--{repo_flat}", "snapshots")
     if os.path.isdir(hub_dir):
         for snap in sorted(os.listdir(hub_dir)):
-            candidates.append(os.path.join(hub_dir, snap, "model.safetensors"))
-    for c in candidates:
-        if os.path.exists(c):
-            return c
+            dirs.append(os.path.join(hub_dir, snap))
+    for d in dirs:
+        if os.path.isdir(d):
+            hit = _resolve_in_dir(d)
+            if hit is not None:
+                return hit
     return None
 
 
@@ -77,7 +97,18 @@ def build_model(
     if quant not in ("none", "int8"):
         raise ValueError(f"unknown quant mode {quant!r} (none|int8)")
 
-    if spec.family in ("depth_anything", "dpt_dinov2"):
+    if spec.family == "dpt_dinov2":
+        # facebook/dpt-dinov2-* are DPTForDepthEstimation with a Dinov2
+        # backbone — readout-project neck + classic DPT head, NOT the
+        # DepthAnything decoder (mis-routed pre-r05; parity-tested vs the
+        # torch module in tests/test_models_dpt_dinov2.py)
+        from desktop2stereo_tpu.models.dpt_vit import build_dpt_dinov2
+
+        return build_dpt_dinov2(spec, checkpoint=checkpoint,
+                                param_dtype=param_dtype, rng_seed=rng_seed,
+                                init_size=init_size, quant=quant)
+
+    if spec.family == "depth_anything":
         from desktop2stereo_tpu.models.depth_anything import DepthAnything
         from desktop2stereo_tpu.models.convert_hf import convert_depth_anything
 

@@ -545,9 +545,16 @@ def _build_step(
     # (shared_model_j) instead of re-tracing a ViT per hot-key press.
     if shared_model_j is not None:
         model_j = shared_model_j
-    else:
+    elif bound.stateful:
+        # donated temporal carry needs jax.jit (HoistedJit has no
+        # donation); stateful models carry no multi-MB host tables anyway
         model_j = (jax.jit(model_stage) if first
                    else jax.jit(model_stage, donate_argnums=(2,)))
+    else:
+        # hjit: models that build big host tables at trace time (DA3's
+        # full-res UV pos embeds) hand them in as runtime args via
+        # hoist_const instead of inline HLO constants (CLAUDE.md rule)
+        model_j = hjit(model_stage)
 
     if len(stages) == 2:
         pre_j, post_stereo_j = stages

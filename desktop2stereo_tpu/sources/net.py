@@ -12,7 +12,9 @@ frames are counted as dropped, never queued.
 
 Wire protocol (all little-endian):
 
-    handshake  agent → server:  b"D2SF" + u16 version(1)
+    handshake  agent → server:  b"D2SF" + u16 version(2) + 16B auth token
+        token = sha256(shared secret)/16, all-zeros = open mode; the
+        server only grants producer takeover on a constant-time match
     per frame  agent → server:  u32 seq | u16 width | u16 height |
                                 u8 channels | u8 flags | u32 payload_len |
                                 payload
@@ -124,6 +126,11 @@ def _decode_payload(payload: bytes, w: int, h: int, channels: int,
             arr = np.repeat(arr[:, :, None], 3, axis=2)
         if arr.shape[0] != h or arr.shape[1] != w:
             raise ValueError(f"JPEG dims {arr.shape[:2]} != header ({h},{w})")
+        if arr.shape[2] != channels:
+            # a channel count that contradicts the wire header would flip
+            # the shape-keyed program cache / BGRA interpretation mid-stream
+            raise ValueError(
+                f"JPEG channels {arr.shape[2]} != header {channels}")
         return np.ascontiguousarray(arr)
     if flags & FLAG_ZLIB:
         # bounded inflate: a ~33 MB zlib body expanding 1000:1 must stop at
@@ -192,9 +199,19 @@ class TcpFrameSource:
     def _reader(self, conn: socket.socket, addr) -> None:
         try:
             conn.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
-            hs = _read_exact(conn, _HANDSHAKE.size)
+            # handshake must arrive promptly: without a timeout every idle
+            # connect (health check, scanner) parks a reader thread in
+            # recv() forever — unbounded thread/socket leak on an
+            # internet-facing port
+            conn.settimeout(10.0)
+            try:
+                hs = _read_exact(conn, _HANDSHAKE.size)
+            except socket.timeout:
+                return
             if hs is None:
                 return
+            conn.settimeout(None)  # frames may be sparse; takeover handles
+                                   # a truly dead producer
             magic, version, token = _HANDSHAKE.unpack(hs)
             if magic != MAGIC or version != VERSION:
                 return

@@ -71,12 +71,16 @@ class ScreenSource:
                     raise RuntimeError(
                         f"no window matching {window_title!r} found")
                 self._rect = self._native.window_rect(self._window)
-            elif monitor_index:
+            else:
                 # per-monitor region of the root (reference
-                # capture.py:_choose_monitor_and_rect); None → whole root
+                # capture.py:_choose_monitor_and_rect).  Index 0 means the
+                # FIRST monitor — same as the mss fallback and the
+                # reference's index<=0 clamp (utils.py get_monitor_size) —
+                # not the whole multi-monitor root; enumeration failure
+                # falls back to the whole root (monitor_rect → None).
                 from desktop2stereo_tpu.core.display import monitor_rect
 
-                self._mon_rect = monitor_rect(monitor_index)
+                self._mon_rect = monitor_rect(max(monitor_index, 0))
             return
         except Exception:
             if window_title:

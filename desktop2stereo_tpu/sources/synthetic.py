@@ -36,15 +36,19 @@ class SyntheticSource:
             base[..., 3] = 255
         self._base = base
         self._noise = (rng.random((64, 64)) * 255).astype(np.uint8)
-        # pre-allocate the working frame; grab() mutates in place
-        self._frame = base.copy()
+        # DOUBLE-buffered working frames: the engine's jax.device_put of
+        # frame N may still be reading its host buffer asynchronously when
+        # grab() composes frame N+1, so the two must not share memory (the
+        # depth-1 mailbox keeps at most one frame in flight → two buffers
+        # suffice; a single mutated buffer produced torn uploads)
+        self._frames = (base.copy(), base.copy())
 
     def grab(self) -> Optional[np.ndarray]:
         if self.max_frames is not None and self._i >= self.max_frames:
             return None
         i = self._i
         self._i += 1
-        f = self._frame
+        f = self._frames[i % 2]
         np.copyto(f, self._base)
         # moving "window" (near object)
         wx = int((self.w - 400) * (0.5 + 0.5 * np.sin(i * 0.05)))

@@ -158,3 +158,41 @@ def test_reserialize_roundtrip(torch_vits_checkpoint, tmp_path):
     out = np.asarray(apply_fn(params, jnp.asarray(x)))
     rel = np.abs(out - ref).max() / max(np.abs(ref).max(), 1e-6)
     assert rel < 2e-4
+
+
+def test_sharded_safetensors_checkpoint_loads(tmp_path):
+    """Large checkpoints ship ONLY as model-0000N-of-0000M.safetensors
+    (+ index json); find_checkpoint/to_numpy_state_dict must discover and
+    merge the shard set (r05 — previously they silently fell back to
+    random init)."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from desktop2stereo_tpu.models.convert_hf import to_numpy_state_dict
+    from desktop2stereo_tpu.models.factory import _resolve_in_dir
+
+    d = tmp_path / "snap"
+    d.mkdir()
+    a = {"enc.w": np.arange(6, dtype=np.float32).reshape(2, 3)}
+    b = {"dec.w": np.ones((4,), np.float32) * 2}
+    save_file(a, str(d / "model-00001-of-00002.safetensors"))
+    save_file(b, str(d / "model-00002-of-00002.safetensors"))
+    idx = {"weight_map": {"enc.w": "model-00001-of-00002.safetensors",
+                          "dec.w": "model-00002-of-00002.safetensors"}}
+    (d / "model.safetensors.index.json").write_text(json.dumps(idx))
+
+    hit = _resolve_in_dir(str(d))
+    assert hit is not None and hit.endswith("index.json")
+    sd = to_numpy_state_dict(hit)
+    assert set(sd) == {"enc.w", "dec.w"}
+    np.testing.assert_array_equal(sd["enc.w"], a["enc.w"])
+
+    # a single shard path also merges the whole set
+    sd2 = to_numpy_state_dict(str(d / "model-00001-of-00002.safetensors"))
+    assert set(sd2) == {"enc.w", "dec.w"}
+
+    # shard set WITHOUT an index json still resolves
+    (d / "model.safetensors.index.json").unlink()
+    hit2 = _resolve_in_dir(str(d))
+    assert hit2 is not None and "model-00001" in hit2
