@@ -640,7 +640,15 @@ def _run_stage(stage: str, budget_s: float, timeout_s: float) -> tuple:
 
     drain = threading.Thread(target=_drain_err, daemon=True)
     drain.start()
-    killer = threading.Timer(timeout_s, proc.kill)
+
+    def _reap():
+        # SIGTERM first: a child SIGKILLed mid-device-call can wedge the
+        # next process's chip grant for ~10 min (observed on the dev
+        # tunnel); give it 10 s to unwind the PJRT client cleanly
+        proc.terminate()
+        threading.Timer(10.0, proc.kill).start()
+
+    killer = threading.Timer(timeout_s, _reap)
     killer.start()
     last = None
     try:
